@@ -1,0 +1,164 @@
+"""The reference's generated-SQL relational surface (SURVEY.md §2A),
+re-expressed as composable DataFrame transformations.
+
+Every function is a pure logical-plan builder: no actions, no collect — so
+Catalyst can fuse, push down, and prune across compositions. file:line
+citations refer to /root/reference.
+
+Scale notes are inline per operator; the recurring themes:
+* point lookups on the tiny ledger -> broadcast-friendly, no shuffle on the
+  big side;
+* anti-joins of big (distinct partition values) vs small (ledger) sides are
+  broadcast anti-joins — no shuffle of the fact-derived side beyond the
+  distinct's partial aggregation;
+* the one global ``row_number()`` the reference uses runs over *distinct
+  partition values* (thousands of rows, not the 100 TB fact table), so the
+  single-partition window is safe; the dense per-row variant (S12) offers a
+  scalable non-dense alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- S1/S2: oldest pending partition (sqoop_table.py:39-52) ---------------
+def next_pending(
+    ledger: DataFrame, table_name: str, value_col: str = "primary_partition_value"
+) -> DataFrame:
+    """``SELECT <col> FROM ledger WHERE is_complete='f' AND table_name=?
+    ORDER BY primary_partition_value LIMIT 1``.
+
+    Ledger is tiny (one row per table-partition) — orderBy+limit(1) is a
+    TakeOrderedAndProject, no full sort."""
+    return (
+        ledger.filter((F.col("is_complete") == "f") & (F.col("table_name") == table_name))
+        .orderBy("primary_partition_value")
+        .select(value_col)
+        .limit(1)
+    )
+
+
+# --- S3: existence probe (sqoop_table.py:106-112) -------------------------
+def pending_exists(ledger: DataFrame, table_name: str) -> bool:
+    """``SELECT 1 ... LIMIT 1`` -> bool. limit(1) short-circuits the scan."""
+    return not (
+        ledger.filter((F.col("is_complete") == "f") & (F.col("table_name") == table_name))
+        .limit(1)
+        .isEmpty()
+    )
+
+
+# --- S4: filtered count (sqoop_table.py:54-57) ----------------------------
+def filtered_count(df: DataFrame, predicate: Column) -> DataFrame:
+    """``SELECT count(*) FROM t WHERE pred`` — predicate pushes to the scan;
+    count is a partial+final agg, one shuffle of one row per partition."""
+    return df.filter(predicate).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --- S5: boundary query (sqoop_json.py:31) --------------------------------
+def split_bounds(df: DataFrame, id_col: str, num_splits: int) -> DataFrame:
+    """``SELECT min(rowId), N AS max`` — the Sqoop split-planning bounds."""
+    return df.agg(
+        F.min(id_col).cast("long").alias("min_id"),
+        F.lit(num_splits).cast("long").alias("max_id"),
+    )
+
+
+# --- S6-S9: the partition-discovery pipeline (sqoop_table.py:131-148) -----
+def distinct_partitions(df: DataFrame, part_expr: Column, alias: str = "part") -> DataFrame:
+    """``SELECT DISTINCT <part_expr> FROM t`` (S6). Partial-aggregates
+    map-side, so the shuffle carries only distinct values per task — for a
+    monthly partition column that's O(#months), not O(rows)."""
+    return df.select(part_expr.alias(alias)).distinct()
+
+
+def rank_newest_first(parts: DataFrame, part_col: str = "part") -> DataFrame:
+    """``row_number() OVER (ORDER BY part DESC)`` (S7). Global window is safe
+    here: input is the distinct partition list (small by construction).
+    Never apply to raw fact rows — use salt_round_robin for that."""
+    w = Window.orderBy(F.desc(part_col))
+    return parts.withColumn("rn", F.row_number().over(w))
+
+
+def skip_latest(ranked: DataFrame, skip_latest_n: int) -> DataFrame:
+    """``WHERE rn > SKIP_LATEST_MONTHS`` (S8) — recency pruning of hot,
+    still-mutating partitions (sqoop_table.py:137,145)."""
+    return ranked.filter(F.col("rn") > skip_latest_n)
+
+
+def anti_join_new(parts: DataFrame, seen: DataFrame, on: list[str]) -> DataFrame:
+    """``NOT EXISTS`` anti-join (S9): keep partitions absent from the
+    ledger. ``seen`` (the ledger projection) is tiny -> Catalyst picks a
+    BroadcastNestedLoop/BroadcastHashJoin; the big side never shuffles."""
+    return parts.join(F.broadcast(seen), on=on, how="left_anti")
+
+
+def pending_partition_pipeline(
+    source: DataFrame,
+    part_expr: Column,
+    seen_parts: DataFrame,
+    skip_latest_n: int = 0,
+    alias: str = "part",
+) -> DataFrame:
+    """The reference's most complex generated query (S6+S7+S8+S9 nested as
+    S10, sqoop_table.py:145): distinct partition values of the source,
+    ranked newest-first, minus the k hottest, minus already-seen ones."""
+    parts = distinct_partitions(source, part_expr, alias)
+    ranked = rank_newest_first(parts, alias)
+    kept = skip_latest(ranked, skip_latest_n).select(alias)
+    return anti_join_new(kept, seen_parts.select(alias), on=[alias])
+
+
+# --- S12: round-robin salting (sqoop_table.py:94-104) ---------------------
+def salt_round_robin(df: DataFrame, num_buckets: int, dense: bool = False) -> DataFrame:
+    """``seq.nextval % N AS rowId`` — fold rows into N extract buckets.
+
+    dense=False (default, the 100 TB path): pmod(monotonically_increasing_id)
+    — fully parallel, no shuffle; buckets are near-even for the salting use
+    case but ids are not dense.
+    dense=True (exact reference semantics): global row_number — single-
+    partition window, only for small inputs / oracle tests.
+    """
+    if dense:
+        w = Window.orderBy(F.monotonically_increasing_id())
+        rid = F.row_number().over(w) % num_buckets
+    else:
+        rid = F.pmod(F.monotonically_increasing_id(), F.lit(num_buckets)).cast("int")
+    return df.withColumn("rowId", rid)
+
+
+# --- S14/S15: UPDATE / DELETE semantics on immutable storage --------------
+def update_where(df: DataFrame, cond: Column, assignments: dict[str, Column]) -> DataFrame:
+    """``UPDATE t SET c=v, ... WHERE cond`` (sqoop_table.py:59-66) as a
+    projection: CASE WHEN cond THEN new ELSE old. Caller overwrites the
+    (small) ledger table with the result — see ledger.py for the atomic
+    commit protocol."""
+    out = df
+    for name, value in assignments.items():
+        out = out.withColumn(name, F.when(cond, value).otherwise(F.col(name)))
+    return out
+
+
+def delete_where(df: DataFrame, cond: Column) -> DataFrame:
+    """``DELETE FROM t WHERE cond`` (sqoop_table.py:68-73) -> keep the
+    complement."""
+    return df.filter(~cond)
+
+
+# --- S20: deterministic peek (sqoop_table.py:167-175) ---------------------
+def peek_one(df: DataFrame, order_col: str) -> DataFrame:
+    """``SELECT <col> FROM t LIMIT 1`` — made deterministic by ordering
+    (the reference relied on Vertica's arbitrary-but-stable order)."""
+    return df.select(order_col).orderBy(order_col).limit(1)
+
+
+# --- top-k per group (extension; absent-category from §2A) ----------------
+def top_k_per_group(
+    df: DataFrame, part_cols: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Windowed top-k: rank within group, keep k. Shuffles once on the
+    group keys; AQE handles skewed groups."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_by)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
