@@ -1,0 +1,73 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed as the driver would run it (plan + collect), timed
+end-to-end. The headline set spans the engine's main cost classes: scan+agg
+(q1), multi-join (q3/q5), window (running total / topk), the reference's
+flagship pipeline (s10), dedup hashing, and event windowing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "s10_pending_pipeline",
+    "s12_salt_round_robin",
+    "topk_per_group",
+    "window_running_total",
+    "dedup_exact",
+    "text_quality_score",
+    "events_tumbling_hourly",
+]
+
+
+def main() -> None:
+    from vertica_hadoop_integration__spark.plans import QUERIES
+    from vertica_hadoop_integration__spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # best-effort scale-factor label from the dir name
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_session("bench")
+    # warm the JVM + parquet footers once with a trivial action so measured
+    # times reflect query execution, not session startup
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
