@@ -1,0 +1,90 @@
+"""Ledger state-machine unit tests — the FIXTURES.md §B assertions:
+(1) enqueue inserts only absent partitions, (2) oldest pending first,
+(3) completion flips is_complete + stamps end_date, (4) double-run no-op,
+(5) SKIP_LATEST leaves the k newest unenqueued, (6) empty PRIMARY_ID
+yields one NULL-keyed row."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.ledger import Ledger
+from vertica_hadoop_integration__spark.operators.relational import (
+    pending_partition_pipeline,
+)
+
+
+@pytest.fixture()
+def ledger(spark, tmp_path):
+    return Ledger(spark, str(tmp_path / "ledger"))
+
+
+def _parts(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "part string")
+
+
+def test_enqueue_only_absent(spark, ledger):
+    n1 = ledger.enqueue_new(_parts(spark, ["2024-01", "2024-02"]), "t", "db", "m", 8)
+    assert n1 == 2
+    n2 = ledger.enqueue_new(
+        _parts(spark, ["2024-01", "2024-02", "2024-03"]), "t", "db", "m", 8
+    )
+    assert n2 == 1  # only the unseen one
+    assert ledger.read().count() == 3
+
+
+def test_oldest_pending_first(spark, ledger):
+    ledger.enqueue_new(_parts(spark, ["2024-03", "2024-01", "2024-02"]), "t", "db", "m", 8)
+    assert ledger.next_pending("t") == "2024-01"
+    ledger.mark_complete("t", "2024-01")
+    assert ledger.next_pending("t") == "2024-02"
+
+
+def test_completion_flips_flag_and_stamps_end_date(spark, ledger):
+    ledger.enqueue_new(_parts(spark, ["2024-01"]), "t", "db", "m", 8)
+    ledger.mark_complete("t", "2024-01")
+    row = ledger.read().filter(F.col("primary_partition_value") == "2024-01").first()
+    assert row["is_complete"] == "t"
+    assert row["end_date"] is not None
+    assert not ledger.pending_exists("t")
+
+
+def test_double_run_noop(spark, ledger):
+    parts = _parts(spark, ["2024-01", "2024-02"])
+    assert ledger.enqueue_new(parts, "t", "db", "m", 8) == 2
+    ledger.mark_complete("t", "2024-01")
+    # re-run: completed partitions must NOT be re-enqueued
+    assert ledger.enqueue_new(parts, "t", "db", "m", 8) == 0
+    assert ledger.read().filter(F.col("is_complete") == "t").count() == 1
+
+
+def test_skip_latest_leaves_newest_unenqueued(spark, ledger):
+    src = spark.createDataFrame(
+        [(m,) for m in ["2024-01", "2024-02", "2024-03", "2024-04"] for _ in range(3)],
+        "m string",
+    )
+    seen = ledger.read().select(F.col("primary_partition_value").alias("part"))
+    pending = pending_partition_pipeline(src, F.col("m"), seen, skip_latest_n=2)
+    got = sorted(r["part"] for r in pending.collect())
+    assert got == ["2024-01", "2024-02"]  # two newest skipped
+
+
+def test_whole_table_mode_single_null_row(spark, ledger):
+    assert ledger.enqueue_whole_table("dim", "db", 8) == 1
+    assert ledger.enqueue_whole_table("dim", "db", 8) == 0  # idempotent
+    rows = ledger.read().filter(F.col("table_name") == "dim").collect()
+    assert len(rows) == 1
+    assert rows[0]["primary_partition_value"] is None
+    assert ledger.next_pending("dim") is None  # NULL sorts first, returned as None
+    assert ledger.pending_exists("dim")
+    ledger.mark_complete("dim", None)
+    assert not ledger.pending_exists("dim")
+
+
+def test_per_table_isolation(spark, ledger):
+    ledger.enqueue_new(_parts(spark, ["2024-01"]), "t1", "db", "m", 8)
+    ledger.enqueue_new(_parts(spark, ["2024-01"]), "t2", "db", "m", 8)
+    ledger.mark_complete("t1", "2024-01")
+    assert not ledger.pending_exists("t1")
+    assert ledger.pending_exists("t2")
+    ledger.delete_table("t2")
+    assert ledger.read().filter(F.col("table_name") == "t2").count() == 0

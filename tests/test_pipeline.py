@@ -1,0 +1,118 @@
+"""End-to-end incremental pipeline tests: the E1 state machine recast
+(SURVEY.md §3), format round-trips (FIXTURES.md §B), lock exclusion."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.jobspec import JobSpec
+from vertica_hadoop_integration__spark.ledger import Ledger
+from vertica_hadoop_integration__spark.pipeline import JobLock, run_incremental
+from vertica_hadoop_integration__spark.sources import load_table
+from vertica_hadoop_integration__spark.sources.readers import read_csv_staging
+from vertica_hadoop_integration__spark.sources.writers import write_atomic, write_columnar
+
+
+def _orders_with_month(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string")
+    )
+
+
+def test_incremental_backup_end_to_end(spark, sf_dir, tmp_path):
+    src = _orders_with_month(spark, sf_dir)
+    spec = JobSpec(
+        table_name="orders",
+        source_path=sf_dir,
+        target_path=str(tmp_path / "out"),
+        primary_id="order_month",
+        num_partitions=4,
+        skip_latest=0,
+        output_format="parquet",
+    )
+    ledger_path = str(tmp_path / "ledger")
+    done = run_incremental(spark, spec, src, ledger_path)
+    n_months = src.select("order_month").distinct().count()
+    assert len(done) == n_months
+    # every partition dir holds exactly its slice
+    total = 0
+    for d in done:
+        month = os.path.basename(d).split("=", 1)[1]
+        got = spark.read.parquet(d)
+        assert got.filter(F.col("order_month") != month).count() == 0
+        total += got.count()
+    assert total == src.count()
+    # ledger fully complete
+    led = Ledger(spark, ledger_path)
+    assert not led.pending_exists("orders")
+
+    # idempotent re-run: no new work
+    done2 = run_incremental(spark, spec, src, ledger_path)
+    assert done2 == []
+
+
+def test_incremental_resume_after_partial(spark, sf_dir, tmp_path):
+    src = _orders_with_month(spark, sf_dir)
+    spec = JobSpec(
+        table_name="orders",
+        source_path=sf_dir,
+        target_path=str(tmp_path / "out"),
+        primary_id="order_month",
+        num_partitions=2,
+        output_format="parquet",
+    )
+    ledger_path = str(tmp_path / "ledger")
+    first = run_incremental(spark, spec, src, ledger_path, max_iterations=3)
+    assert len(first) == 3
+    rest = run_incremental(spark, spec, src, ledger_path)
+    n_months = src.select("order_month").distinct().count()
+    assert len(first) + len(rest) == n_months
+    # oldest-first ordering across the resume boundary
+    months = [os.path.basename(d).split("=", 1)[1] for d in first + rest]
+    assert months == sorted(months)
+
+
+def test_whole_table_mode(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "nation")
+    spec = JobSpec(
+        table_name="nation",
+        source_path=sf_dir,
+        target_path=str(tmp_path / "out"),
+        primary_id="",  # whole-table (advertiser_dim.yaml:4)
+        num_partitions=2,
+        output_format="parquet",
+    )
+    done = run_incremental(spark, spec, src, str(tmp_path / "ledger"))
+    assert len(done) == 1 and done[0].endswith("full")
+    assert spark.read.parquet(done[0]).count() == src.count()
+
+
+def test_csv_staging_roundtrip(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").limit(200)
+    path = str(tmp_path / "staging")
+    write_columnar(li, path, output_format="csv")
+    back = read_csv_staging(spark, path, li.schema)
+    assert back.count() == 200
+    assert [f.name for f in back.schema.fields] == [f.name for f in li.schema.fields]
+    # value equality via order-insensitive anti-join both ways
+    assert li.exceptAll(back).count() == 0
+    assert back.exceptAll(li).count() == 0
+
+
+def test_orc_roundtrip_with_reference_options(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_atomic(o, path, output_format="orc")
+    back = spark.read.orc(path)
+    assert back.schema == o.schema
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+
+
+def test_job_lock_mutual_exclusion(tmp_path):
+    l1 = JobLock(str(tmp_path), "job")
+    l2 = JobLock(str(tmp_path), "job")
+    assert l1.acquire()
+    assert not l2.acquire()  # held elsewhere -> exit 0 path (sqoop_etl.py:92-94)
+    l1.release()
+    assert l2.acquire()
+    l2.release()

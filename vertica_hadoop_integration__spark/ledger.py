@@ -1,0 +1,193 @@
+"""Incremental-state ledger: the engine's ``sqoop_etl_status`` table
+(reference schema inferred at FIXTURES.md §B from sqoop_table.py:143,145,62).
+
+Storage: a tiny versioned-parquet table with an atomically-swapped pointer
+file — a minimal Delta-style commit protocol giving UPDATE/INSERT semantics
+(S11/S14/S15) on immutable files:
+
+    <path>/v=000001/part-*.parquet      immutable snapshots
+    <path>/_LATEST                      text file naming the live version
+                                        (os.replace -> atomic on POSIX)
+
+Readers read the version named by _LATEST; writers write a NEW version dir
+then swap the pointer. Crash between "write dir" and "swap" leaves garbage
+files but never a torn table. The ledger holds one row per table-partition
+— thousands of rows at 100 TB fact scale — so full-snapshot rewrites are
+O(KB) and the pattern is sound; the *fact* data never goes through this
+path.
+
+Partition values are stored as strings; callers must use an
+order-preserving encoding (ISO dates, zero-padded ints) because
+oldest-first selection (S1, sqoop_table.py:41) sorts lexically.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType(), False),
+        StructField("hive_db", StringType(), True),
+        StructField("start_date", TimestampType(), True),
+        StructField("end_date", TimestampType(), True),
+        StructField("primary_partition_column", StringType(), True),
+        StructField("primary_partition_value", StringType(), True),
+        StructField("is_complete", StringType(), False),  # 'f'/'t' as in reference
+        StructField("num_mappers", IntegerType(), True),
+    ]
+)
+
+_POINTER = "_LATEST"
+
+
+class Ledger:
+    """Parquet-backed incremental-state ledger with atomic snapshot swap."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        if not os.path.exists(self._pointer_path()):
+            self._write_snapshot(self.spark.createDataFrame([], LEDGER_SCHEMA))
+
+    # -- commit protocol ---------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, _POINTER)
+
+    def _current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def _write_snapshot(self, df: DataFrame) -> None:
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.path, version)
+        # coalesce(1): the ledger is tiny by design; one file per snapshot
+        df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_path())  # atomic pointer swap
+
+    def read(self) -> DataFrame:
+        version = self._current_version()
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(
+            os.path.join(self.path, version)
+        )
+
+    # -- S9+S11: enqueue unseen partitions (sqoop_table.py:131-148) --------
+    def enqueue_new(
+        self,
+        parts: DataFrame,
+        table_name: str,
+        hive_db: str,
+        partition_column: str | None,
+        num_mappers: int,
+    ) -> int:
+        """Insert a pending row for every partition value absent from the
+        ledger (anti-join semantics -> idempotent re-runs). ``parts`` must
+        have a single string column ``part``. Returns rows inserted."""
+        current = self.read()
+        seen = current.filter(F.col("table_name") == table_name).select(
+            F.col("primary_partition_value").alias("part")
+        )
+        new = parts.select(F.col("part").cast("string").alias("part")).join(
+            F.broadcast(seen), on=["part"], how="left_anti"
+        )
+        new_rows = new.select(
+            F.lit(table_name).alias("table_name"),
+            F.lit(hive_db).alias("hive_db"),
+            F.current_timestamp().alias("start_date"),
+            F.lit(None).cast("timestamp").alias("end_date"),
+            F.lit(partition_column).cast("string").alias("primary_partition_column"),
+            F.col("part").alias("primary_partition_value"),
+            F.lit("f").alias("is_complete"),
+            F.lit(num_mappers).cast("int").alias("num_mappers"),
+        )
+        n = new_rows.count()
+        if n:
+            self._write_snapshot(current.unionByName(new_rows))
+        return n
+
+    def enqueue_whole_table(
+        self, table_name: str, hive_db: str, num_mappers: int
+    ) -> int:
+        """Whole-table mode (PRIMARY_ID='': one NULL-keyed row,
+        sqoop_table.py:141-143)."""
+        current = self.read()
+        exists = not (
+            current.filter(
+                (F.col("table_name") == table_name)
+                & F.col("primary_partition_value").isNull()
+            )
+            .limit(1)
+            .isEmpty()
+        )
+        if exists:
+            return 0
+        row = self.spark.range(1).select(
+            F.lit(table_name).alias("table_name"),
+            F.lit(hive_db).alias("hive_db"),
+            F.current_timestamp().alias("start_date"),
+            F.lit(None).cast("timestamp").alias("end_date"),
+            F.lit(None).cast("string").alias("primary_partition_column"),
+            F.lit(None).cast("string").alias("primary_partition_value"),
+            F.lit("f").alias("is_complete"),
+            F.lit(num_mappers).cast("int").alias("num_mappers"),
+        )
+        self._write_snapshot(current.unionByName(row))
+        return 1
+
+    # -- S1/S2: oldest pending (sqoop_table.py:39-52) ----------------------
+    def next_pending(self, table_name: str) -> str | None:
+        rows = (
+            self.read()
+            .filter((F.col("is_complete") == "f") & (F.col("table_name") == table_name))
+            .orderBy(F.col("primary_partition_value").asc_nulls_first())
+            .select("primary_partition_value")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        return rows[0][0]
+
+    # -- S3: existence probe (sqoop_table.py:106-112) ----------------------
+    def pending_exists(self, table_name: str) -> bool:
+        return not (
+            self.read()
+            .filter((F.col("is_complete") == "f") & (F.col("table_name") == table_name))
+            .limit(1)
+            .isEmpty()
+        )
+
+    # -- S14: mark complete (sqoop_table.py:59-66) -------------------------
+    def mark_complete(self, table_name: str, partition_value: str | None) -> None:
+        current = self.read()
+        match = (F.col("table_name") == table_name) & (
+            F.col("primary_partition_value").eqNullSafe(F.lit(partition_value))
+        )
+        updated = current.withColumn(
+            "is_complete", F.when(match, F.lit("t")).otherwise(F.col("is_complete"))
+        ).withColumn(
+            "end_date", F.when(match, F.current_timestamp()).otherwise(F.col("end_date"))
+        )
+        self._write_snapshot(updated)
+
+    # -- S15: delete rows (sqoop_table.py:68-73) ---------------------------
+    def delete_table(self, table_name: str) -> None:
+        self._write_snapshot(self.read().filter(F.col("table_name") != table_name))

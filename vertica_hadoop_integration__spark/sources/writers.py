@@ -1,0 +1,67 @@
+"""Columnar sinks mirroring the reference's storage tuning.
+
+The reference writes ORC with SNAPPY, 256 MiB stripes, 500k-row index
+stride, row index on (sqoop_pyhive.py:53; values from the job yamls). Here
+that's writer options on a single ``df.write`` — the text-staging +
+Hive-MR conversion hop (sqoop_pyhive.py:28-40,67-98) collapses into the
+same job.
+
+Commit protocol for exactly-once per-partition loads: write to a temp dir,
+fsync-rename into place, only then flip the ledger flag — same ordering as
+the reference's extract -> convert -> cleanup -> mark-complete sequence
+(sqoop_etl.py:43-46).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    output_format: str = "orc",
+    compression: str = "snappy",
+    orc_stripe_size: int = 268435456,
+    orc_index_stride: int = 500000,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if output_format == "orc":
+        writer = (
+            writer.option("compression", compression)
+            .option("orc.stripe.size", str(orc_stripe_size))
+            .option("orc.row.index.stride", str(orc_index_stride))
+            .option("orc.create.index", "true")
+        )
+        writer.orc(path)
+    elif output_format == "parquet":
+        writer.option("compression", compression).parquet(path)
+    elif output_format == "csv":
+        # the reference's text-staging shape: headerless, comma, \n
+        writer.option("header", "false").csv(path)
+    else:
+        raise ValueError(f"unsupported output format: {output_format}")
+
+
+def write_atomic(
+    df: DataFrame,
+    final_path: str,
+    **kwargs,
+) -> None:
+    """Write to ``<final>.inprogress-<id>`` then rename into place.
+
+    Local/HDFS rename is atomic at the directory level; on object stores
+    swap this for a manifest commit. Guarantees a reader never sees a
+    half-written partition directory, and a crashed job leaves only an
+    ``.inprogress`` dir that a re-run ignores (idempotence via the ledger's
+    is_complete flag)."""
+    tmp = f"{final_path}.inprogress-{uuid.uuid4().hex[:8]}"
+    write_columnar(df, tmp, **kwargs)
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.replace(tmp, final_path)
