@@ -1,0 +1,116 @@
+"""Verification of the approximate LLM-pipeline operators against exact
+baselines: planted near-duplicates must be found; ANN variants must reach
+reasonable recall vs brute force on the fixture embeddings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.operators import dedup as D
+from vertica_hadoop_integration__spark.operators import similarity as S
+from vertica_hadoop_integration__spark.operators.text import language_id
+from vertica_hadoop_integration__spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+        "while the hunter waits patiently near the river bank watching every movement"
+    )
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),  # exact dup of 1
+        (3, base.replace("quick", "slow").replace("lazy", "sleepy"), "en"),  # near dup
+        (4, "completely different content about spark query engines and columnar storage formats for analytics workloads at massive scale", "en"),
+        (5, "yet another unrelated document discussing minhash signatures locality sensitive hashing and jaccard similarity estimation techniques", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_collapses_identical(spark, docs_with_planted_dups):
+    out = D.exact_dedup(docs_with_planted_dups).collect()
+    groups = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1+2 collapsed
+    assert len(out) == 4  # 5 docs -> 4 distinct texts
+
+
+def test_minhash_finds_planted_near_dup(spark, docs_with_planted_dups):
+    pairs = D.minhash_dedup(
+        docs_with_planted_dups, num_hashes=16, bands=8, min_jaccard=0.5
+    ).collect()
+    found = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always collides
+    assert (1, 3) in found or (2, 3) in found  # near dup found
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in found)  # no false pairs
+
+
+def test_simhash_finds_planted_near_dup(spark, docs_with_planted_dups):
+    pairs = D.simhash_near_pairs(docs_with_planted_dups, max_hamming=16, bands=4).collect()
+    found = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    assert (1, 2) in found
+    hamming = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs}
+    assert hamming[(1, 2)] == 0  # identical text -> identical signature
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """On the fixture corpus: every >=0.8-Jaccard (3-gram shingle) pair
+    should be caught by 16-hash/8-band LSH (banding theory: collision
+    prob at s=0.8 with r=2 rows/band is 1-(1-0.64)^8 ~ 0.9997)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(d, block_cols=("lang",), min_jaccard=0.999)
+    # re-express exact jaccard on shingles (the minhash op shingles at n=3)
+    from vertica_hadoop_integration__spark.functions.text_fns import shingles
+
+    t = d.select("doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh"))
+    a = t.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = t.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("j", inter.cast("double") / union.cast("double"))
+        .filter(F.col("j") >= 0.8)
+    )
+    truth_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in truth.collect()}
+    got = D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.8)
+    got_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in got.collect()}
+    # verification step guarantees precision; assert recall
+    assert got_pairs <= truth_pairs or not truth_pairs
+    if truth_pairs:
+        recall = len(got_pairs & truth_pairs) / len(truth_pairs)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5)
+    approx = S.ivf_topk(e, q, k=5, every_nth=20, nprobe=5)
+    ep = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ep & ap) / len(ep)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_lsh_topk_shapes_and_selfconsistency(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = S.lsh_bucket_topk(e, q, k=5, num_planes=4)
+    rows = out.collect()
+    assert rows, "LSH top-k returned nothing"
+    # ranks dense from 1 within each query, no self matches
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_language_id_deterministic_argmax(spark, docs_with_planted_dups):
+    out = language_id(docs_with_planted_dups).collect()
+    assert all(r["predicted_lang"] in ("de", "en", "es", "fr", "zh") for r in out)
+    # doc 1 is english-heavy ('the' x4, 'and', 'over'...)
+    row = {r["doc_id"]: r for r in out}[1]
+    assert row["predicted_lang"] == "en"

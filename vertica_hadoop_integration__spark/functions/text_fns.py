@@ -1,0 +1,58 @@
+"""Text-analysis column functions: tokenization, shingling, hashing,
+language scoring, quality ratios. All Catalyst built-ins (split/transform/
+xxhash64/regexp) — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lower(trim(text))."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ("w1 w2 w3"). Built via transform
+    over token positions — no explode needed until the caller wants rows."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Count of punctuation chars (explicit class — identical semantics in
+    DuckDB for oracle parity)."""
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:'\"()\[\]{}-]", ""))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """How many tokens are in the stopword list (array_intersect on
+    distinct tokens would lose multiplicity; use filter)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def hash64(col: Column, seed: int = 0) -> Column:
+    """Stable 64-bit hash (xxhash64 + seed column). Engine-internal — used
+    for MinHash/SimHash signatures, not for oracle-compared values."""
+    return F.xxhash64(col, F.lit(seed))
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized token
+    stream (cross-engine stable — md5 hex matches DuckDB)."""
+    return F.md5(F.concat_ws(" ", tokens(text)))

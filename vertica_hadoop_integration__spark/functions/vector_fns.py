@@ -1,0 +1,55 @@
+"""Vector math over ``array<float>`` embedding columns — pure Catalyst
+higher-order functions (zip_with/aggregate/transform), fully JVM-side and
+codegen-friendly: no UDF, no Arrow hop, no python in the hot path.
+
+Determinism note: the fold is sequential left-to-right in DOUBLE, which is
+bitwise-identical to DuckDB's list_cosine_similarity over DOUBLE[] — so
+similarity scores are oracle-checkable with exact equality (verified
+empirically at build time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize an embedding (array<double> out). Pre-normalizing the
+    corpus once turns cosine top-k into dot-product top-k — at 100 TB the
+    norm is computed in the same scan that writes the corpus, not per
+    query."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)

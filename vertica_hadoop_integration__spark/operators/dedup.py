@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup. All UDF-free (xxhash64 / higher-order functions
+stay JVM-side); the quadratic pair space is always cut by a blocking key
+(LSH band bucket, simhash band, length+lang block) BEFORE any join — the
+all-pairs cross join never materializes at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import distinct_tokens, shingles, tokens
+from ..functions.vector_fns import cosine
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text,
+    keeping the smallest id as canonical. The shuffle carries (hash, id)
+    only — text is pruned before the exchange."""
+    h = F.md5(F.lower(F.trim(F.col(text_col)))).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# -- MinHash + LSH banding --------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes`` seeded
+    hash functions, the min over the document's shingle hashes.
+
+    Implementation is explode-free per hash function: a single explode of
+    shingles, then one groupBy computing all num_hashes minima at once —
+    one shuffle total, map-side partial min keeps the exchange at
+    num_hashes longs per doc per task."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: split the signature into
+    ``bands`` bands of num_hashes/bands rows each; docs sharing any band
+    hash are candidates. Returns (doc_id_a, doc_id_b, n_shared_bands) with
+    a < b.
+
+    Scale shape: shuffle on (band_idx, band_hash) — identical docs
+    co-locate; the join output is proportional to true collisions, not to
+    n^2. Skewed mega-buckets (boilerplate text) are handled by AQE skew
+    splitting; a cap-per-bucket guard can be added by salting the band
+    key."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = stacked.select(
+        F.col(id_col).alias("doc_id_a"), "band_idx", "band_hash"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("doc_id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates -> exact Jaccard verification ->
+    keep rows whose pair passes the threshold. Returns verified duplicate
+    pairs (doc_id_a, doc_id_b, jaccard)."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    toks = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    joined = (
+        cands.join(toks.withColumnRenamed(id_col, "doc_id_a").withColumnRenamed("sh", "sh_a"), on="doc_id_a")
+        .join(toks.withColumnRenamed(id_col, "doc_id_b").withColumnRenamed("sh", "sh_b"), on="doc_id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        joined.select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens: for each bit position, sum +-1 weighted
+    by each token's hash bit; sign of the sum is the output bit.
+
+    Built-in-only trick: explode tokens, and for each of 64 bits aggregate
+    sum(2*bit-1); one groupBy, 64 partial sums — a single shuffle of 64
+    longs per doc."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    # assemble bits with shift/OR (arithmetic *2 would overflow long under
+    # ANSI mode at bit 63; bitwise ops are wrap-defined)
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        sig = sig.bitwiseOR(F.shiftleft((F.col(f"b{bit}") > 0).cast("long"), bit))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
+    16-bit chunks (pigeonhole: hamming<=max implies >=1 identical band for
+    max < bands' chunk count); join on (band_idx, chunk), verify exact
+    hamming distance. Returns (doc_id_a, doc_id_b, hamming)."""
+    sig = simhash64(df, text_col, id_col)
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    stacked = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright(F.col("simhash"), b * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.chunk")
+    a = stacked.select(
+        F.col(id_col).alias("doc_id_a"), F.col("simhash").alias("sig_a"), "band_idx", "chunk"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("doc_id_b"), F.col("simhash").alias("sig_b"), "band_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, on=["band_idx", "chunk"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- n-gram Jaccard with length/lang blocking -------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs: only pairs agreeing on
+    ``block_cols`` are compared (equi-join on the block key — the cross
+    join is per-block, bounded by the largest block; add a length bucket
+    to block_cols to cap it further)."""
+    t = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], distinct_tokens(F.col(text_col)).alias("toks")
+    )
+    a = t.select(
+        F.col(id_col).alias("doc_id_a"), *[F.col(c) for c in block_cols], F.col("toks").alias("toks_a")
+    )
+    b = t.select(
+        F.col(id_col).alias("doc_id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols], F.col("toks").alias("toks_b")
+    )
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols]
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    return (
+        a.join(b, on=cond)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# -- embedding-cosine near-dup ---------------------------------------------
+
+
+def embedding_near_dup_exact(
+    emb: DataFrame,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine threshold — the correctness oracle for the
+    LSH variant below. Quadratic: use only on bounded inputs (test scale /
+    per-LSH-block re-verification); the 100 TB path is
+    embedding_near_dup_pairs."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vectors: LSH-bucket candidates (sign-random-
+    projection), exact cosine verify >= threshold. Same-bucket equi-join —
+    no quadratic blowup."""
+    from .similarity import lsh_bucket_signature
+
+    withb = lsh_bucket_signature(
+        emb.select(id_col, vec_col), vec_col, num_planes, seed, dim
+    )
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket"
+    )
+    return (
+        a.join(b, on="lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+        .distinct()
+    )

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns.
+
+Three tiers, all UDF-free (Catalyst higher-order functions only):
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, windowed top-k. At 100 TB this is one scan of
+  the corpus per query batch; correct baseline and the oracle for the
+  approximate variants.
+* ``ivf_topk`` — IVF-style: corpus pre-clustered to K centroids (nearest-
+  centroid assignment); queries probe only the ``nprobe`` nearest
+  centroids, shrinking the scanned fraction to ~nprobe/K. The centroid
+  assignment is a one-off batch job whose output is bucketed/partitioned
+  by centroid id — the probe join then prunes partitions.
+* ``lsh_bucket_topk`` — sign-random-projection LSH: vectors bucketed by
+  the sign pattern of P fixed hyperplanes (deterministic, seeded);
+  candidates = same-bucket pairs, re-ranked exactly. Recall tunable via
+  bands of planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector_fns import cosine, dot
+
+# -- exact brute force ------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    Output: (query_id, neighbor_id, cos_sim, rank). Ties broken by
+    neighbor id for determinism. The query side is broadcast — the corpus
+    (the 100 TB side) streams through one scan with no shuffle until the
+    per-query top-k aggregation, which carries only k rows per query per
+    partition after the window's partial rank pruning."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -- IVF (inverted file) ----------------------------------------------------
+
+
+def pick_centroids(corpus: DataFrame, every_nth: int = 50, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid set: every Nth vector by id. A k-means pass
+    would drop in here unchanged; the IVF mechanics below only need *some*
+    centroid table (centroid_id, centroid_vec)."""
+    return corpus.filter(F.col(id_col) % every_nth == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (by cosine). Broadcast the centroid
+    table (tiny); one corpus scan. Output adds ``centroid_id`` — at scale,
+    persist this bucketed/partitioned BY centroid_id so probes prune."""
+    c = corpus.select(id_col, vec_col)
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    every_nth: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest centroids' buckets.
+
+    Scanned fraction ~= nprobe / num_centroids; with a bucketed corpus the
+    probe join is partition-pruned rather than a full scan."""
+    cents = pick_centroids(corpus, every_nth, id_col, vec_col)
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        cosine(F.col("q_vec"), F.col("centroid_vec")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    cand = probes.join(assigned, on="centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# -- sign-random-projection LSH --------------------------------------------
+
+
+def _planes_df(df: DataFrame, dim: int, num_planes: int, seed: int):
+    """Deterministic pseudo-random hyperplanes: plane[p][d] derived from
+    xxhash64(p, d, seed) mapped to [-1, 1). Pure column expressions — the
+    planes are constant-folded into the projection, nothing is shuffled."""
+    planes = []
+    for p in range(num_planes):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d, p=p: (
+                F.pmod(F.xxhash64(F.lit(p), d, F.lit(seed)), F.lit(2_000_000)).cast("double")
+                / 1_000_000.0
+                - 1.0
+            ),
+        )
+        planes.append(plane)
+    return planes
+
+
+def lsh_bucket_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Add ``lsh_bucket``: the sign pattern of num_planes projections,
+    packed into a long. Same-bucket vectors are near-duplicate candidates;
+    grouping/joining on the bucket replaces the quadratic cross join."""
+    sig = F.lit(0).cast("long")
+    for plane in _planes_df(df, dim, num_planes, seed):
+        bit = (dot(F.col(vec_col), plane) >= 0).cast("long")
+        sig = sig * 2 + bit
+    return df.withColumn("lsh_bucket", sig)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k among same-LSH-bucket candidates, exact re-rank.
+
+    The candidate join is an equi-join on lsh_bucket — shuffle-partitioned
+    by bucket, no cross join. Recall rises with fewer planes (bigger
+    buckets) or multiple OR-ed bands (run with several seeds, union)."""
+    cb = lsh_bucket_signature(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", num_planes, seed, dim,
+    )
+    qb = lsh_bucket_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", num_planes, seed, dim,
+    )
+    cand = qb.join(cb, on="lsh_bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

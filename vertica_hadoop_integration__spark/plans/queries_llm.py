@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
 from ..sources import load_table
 from .registry import register
 
@@ -84,8 +87,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS len_chars,
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
-           CAST(CAST(length(text) AS DECIMAL(18,6)) /
-                len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len,
+           CAST(length(text) AS DOUBLE) /
+                CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len,
            CASE WHEN length(text) >= 100
                  AND len(string_split_regex(trim(text), '\s+')) >= 20
                 THEN 1 ELSE 0 END AS quality_ok
@@ -100,8 +103,185 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         len_chars.alias("len_chars"),
         n_tokens.alias("n_tokens"),
-        (len_chars.cast("decimal(18,6)") / n_tokens).cast("double").alias("avg_token_len"),
+        (len_chars.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
         F.when((F.length("text") >= 100) & (n_tokens >= 20), 1)
         .otherwise(0)
         .alias("quality_ok"),
     )
+
+
+# -- n-gram Jaccard near-dup (blocked, exact, oracle-checked) --------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, block_cols=("lang",), min_jaccard=0.9)
+
+
+# -- MinHash-LSH near-dup (scale path; rows-only + pytest-verified) --------
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact Jaccard verify >= 0.7 on 3-gram shingles.
+    Non-SQL-expressible (banded xxhash64 signatures); recall vs the exact
+    oracle is asserted in tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.7)
+
+
+# -- SimHash near-dup (rows-only + pytest-verified) ------------------------
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, max_hamming=6, bands=4)
+
+
+# -- embedding near-dup: exact threshold (oracle-checked) ------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_exact(e, min_cosine=0.4)
+
+
+# -- ANN: brute-force cosine top-k (exact baseline, oracle-checked) --------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, cv) AS cos_sim
+            FROM q, c WHERE neighbor_id <> query_id),
+         ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(e, q, k=5)
+
+
+# -- ANN: IVF approximate top-k (scale path; rows-only + pytest recall) ----
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(e, q, k=5, every_nth=50, nprobe=3)
+
+
+# -- ANN: LSH-bucketed top-k (scale path; rows-only + pytest recall) -------
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.lsh_bucket_topk(e, q, k=5, num_planes=6)
+
+
+# -- language ID (heuristic, oracle-checked) -------------------------------
+_LANG_SCORE_SQL = """
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> list_contains({markers}, x)))"""
+
+
+def _lang_sql() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    score_cols = ",\n".join(
+        _LANG_SCORE_SQL.format(
+            markers="[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        )
+        + f" AS score_{lang}"
+        for lang in LANG_MARKERS
+    )
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {score_cols} FROM documents)
+    SELECT doc_id, {', '.join('CAST(score_' + lang + ' AS INT) AS score_' + lang for lang in ('en','de','fr','es','zh'))},
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@register("text_language_id", oracle=_lang_sql())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.language_id(d)
+
+
+# -- full quality features (oracle-checked) --------------------------------
+@register(
+    "text_quality_features",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS len_chars,
+           CAST(n_tok AS INT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
+           CASE WHEN n_chars >= 100 AND n_tok >= 20 AND n_punct * 5 <= n_chars
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM t
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.quality_features(d)
+
+
+# -- document fingerprint over token stream (oracle-checked) ---------------
+@register(
+    "text_fingerprint_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           md5(array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(d)
