@@ -1,0 +1,125 @@
+"""Structured Streaming tests: every window operator is run BOTH as a
+batch plan and as a real stream (file source, availableNow trigger,
+memory sink) and the two results must agree — the mode-agnostic
+transformation contract of streaming/windows.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.sources import load_table
+from vertica_hadoop_integration__spark.streaming import windows as W
+from vertica_hadoop_integration__spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Re-materialize events as a normal-timestamp parquet dir usable as a
+    file-stream source (the raw fixture's TIMESTAMP(NANOS) requires the
+    nanosAsLong conf which readStream shares via the session)."""
+    d = tmp_path_factory.mktemp("events_src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def _run_stream(spark, stream_df, tmp_path, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _stream_source(spark, events_stream_dir, events_batch):
+    return spark.readStream.schema(events_batch.schema).parquet(events_stream_dir)
+
+
+def _closed_before_final_watermark(batch_result, events_batch, end_col, delay_min=10):
+    """Append-mode streams only emit windows closed by the final watermark
+    (max event time - delay); trim the batch expectation to match."""
+    cutoff = events_batch.agg(
+        F.max("ts") - F.expr(f"INTERVAL {delay_min} MINUTES")
+    ).first()[0]
+    return batch_result.filter(F.col(end_col) <= F.lit(cutoff))
+
+
+def test_tumbling_stream_matches_batch(spark, events_batch, events_stream_dir, tmp_path):
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    got = _run_stream(
+        spark, W.tumbling_counts(src), tmp_path, "tumbling_t", "append"
+    )
+    want = _closed_before_final_watermark(
+        W.tumbling_counts(events_batch), events_batch, "window_end"
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0
+
+
+def test_sliding_stream_matches_batch(spark, events_batch, events_stream_dir, tmp_path):
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    got = _run_stream(spark, W.sliding_rates(src), tmp_path, "sliding_t", "append")
+    want = _closed_before_final_watermark(
+        W.sliding_rates(events_batch), events_batch, "window_end"
+    )
+    cols = ["window_start", "event_type", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # each non-trailing event appears in window/slide = 3 overlapping windows
+    assert got.agg(F.sum("n_events")).first()[0] == want.agg(F.sum("n_events")).first()[0]
+
+
+def test_session_stream_matches_batch(spark, events_batch, events_stream_dir, tmp_path):
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    got = _run_stream(spark, W.session_aggregate(src), tmp_path, "session_t", "append")
+    want = _closed_before_final_watermark(
+        W.session_aggregate(events_batch), events_batch, "session_end"
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "total_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # sessions partition the emitted events: totals must add up
+    assert got.agg(F.sum("n_events")).first()[0] == want.agg(F.sum("n_events")).first()[0]
+
+
+def test_dedup_within_watermark(spark, events_batch, events_stream_dir, tmp_path):
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    got = _run_stream(
+        spark, W.dedup_within_watermark(src), tmp_path, "dedup_t", "append"
+    )
+    # fixture has unique event_ids: dedup is identity there
+    assert got.count() == events_batch.count()
+
+
+def test_stateful_running_totals(spark, events_batch, events_stream_dir, tmp_path):
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    got = _run_stream(
+        spark, running_user_totals(src), tmp_path, "stateful_t", "update"
+    )
+    # final per-user state (last update per user) must equal the batch agg
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        got.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    want = running_user_totals(events_batch)
+    got_map = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    want_map = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert got_map == want_map
+
+
+def test_json_enriched(spark, events_batch):
+    out = W.json_enriched(events_batch)
+    assert out.filter(F.col("props_k").isNull()).count() == 0
