@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (imported for registration side effects)
     queries_relational,
     queries_llm,
     queries_events,
+    queries_multimodal,
 )
 from .registry import ORACLES, QUERIES
 
