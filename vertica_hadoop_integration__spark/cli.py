@@ -1,0 +1,55 @@
+"""Engine CLI — replaces run_sqoop_job.sh (cron driver that ran one yaml
+job per table, run_sqoop_job.sh:15-25).
+
+    python -m vertica_hadoop_integration__spark.cli run job.yaml [job2.yaml ...]
+        [--ledger DIR] [--source-table NAME] [--sf-dir DIR]
+
+Each yaml is a JobSpec (jobspec.py). Jobs run sequentially like the
+reference's shell loop; locking makes concurrent invocations safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spark-etl-engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run incremental backup job(s) from yaml spec(s)")
+    run.add_argument("specs", nargs="+", help="job yaml files")
+    run.add_argument("--ledger", default="/tmp/spark_etl_ledger")
+    run.add_argument("--sf-dir", default=None, help="override source dir for fixture tables")
+    args = p.parse_args(argv)
+
+    from .jobspec import JobSpec
+    from .pipeline import run_incremental
+    from .session import get_session
+    from .sources import TABLES, load_table
+
+    spark = get_session("spark-etl-engine-cli")
+    rc = 0
+    for spec_path in args.specs:
+        spec = JobSpec.from_yaml(spec_path)
+        src_dir = args.sf_dir or spec.source_path
+        if spec.table_name in TABLES:
+            source = load_table(spark, src_dir, spec.table_name)
+        else:
+            source = spark.read.parquet(spec.source_path)
+        if spec.primary_id and spec.primary_id not in source.columns:
+            # derived monthly partition column, the common incremental case
+            base = spec.extra.get("partition_source_column", "o_orderdate")
+            source = source.withColumn(
+                spec.primary_id,
+                F.date_trunc("month", F.col(base)).cast("date").cast("string"),
+            )
+        done = run_incremental(spark, spec, source, args.ledger)
+        print(f"{spec.table_name}: {len(done)} partition(s) written")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
