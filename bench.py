@@ -27,8 +27,14 @@ HEADLINE = [
     "topk_per_group",
     "window_running_total",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
     "text_quality_score",
+    "text_language_id",
     "events_tumbling_hourly",
+    "events_sessionize",
+    "multimodal_features",
 ]
 
 

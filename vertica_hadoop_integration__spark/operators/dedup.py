@@ -212,32 +212,114 @@ def simhash_near_pairs(
 # -- n-gram Jaccard with length/lang blocking -------------------------------
 
 
+def _bitset_jaccard_pairs(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...],
+    min_jaccard: float,
+) -> DataFrame:
+    """Exact-jaccard fast path for bounded vocabularies (<=64 distinct
+    tokens): each token set becomes one 64-bit mask, intersection/union
+    are popcounts — the pair join then carries a single long per side
+    instead of a token array, and the per-pair work is two AND/OR +
+    bit_count instead of an O(|A|+|B|) array intersection."""
+    bit_map = F.create_map(
+        *[c for i, v in enumerate(vocab) for c in (F.lit(v), F.lit(1 << i).cast("long"))]
+    )
+    mask = F.aggregate(
+        distinct_tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc.bitwiseOR(F.element_at(bit_map, t)),
+    )
+    t = df.select(F.col(id_col), *[F.col(c) for c in block_cols], mask.alias("mask"))
+    a = t.select(
+        F.col(id_col).alias("doc_id_a"),
+        *[F.col(c) for c in block_cols],
+        F.col("mask").alias("mask_a"),
+    )
+    b = t.select(
+        F.col(id_col).alias("doc_id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("mask").alias("mask_b"),
+    )
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols]
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    return (
+        a.join(b, on=cond)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     min_jaccard: float = 0.5,
+    bitset_max_vocab: int = 64,
 ) -> DataFrame:
     """Exact token-set Jaccard over blocked pairs: only pairs agreeing on
     ``block_cols`` are compared (equi-join on the block key — the cross
     join is per-block, bounded by the largest block; add a length bucket
-    to block_cols to cap it further)."""
-    t = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], distinct_tokens(F.col(text_col)).alias("toks")
+    to block_cols to cap it further).
+
+    Adaptive physical strategy: if the corpus vocabulary fits in 64
+    tokens (one cheap distinct-count probe), token sets are packed into a
+    64-bit mask and jaccard becomes two popcounts — identical results,
+    ~10x less pair-join work. Unbounded vocabularies take the
+    array-intersection path with a size-ratio prune."""
+    vocab_rows = (
+        df.select(F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .limit(bitset_max_vocab + 1)
+        .collect()
     )
+    if len(vocab_rows) <= bitset_max_vocab:
+        vocab = sorted(r["tok"] for r in vocab_rows)
+        return _bitset_jaccard_pairs(
+            df, vocab, text_col, id_col, block_cols, min_jaccard
+        )
+    t = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        distinct_tokens(F.col(text_col)).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
     a = t.select(
-        F.col(id_col).alias("doc_id_a"), *[F.col(c) for c in block_cols], F.col("toks").alias("toks_a")
+        F.col(id_col).alias("doc_id_a"),
+        *[F.col(c) for c in block_cols],
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
     )
     b = t.select(
-        F.col(id_col).alias("doc_id_b"), *[F.col(c).alias(f"{c}_b") for c in block_cols], F.col("toks").alias("toks_b")
+        F.col(id_col).alias("doc_id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
     )
     cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols]
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
+    # size-ratio prune BEFORE the per-pair intersection: J(A,B) <= min/max,
+    # so |A| >= t*|B| and |B| >= t*|A| are necessary for J >= t — this
+    # drops most candidate pairs without touching the token arrays and is
+    # exact (never removes a qualifying pair)
+    size_guard = (
+        (F.col("n_a").cast("double") >= F.lit(min_jaccard) * F.col("n_b"))
+        & (F.col("n_b").cast("double") >= F.lit(min_jaccard) * F.col("n_a"))
+    )
     return (
         a.join(b, on=cond)
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(size_guard)
         .select(
             "doc_id_a",
             "doc_id_b",

@@ -289,3 +289,24 @@ def s18_cast_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s20_peek_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.peek_one(_orders(spark, sf_dir), "o_orderkey")
+
+
+# -- S19: text->columnar format conversion (sqoop_pyhive.py:67-98) ---------
+@register("s19_csv_orc_roundtrip")
+def s19_csv_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Hive INSERT-SELECT text->ORC rewrite as one Spark
+    job: write CSV staging, read back with explicit schema, write ORC
+    with the reference's tuning, return the ORC scan. Rows-only check
+    (file side effects aren't SQL); value parity asserted in
+    tests/test_pipeline.py round-trips."""
+    import tempfile
+
+    from ..sources.readers import read_csv_staging
+    from ..sources.writers import write_columnar
+
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    tmp = tempfile.mkdtemp(prefix="s19_")
+    write_columnar(li, f"{tmp}/staging", output_format="csv")
+    staged = read_csv_staging(spark, f"{tmp}/staging", li.schema)
+    write_columnar(staged, f"{tmp}/orc", output_format="orc")
+    return spark.read.orc(f"{tmp}/orc")
