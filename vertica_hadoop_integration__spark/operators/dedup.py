@@ -41,18 +41,20 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min over the document's shingle hashes.
 
-    Implementation is explode-free per hash function: a single explode of
-    shingles, then one groupBy computing all num_hashes minima at once —
-    one shuffle total, map-side partial min keeps the exchange at
-    num_hashes longs per doc per task."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    Map-only: the signature is computed per-row with higher-order
+    functions (``transform`` + ``array_min`` over the shingle array) —
+    no explode, no groupBy, zero shuffle. At 100 TB this stage is
+    embarrassingly parallel and pipelines straight into the band
+    exchange, which is then the ONLY shuffle in the whole LSH plan."""
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_n))
+
+    def _seeded_min(seed: int):
+        # single-arg lambda: a 2-arg lambda would make transform() bind the
+        # array INDEX to the second parameter, clobbering the seed
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    cols = [_seeded_min(seed).alias(f"mh_{seed}") for seed in range(num_hashes)]
+    return df.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_pairs(
