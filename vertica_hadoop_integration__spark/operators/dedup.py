@@ -11,7 +11,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import distinct_tokens, shingles, tokens
-from ..functions.vector_fns import cosine
+from ..functions.vector_fns import cosine, dot, normalize
+
+
+def _in_bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    payload,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Unordered unique pairs within each bucket, WITHOUT a self-join.
+
+    A bucket self-join re-optimizes and re-executes the (often expensive)
+    bucket-key lineage on both sides; instead the payloads are
+    collect_list'd per bucket — sound because LSH/blocking buckets are
+    small by construction — and pairs are expanded with array
+    combinators. One shuffle; output columns ``a``/``b`` (payload pairs,
+    a < b by payload sort order). Buckets above ``max_bucket_size``
+    (near-universal boilerplate — the quadratic corner) are dropped."""
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(payload)).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket_size))
+    )
+    xs = F.col("xs")
+    pair_structs = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                # slice is 1-based: i+2 pairs x only with LATER elements,
+                # so the sorted array gives a < b for free
+                F.slice(xs, i + F.lit(2), F.size(xs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
+
 
 # -- exact ------------------------------------------------------------------
 
@@ -103,26 +139,9 @@ def minhash_lsh_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
-    buckets = (
-        stacked.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                # slice is 1-based: i+2 pairs x only with LATER elements,
-                # so sort_array gives doc_id_a < doc_id_b for free
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_id_a", "p.doc_id_b")
+        _in_bucket_pairs(stacked, ["band_idx", "band_hash"], F.col(id_col), max_bucket_size)
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -170,8 +189,12 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     Built-in-only trick: explode tokens, and for each of 64 bits aggregate
     sum(2*bit-1); one groupBy, 64 partial sums — a single shuffle of 64
     longs per doc."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
+    # hash staged once per token row — the 64 agg expressions below each
+    # reference the column, not their own xxhash64 computation
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
+    h = F.col("h")
     aggs = [
         F.sum(
             (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -193,11 +216,13 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int = 4,
+    max_bucket_size: int = 10000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
     16-bit chunks (pigeonhole: hamming<=max implies >=1 identical band for
-    max < bands' chunk count); join on (band_idx, chunk), verify exact
-    hamming distance. Returns (doc_id_a, doc_id_b, hamming)."""
+    max < bands' chunk count); group on (band_idx, chunk), expand pairs
+    in-bucket, verify exact hamming distance. Returns
+    (doc_id_a, doc_id_b, hamming)."""
     sig = simhash64(df, text_col, id_col)
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
@@ -216,17 +241,16 @@ def simhash_near_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.chunk")
-    a = stacked.select(
-        F.col(id_col).alias("doc_id_a"), F.col("simhash").alias("sig_a"), "band_idx", "chunk"
-    )
-    b = stacked.select(
-        F.col(id_col).alias("doc_id_b"), F.col("simhash").alias("sig_b"), "band_idx", "chunk"
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    payload = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+    pairs = _in_bucket_pairs(stacked, ["band_idx", "chunk"], payload, max_bucket_size)
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        a.join(b, on=["band_idx", "chunk"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        pairs.select(
+            F.col("a.id").alias("doc_id_a"),
+            F.col("b.id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        # a pair can collide in several bands -> distinct before threshold
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -383,25 +407,25 @@ def embedding_near_dup_pairs(
     num_planes: int = 6,
     seed: int = 7,
     dim: int = 64,
+    max_bucket_size: int = 100000,
 ) -> DataFrame:
     """Near-duplicate vectors: LSH-bucket candidates (sign-random-
-    projection), exact cosine verify >= threshold. Same-bucket equi-join —
-    no quadratic blowup."""
+    projection), exact cosine verify >= threshold. In-bucket pair
+    expansion — no self-join, no quadratic blowup. Vectors are
+    unit-normalized once in the bucketing scan, so the per-pair verify is
+    a single dot product instead of dot + two norms; each vector lands in
+    exactly one bucket, so pairs are unique without a distinct."""
     from .similarity import lsh_bucket_signature
 
-    withb = lsh_bucket_signature(
-        emb.select(id_col, vec_col), vec_col, num_planes, seed, dim
-    )
-    a = withb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket"
-    )
-    b = withb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket"
-    )
+    unit = emb.select(F.col(id_col), normalize(F.col(vec_col)).alias("_u"))
+    withb = lsh_bucket_signature(unit, "_u", num_planes, seed, dim)
+    payload = F.struct(F.col(id_col).alias("id"), F.col("_u").alias("v"))
+    pairs = _in_bucket_pairs(withb, ["lsh_bucket"], payload, max_bucket_size)
     return (
-        a.join(b, on="lsh_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= min_cosine)
-        .distinct()
     )

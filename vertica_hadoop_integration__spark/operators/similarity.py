@@ -149,21 +149,17 @@ def ivf_topk(
 
 
 def _planes_df(df: DataFrame, dim: int, num_planes: int, seed: int):
-    """Deterministic pseudo-random hyperplanes: plane[p][d] derived from
-    xxhash64(p, d, seed) mapped to [-1, 1). Pure column expressions — the
-    planes are constant-folded into the projection, nothing is shuffled."""
-    planes = []
-    for p in range(num_planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: (
-                F.pmod(F.xxhash64(F.lit(p), d, F.lit(seed)), F.lit(2_000_000)).cast("double")
-                / 1_000_000.0
-                - 1.0
-            ),
-        )
-        planes.append(plane)
-    return planes
+    """Deterministic pseudo-random hyperplanes as LITERAL arrays, computed
+    driver-side from the seed. Literals ship in the plan (num_planes*dim
+    doubles — bytes, not data) and cost nothing per row; the previous
+    expression-derived planes re-hashed num_planes*dim values per ROW."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        F.array(*[F.lit(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for _ in range(num_planes)
+    ]
 
 
 def lsh_bucket_signature(
