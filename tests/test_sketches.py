@@ -1,0 +1,97 @@
+"""Sketch estimators: error bounds vs exact answers, and temporal-operator
+edge cases not visible to the DuckDB oracle harness."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.operators import sketches as K
+from vertica_hadoop_integration__spark.operators import temporal as T
+from vertica_hadoop_integration__spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_kmv_distinct_within_error(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    est = {
+        r["o_orderstatus"]: r["distinct_est"]
+        for r in K.kmv_distinct(o, "o_custkey", ("o_orderstatus",), k=64).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        # rel error ~1/sqrt(k-2) ~ 13%; allow 4 sigma
+        assert abs(est[k] - n) / n < 0.5, f"{k}: est {est[k]} vs exact {n}"
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with < k distinct values must be exact, not estimated."""
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], ["v"])
+    [row] = K.kmv_distinct(df, "v", (), k=64).collect()
+    assert row["distinct_est"] == 10
+
+
+def test_hll_distinct_within_rsd(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    exact = o.select("o_custkey").distinct().count()
+    [row] = K.hll_distinct(o, "o_custkey", (), rsd=0.02).collect()
+    assert abs(row["distinct_est"] - exact) / exact < 0.1
+
+
+def test_approx_quantiles_rank_error(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    [row] = K.approx_quantiles(
+        li, "l_extendedprice", (), probabilities=(0.5,), accuracy=10000
+    ).collect()
+    exact_median = li.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS m"
+    ).collect()[0]["m"]
+    # GK guarantees rank error <= n/accuracy; translate loosely to value space
+    assert abs(row["q_0_5"] - exact_median) / exact_median < 0.05
+
+
+def test_asof_join_no_prior_right_is_null(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(5), 100.0), (1, ts(1), 50.0), (2, ts(9), 70.0)],
+        ["user_id", "ts", "value"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2), 7.0), (1, ts(5), 8.0), (3, ts(0), 9.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        (r["user_id"], r["ts"]): (r["asof_ts"], r["asof_value"])
+        for r in T.asof_join(left, right, on="user_id").collect()
+    }
+    assert out[(1, ts(1))] == (None, None)  # no right row at or before
+    assert out[(1, ts(5))] == (ts(5), 8.0)  # same-ts right row visible
+    assert out[(2, ts(9))] == (None, None)  # key absent on right
+    assert len(out) == 3  # user 3's right row produces no left output
+
+
+def test_hypertable_rollup_partials_match_direct(spark):
+    e = load_table(spark, SF_DIR, "events")
+    out = T.hypertable_rollup(e, granularities=("minute", "hour", "day"))
+    day = out.filter(F.col("granularity") == "day")
+    direct = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    got = {(r["bucket_start"], r["event_type"]): r["n_events"] for r in day.collect()}
+    want = {
+        (r["bucket_start"], r["event_type"]): r["n_events"] for r in direct.collect()
+    }
+    assert got == want

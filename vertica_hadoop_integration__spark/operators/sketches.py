@@ -1,0 +1,101 @@
+"""Approximate/sketch aggregates: KMV distinct-count, HLL++ (Spark
+built-in), approximate quantiles.
+
+The reference's only aggregates are count/min (``sqoop_table.py:55``,
+``sqoop_json.py:31``); at 100 TB the exact forms of COUNT(DISTINCT) and
+exact percentiles are shuffle-heavy (distinct carries every key;
+percentile sorts), so sketch forms are first-class here:
+
+* ``kmv_distinct`` — k-minimum-values estimator built from Catalyst
+  primitives only: deterministic given the hash function, mergeable
+  (the k smallest of a union is computable from each side's k smallest),
+  and the shuffle carries at most k longs per group.
+* ``hll_distinct`` — Spark's native HLL++ (``approx_count_distinct``),
+  the production default: single pass, fixed ~KB state per group.
+* ``approx_quantiles`` — ``percentile_approx`` (Greenwald-Khanna):
+  single pass, bounded state, vs. a full sort for exact percentiles.
+
+Estimates are engine-specific, so these register rows-only with the
+driver; error bounds vs the exact answers are asserted in
+tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct estimate per group.
+
+    Hash each value to (0, 1]; with n distinct values the k-th smallest
+    hash sits at ~k/n, so n_hat = (k-1)/h_k. Exact when a group has < k
+    distinct values (falls back to the observed count). Relative error
+    ~1/sqrt(k-2) (~13% at k=64).
+
+    Plan shape: distinct on (group, hash) — the only wide exchange, and
+    it carries hashes, not values — then a bounded top-k window (rank
+    <= k prunes partial-sort-side), then a tiny groupBy. No value ever
+    crosses the wire; memory per group is O(k)."""
+    gcols = [F.col(g) for g in group_cols]
+    # signed long -> (0, 1]: shift to unsigned range, scale by 2^64
+    u = (F.col("_h").cast("double") + 9223372036854775808.0) / 18446744073709551616.0
+    hashed = df.select(*gcols, F.xxhash64(F.col(col)).alias("_h")).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.col("_h").asc())
+    topk = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_u", u)
+    )
+    agg = topk.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_u").alias("_hk"),
+    )
+    est = F.when(F.col("_m") < k, F.col("_m").cast("double")).otherwise(
+        (F.lit(float(k - 1))) / F.col("_hk")
+    )
+    return agg.select(
+        *[F.col(g) for g in group_cols],
+        F.round(est).cast("long").alias("distinct_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HLL++ distinct estimate per group (Spark built-in). rsd = target
+    relative standard deviation; state size grows as 1/rsd^2."""
+    return df.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.approx_count_distinct(col, rsd).alias("distinct_est")
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles per group; max rank error
+    is 1/accuracy. Output: group cols + q_<p> per probability."""
+    probs = F.array(*[F.lit(p) for p in probabilities])
+    agg = df.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.percentile_approx(col, probs, F.lit(accuracy)).alias("_q")
+    )
+    return agg.select(
+        *[F.col(g) for g in group_cols],
+        *[
+            F.col("_q")[i].alias(f"q_{str(p).replace('.', '_')}")
+            for i, p in enumerate(probabilities)
+        ],
+    )

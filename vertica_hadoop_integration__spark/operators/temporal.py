@@ -1,0 +1,171 @@
+"""Temporal operators the reference's SQL surface lacks but a
+warehouse-offload engine needs: as-of join, range (point-in-interval)
+join, hypertable-style cascading time rollup.
+
+Reference scope note: the reference emits no temporal joins at all (its
+only join is the NOT EXISTS anti-join, ``sqoop_table.py:143,145``); these
+extend SURVEY.md §2's "absent relational categories" with Spark-first
+physical strategies, designed for the 100 TB shape:
+
+* ``asof_join`` is the union+window formulation — ONE shuffle on
+  (key, ts), no join at all, no per-key driver loop. The classic
+  broadcast-right formulation breaks when the right side is large; this
+  one scales with normal shuffle mechanics and inherits AQE skew
+  handling.
+* ``range_join_point`` broadcasts the interval side (dimension-sized by
+  construction) so the fact side streams map-side — a non-equi
+  BroadcastNestedLoopJoin is the *correct* plan when one side is tiny;
+  the interval-bucketing rewrite for large interval tables is documented
+  inline.
+* ``hypertable_rollup`` computes each coarser granularity FROM the next
+  finer one (partial re-aggregation) — the raw table is scanned once no
+  matter how many granularities are materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the newest right row with
+    ``right.ts <= left.ts`` (direction="backward") sharing the join key.
+
+    Implementation: tag both sides, union, and carry right-side values
+    forward with ``last(..., ignorenulls=True)`` over a window ordered by
+    (ts, side) — right rows sort before left rows at equal ts, so a
+    same-timestamp right row IS visible to the left row. One shuffle on
+    the join key; nothing is broadcast, nothing loops on the driver.
+
+    Output: every left row + ``asof_ts`` + ``asof_<v>`` for each value
+    col (NULL when no prior right row exists — left-join semantics)."""
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    lcols = left.columns
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l, allowMissingColumns=True).select(
+        *[F.col(c) for c in [on, "_t", "_side"]],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ],
+        *[F.col(c) for c in lcols if c != on],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        F.col("asof_ts"),
+        *[F.col(f"asof_{v}") for v in value_cols],
+    )
+
+
+def range_join_point(
+    fact: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Point-in-interval join: every fact row matched to the intervals
+    containing its ``point_col`` (lo <= p < hi).
+
+    The interval side is broadcast — the physical plan is a
+    BroadcastNestedLoopJoin, which for a dimension-sized interval table
+    is the right plan: the 100 TB fact side streams through map-side
+    with zero shuffle. If the interval table ever outgrows broadcast
+    range, rewrite: explode each interval into fixed-width bucket ids,
+    add ``floor(p/width)`` on the fact side, equi-join on bucket id,
+    re-check the range predicate (turns the nested loop into a hash
+    join at the cost of interval duplication)."""
+    p = F.col(point_col)
+    return fact.join(
+        F.broadcast(intervals),
+        on=(p >= F.col(lo_col)) & (p < F.col(hi_col)),
+        how="inner",
+    )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    granularities: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Continuous-aggregate-style rollup: the finest granularity is
+    aggregated from raw rows; every coarser one re-aggregates the
+    previous level's partials (sum-of-sums, sum-of-counts, min-of-mins).
+    Raw data is scanned exactly once regardless of how many levels are
+    materialized — at 100 TB the minute partials are ~6 orders of
+    magnitude smaller than raw, so each further level is ~free.
+
+    Sums run in DECIMAL so partial-aggregation order can't drift the
+    result (oracle parity), cast to DOUBLE on output.
+
+    Output: granularity, bucket_start, *key_cols, n_events, total_value,
+    min_value, max_value, avg_value."""
+    finest, *coarser = granularities
+    keys = [F.col(k) for k in key_cols]
+    level = (
+        events.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sum"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+    def _out(df: DataFrame, gran: str) -> DataFrame:
+        return df.select(
+            F.lit(gran).alias("granularity"),
+            F.col("bucket_start"),
+            *[F.col(k) for k in key_cols],
+            F.col("n_events"),
+            F.col("_sum").cast("double").alias("total_value"),
+            F.col("min_value"),
+            F.col("max_value"),
+            (F.col("_sum").cast("double") / F.col("n_events")).alias("avg_value"),
+        )
+
+    out = _out(level, finest)
+    for gran in coarser:
+        level = (
+            level.groupBy(
+                F.date_trunc(gran, F.col("bucket_start")).alias("bucket_start"), *keys
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("_sum").alias("_sum"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        out = out.unionByName(_out(level, gran))
+    return out

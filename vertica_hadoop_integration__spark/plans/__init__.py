@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (imported for registration side effects)
     queries_llm,
     queries_events,
     queries_multimodal,
+    queries_temporal,
 )
 from .registry import ORACLES, QUERIES
 
