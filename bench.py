@@ -35,6 +35,10 @@ HEADLINE = [
     "events_tumbling_hourly",
     "events_sessionize",
     "multimodal_features",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "hypertable_rollup_events",
+    "sketch_kmv_distinct",
 ]
 
 
