@@ -114,3 +114,17 @@ def test_language_id_deterministic_argmax(spark, docs_with_planted_dups):
     # doc 1 is english-heavy ('the' x4, 'and', 'over'...)
     row = {r["doc_id"]: r for r in out}[1]
     assert row["predicted_lang"] == "en"
+
+
+def test_arrow_cosine_matches_jvm_cosine(spark, sf_dir):
+    """The pandas-UDF scoring kernel must select the same neighbor pairs
+    as the JVM higher-order-function kernel (scores agree to ~1e-12)."""
+    from vertica_hadoop_integration__spark.functions.vector_fns import cosine_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5)
+    arrow = S.brute_force_topk(e, q, k=5, scorer=cosine_arrow)
+    ep = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in arrow.collect()}
+    assert ep == ap

@@ -46,6 +46,34 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine via a scalar pandas UDF — the sanctioned
+    Python escape hatch (batched columnar transfer + numpy SIMD kernels,
+    never row-at-a-time). For very wide embeddings the numpy matmul
+    beats the interpreted higher-order-function fold; for 64-dim the
+    JVM-side ``cosine`` above wins by skipping the Arrow hop. Kept as
+    the template for scoring logic Catalyst can't express.
+
+    Note: numpy's pairwise summation order differs from the sequential
+    fold, so results agree to ~1e-12 but are not bitwise-identical —
+    use ``cosine`` where oracle hash parity matters."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(xs, ys):
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        B = np.stack(ys.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    # real type objects, not strings: `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot resolve
+    _cos.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")(a, b)
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize an embedding (array<double> out). Pre-normalizing the
     corpus once turns cosine top-k into dot-product top-k — at 100 TB the

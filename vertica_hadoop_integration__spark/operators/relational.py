@@ -162,3 +162,34 @@ def top_k_per_group(
     group keys; AQE handles skewed groups."""
     w = Window.partitionBy(*part_cols).orderBy(*order_by)
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# --- skew-salted equi-join (extension; scale tactic from §4) ---------------
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with explicit key salting for skewed left keys: the left
+    side gets a deterministic salt in [0, salt) derived from its whole
+    row-ish identity, the right side is replicated ``salt`` times, and
+    the join runs on (key..., salt) — a hot key's rows spread over
+    ``salt`` shuffle partitions instead of one straggler task.
+
+    Result-identical to ``left.join(right, on, how)`` (oracle-checked);
+    cost is right-side replication, so use when right is small-to-medium
+    but too big (or too frequently joined) to broadcast. AQE's runtime
+    skew-join split covers many cases; explicit salting still wins when
+    a single key exceeds what one task can hold, or under join-loop
+    reuse where deterministic layout matters. Supports inner/left joins
+    (each left row matches exactly one right replica)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (right replication)")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")

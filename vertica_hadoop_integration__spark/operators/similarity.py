@@ -33,6 +33,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer=None,
 ) -> DataFrame:
     """Exact cosine top-k of every query against the corpus.
 
@@ -40,7 +41,12 @@ def brute_force_topk(
     neighbor id for determinism. The query side is broadcast — the corpus
     (the 100 TB side) streams through one scan with no shuffle until the
     per-query top-k aggregation, which carries only k rows per query per
-    partition after the window's partial rank pruning."""
+    partition after the window's partial rank pruning.
+
+    ``scorer(a, b) -> Column`` swaps the similarity kernel; default is
+    the JVM-side ``cosine``, ``cosine_arrow`` plugs in the pandas-UDF
+    path for wide embeddings."""
+    score = scorer or cosine
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -51,7 +57,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            score(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
