@@ -128,3 +128,19 @@ def test_arrow_cosine_matches_jvm_cosine(spark, sf_dir):
     ep = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
     ap = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in arrow.collect()}
     assert ep == ap
+
+
+def test_clean_corpus_invariants(spark, sf_dir):
+    from vertica_hadoop_integration__spark.operators.corpus import clean_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    out = clean_corpus(d, min_chars=20, min_tokens=5, min_jaccard=0.7).cache()
+    n = out.count()
+    assert 0 < n < d.count()
+    # no exact duplicates survive
+    assert out.select(F.md5(F.lower(F.trim(F.col("text"))))).distinct().count() == n
+    # no surviving pair still exceeds the near-dup threshold
+    assert D.minhash_dedup(out, num_hashes=16, bands=8, min_jaccard=0.7).count() == 0
+    # schema: original columns + predicted_lang
+    assert set(out.columns) == set(d.columns) | {"predicted_lang"}
+    out.unpersist()

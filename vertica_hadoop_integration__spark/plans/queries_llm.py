@@ -297,3 +297,16 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return T.fingerprint(d)
+
+
+# -- end-to-end corpus cleaning pipeline (rows-only; invariants in pytest) -
+@register("pipeline_clean_corpus")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality gate -> language gate -> exact dedup -> MinHash near-dedup,
+    the full training-data cleaning composition (operators/corpus.py).
+    Non-SQL-expressible (LSH inside); invariants (no exact dups survive,
+    planted near-dups dropped, gates hold) are pytest-asserted."""
+    from ..operators.corpus import clean_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return clean_corpus(d, min_chars=20, min_tokens=5, min_jaccard=0.7)
