@@ -317,6 +317,85 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a left-semi
+    join (the IN subquery), then a 3-way join + re-aggregation. The semi
+    join's build side is the small post-HAVING key set — broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@register(
+    "window_moving_avg_range",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS avg_1h
+    FROM events
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (trailing 1 hour per user) — a value-range
+    window, not a row-count one: frame bounds follow the ORDER BY value.
+    Spark's rangeBetween needs a numeric sort key, so the frame runs on
+    epoch MICROseconds (second-granularity unix_timestamp would disagree
+    with the oracle's full-precision interval at frame boundaries). The
+    average is exact-decimal SUM / COUNT in double — Spark's avg(DECIMAL)
+    rounds at scale 8, which drifts ~3e-9 from the oracle's division."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (s / F.count(F.lit(1)).over(w)).alias("avg_1h"),
+    )
+
+
 # -- analytic window frame: running total ----------------------------------
 @register(
     "window_running_total",
