@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_fns import cosine, dot
+from ..functions.vector_fns import cosine, dot, normalize
 
 # -- exact brute force ------------------------------------------------------
 
@@ -87,22 +87,69 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment (by cosine). Broadcast the centroid
-    table (tiny); one corpus scan. Output adds ``centroid_id`` — at scale,
-    persist this bucketed/partitioned BY centroid_id so probes prune."""
-    c = corpus.select(id_col, vec_col)
-    scored = c.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("c_sim"),
+    """Nearest-centroid assignment (by cosine), map-only.
+
+    The centroid table is tiny by contract, so it is collected and
+    unit-normalized driver-side, then embedded as a literal
+    array<struct<cid, cvec>>; each corpus row computes its argmax dot
+    product in a single projection. ZERO shuffle — the previous
+    formulation (crossJoin + row_number window partitioned by vec_id)
+    shuffled num_centroids x corpus rows, which is exactly the wrong
+    shape at 100 TB. Ties break to the smaller centroid id. At scale,
+    persist the output partitioned/bucketed BY centroid_id so probe
+    joins prune."""
+    import math
+
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    units: list[tuple[int, list[float]]] = []
+    for r in rows:
+        v = [float(x) for x in r["centroid_vec"]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        units.append((int(r["centroid_id"]), [x / n for x in v]))
+
+    staged = corpus.select(
+        F.col(id_col), F.col(vec_col), normalize(F.col(vec_col)).alias("_u")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    # one TOP-LEVEL dot column per centroid: higher-order functions nested
+    # inside another lambda take Catalyst's interpreted path and are ~50x
+    # slower; as plain projection columns they stay on the fast path, and
+    # the staged _u (referenced num_centroids times) is computed once
+    sims = staged.select(
+        "*",
+        *[
+            dot(F.col("_u"), F.array(*[F.lit(x) for x in cvec])).alias(f"_s{i}")
+            for i, (_, cvec) in enumerate(units)
+        ],
     )
+    # argmax by (sim, -cid): struct array_max compares field-wise, so ties
+    # resolve to the larger -cid, i.e. the SMALLER centroid id
+    pairs = F.array(*[
+        F.struct(
+            F.col(f"_s{i}").alias("sim"), F.lit(-cid).cast("long").alias("ncid")
+        )
+        for i, (cid, _) in enumerate(units)
+    ])
+    best = F.array_max(pairs)
+    return sims.select(
+        F.col(id_col), F.col(vec_col), (-best["ncid"]).alias("centroid_id")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    every_nth: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """One-off IVF index build: (centroids, assignment). The assignment
+    is materialized (localCheckpoint here; at scale, write it bucketed/
+    partitioned BY centroid_id) — probing must hit a *stored* index, not
+    re-derive the assignment lineage per query: recomputation both
+    rescans the corpus and re-inflates the argmax expression tree
+    through every downstream join."""
+    cents = pick_centroids(corpus, every_nth, id_col, vec_col)
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col).localCheckpoint()
+    return cents, assigned
 
 
 def ivf_topk(
@@ -113,13 +160,16 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroids' buckets.
 
     Scanned fraction ~= nprobe / num_centroids; with a bucketed corpus the
-    probe join is partition-pruned rather than a full scan."""
-    cents = pick_centroids(corpus, every_nth, id_col, vec_col)
-    assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+    probe join is partition-pruned rather than a full scan. Pass ``index``
+    (from build_ivf_index) to amortize the build across query batches."""
+    cents, assigned = index if index is not None else build_ivf_index(
+        corpus, every_nth, id_col, vec_col
+    )
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_scored = q.crossJoin(F.broadcast(cents)).select(
