@@ -82,18 +82,25 @@ def minhash_signatures(
     no explode, no groupBy, zero shuffle. At 100 TB this stage is
     embarrassingly parallel and pipelines straight into the band
     exchange, which is then the ONLY shuffle in the whole LSH plan."""
-    # Stage the shingle array in its own projection: _sh is referenced by
-    # all num_hashes columns, and CollapseProject keeps non-cheap exprs
-    # used >1x staged instead of inlining the whole tokenize+slice+concat
-    # pipeline 16x per row (measured 84s -> 10s on the sf0.1 LSH plan).
+    # Two staged projections (CollapseProject keeps non-cheap exprs used
+    # >1x staged instead of inlining the tokenize+slice+concat pipeline
+    # 16x per row — measured 84s -> 10s on the sf0.1 LSH plan):
+    #   1. the shingle string array,
+    #   2. each shingle hashed ONCE to a long — the per-seed hash then
+    #      re-hashes 8 bytes instead of re-hashing the string 16x.
     staged = df.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh")
+    ).select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh64"),
     )
 
     def _seeded_min(seed: int):
         # single-arg lambda: a 2-arg lambda would make transform() bind the
         # array INDEX to the second parameter, clobbering the seed
-        return F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(seed))))
+        return F.array_min(
+            F.transform(F.col("_sh64"), lambda h: F.xxhash64(h, F.lit(seed)))
+        )
 
     cols = [_seeded_min(seed).alias(f"mh_{seed}") for seed in range(num_hashes)]
     return staged.select(F.col(id_col), *cols)
