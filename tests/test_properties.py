@@ -1,0 +1,106 @@
+"""Property-based checks (hypothesis) for the custom operators whose
+edge cases a fixed oracle query can miss: as-of join against a naive
+per-row reference, salted join against the plain join.
+
+max_examples is kept small — every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from vertica_hadoop_integration__spark.operators import relational as R
+from vertica_hadoop_integration__spark.operators import temporal as T
+
+T0 = datetime.datetime(2024, 1, 1)
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user_id (few keys -> collisions)
+    st.integers(min_value=0, max_value=20),  # ts offset seconds (ties likely)
+    st.integers(min_value=0, max_value=9),  # value
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    data = [
+        (u, T0 + datetime.timedelta(seconds=s), float(v)) for u, s, v in rows
+    ]
+    return spark.createDataFrame(data, _SCHEMA)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(_EVENT, min_size=1, max_size=12),
+    right=st.lists(_EVENT, min_size=0, max_size=12),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    # dedup right on (user, ts) — as-of is tie-ambiguous otherwise
+    # (same contract the registered query enforces)
+    rdeduped: dict[tuple[int, int], int] = {}
+    for u, s, v in right:
+        key = (u, s)
+        rdeduped[key] = max(rdeduped.get(key, -1), v)
+    rrows = [(u, s, v) for (u, s), v in rdeduped.items()]
+
+    out = T.asof_join(
+        _df(spark, left), _df(spark, rrows), on="user_id"
+    ).collect()
+
+    # naive reference: newest right row with ts' <= ts, same user
+    def expected(u, s):
+        cands = [(s2, v) for (u2, s2), v in rdeduped.items() if u2 == u and s2 <= s]
+        if not cands:
+            return (None, None)
+        s2, v = max(cands)
+        return (T0 + datetime.timedelta(seconds=s2), float(v))
+
+    assert len(out) == len(left)
+    got = sorted(
+        (r["user_id"], r["ts"], r["value"], r["asof_ts"], r["asof_value"])
+        for r in out
+    )
+    want = sorted(
+        (u, T0 + datetime.timedelta(seconds=s), float(v), *expected(u, s))
+        for u, s, v in left
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=0, max_size=8
+    ),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, left, right, how):
+    kv = lambda name: StructType(
+        [StructField("k", LongType()), StructField(name, LongType())]
+    )
+    l = spark.createDataFrame(left, kv("lv"))
+    r = spark.createDataFrame(right, kv("rv"))
+    got = sorted(
+        map(tuple, R.salted_join(l, r, on=["k"], how=how, salt=4).collect())
+    )
+    want = sorted(map(tuple, l.join(r, on=["k"], how=how).collect()))
+    assert got == want
