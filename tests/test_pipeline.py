@@ -116,3 +116,19 @@ def test_job_lock_mutual_exclusion(tmp_path):
     l1.release()
     assert l2.acquire()
     l2.release()
+
+
+def test_compact_path_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from vertica_hadoop_integration__spark.sources.maintenance import compact_path
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "frag")
+    li.repartition(40).write.parquet(path)  # simulate 40 mapper files
+    before = li.count()
+    stats = compact_path(spark, path, target_file_bytes=8 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    # content identical, not just row count
+    assert after_df.exceptAll(li).count() == 0

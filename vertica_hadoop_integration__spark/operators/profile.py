@@ -1,0 +1,55 @@
+"""Table profiling: per-column stats in ONE scan.
+
+Catalog-adjacent, like the reference's schema reflection
+(``sqoop_table.py:114-129`` reads names/types from ``v_catalog.columns``;
+this adds the value-level stats a migration needs to validate a load).
+All columns are profiled in a single aggregation job — never one scan
+per column. Exact distinct counts expand the aggregate per column;
+``approx=True`` switches to HLL++ for the 100 TB path (single pass,
+fixed state)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Profile numeric/string columns: (col_name, n_rows, n_nulls,
+    n_distinct, min_value, max_value) — min/max as DOUBLE for numeric
+    columns, NULL for strings (kept cross-engine comparable)."""
+    names = cols or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in
+        ("integer", "long", "short", "byte", "double", "float", "decimal")
+    }
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            distinct(F.col(c)).alias(f"_nd_{c}"),
+            (F.min(F.col(c)).cast("double") if c in numeric else F.lit(None).cast("double")).alias(f"_mn_{c}"),
+            (F.max(F.col(c)).cast("double") if c in numeric else F.lit(None).cast("double")).alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_mn_{c}").alias("min_value"),
+            F.col(f"_mx_{c}").alias("max_value"),
+        )
+        for c in names
+    ])
+    return one.select(F.inline(rows))

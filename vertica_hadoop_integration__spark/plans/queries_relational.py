@@ -317,6 +317,31 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+_PROFILE_NUM = {"o_orderkey", "o_custkey", "o_totalprice"}
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {f'CAST(min({c}) AS DOUBLE)' if c in _PROFILE_NUM else 'CAST(NULL AS DOUBLE)'} AS min_value,
+           {f'CAST(max({c}) AS DOUBLE)' if c in _PROFILE_NUM else 'CAST(NULL AS DOUBLE)'} AS max_value
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_orders", oracle=_PROFILE_SQL)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats in one aggregation scan (catalog reflection's
+    value-level sibling — D4/D5 adjacent). Oracle recomputes each column
+    independently; equality proves the single-pass expansion correct."""
+    from ..operators.profile import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)
+
+
 @register(
     "q18_large_volume_customer",
     oracle="""
