@@ -123,3 +123,22 @@ def test_stateful_running_totals(spark, events_batch, events_stream_dir, tmp_pat
 def test_json_enriched(spark, events_batch):
     out = W.json_enriched(events_batch)
     assert out.filter(F.col("props_k").isNull()).count() == 0
+
+
+def test_stream_static_enrich_matches_batch(spark, events_batch, events_stream_dir, tmp_path):
+    dim = load_table(spark, "/root/testdata/sf0.01", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    streamed = _run_stream(
+        spark,
+        W.enrich_with_dim(src, dim).select("event_id", "user_id", "c_mktsegment"),
+        tmp_path,
+        "enriched",
+        "append",
+    )
+    batch = W.enrich_with_dim(events_batch, dim).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)

@@ -106,6 +106,25 @@ def dedup_within_watermark(
     return events.dropDuplicates(keys or ["event_id"])
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (batch)
+    dimension — Spark re-plans the static side per batch, so a broadcast
+    dim stays map-side with no stream-state. The standard enrichment
+    shape: stream of facts, slowly-changing dim table; at 100 TB the
+    stream side never shuffles for this join."""
+    from pyspark.sql import functions as F
+
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], how
+    )
+
+
 def json_enriched(events: DataFrame) -> DataFrame:
     """Parse the props JSON column (from_json with explicit schema — the
     schema-on-read hop stays JVM-side)."""
