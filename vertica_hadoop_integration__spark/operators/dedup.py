@@ -167,9 +167,14 @@ def minhash_dedup(
     keep rows whose pair passes the threshold. Returns verified duplicate
     pairs (doc_id_a, doc_id_b, jaccard)."""
     cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # merge-hint the token side: its rows carry whole shingle arrays, and
+    # the planner's size estimate for a derived projection can land under
+    # the broadcast threshold — broadcasting the ARRAY side is exactly
+    # wrong at corpus scale (observed driver OOM at 50k docs). Sort-merge
+    # shuffles hashes+arrays once, partitioned by id; scale-safe.
     toks = df.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    ).hint("merge")
     joined = (
         cands.join(toks.withColumnRenamed(id_col, "doc_id_a").withColumnRenamed("sh", "sh_a"), on="doc_id_a")
         .join(toks.withColumnRenamed(id_col, "doc_id_b").withColumnRenamed("sh", "sh_b"), on="doc_id_b")

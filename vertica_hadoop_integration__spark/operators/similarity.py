@@ -106,6 +106,14 @@ def assign_to_centroids(
         v = [float(x) for x in r["centroid_vec"]]
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         units.append((int(r["centroid_id"]), [x / n for x in v]))
+    units.sort()  # ascending cid -> numpy argmax tie-break = smallest id
+
+    # Above ~64 centroids the literal-unroll plan bloats (C columns of
+    # D literals each) and interpreted HOF dot cost scales with C; the
+    # Arrow path does one numpy matmul per batch against the centroid
+    # matrix shipped in the UDF closure. Both are map-only.
+    if len(units) > 64:
+        return _assign_arrow(corpus, units, id_col, vec_col)
 
     staged = corpus.select(
         F.col(id_col), F.col(vec_col), normalize(F.col(vec_col)).alias("_u")
@@ -132,6 +140,37 @@ def assign_to_centroids(
     best = F.array_max(pairs)
     return sims.select(
         F.col(id_col), F.col(vec_col), (-best["ncid"]).alias("centroid_id")
+    )
+
+
+def _assign_arrow(
+    corpus: DataFrame,
+    units: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-path nearest-centroid assignment: unit-normalized centroid
+    matrix in the UDF closure, one (batch x dim) @ (dim x C) matmul +
+    argmax per Arrow batch. Ties -> first (= smallest) centroid id
+    because ``units`` is sorted ascending."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in units], dtype=np.int64)
+    U = np.array([v for _, v in units], dtype=np.float64)  # (C, D), unit rows
+
+    def _nearest(vs):
+        A = np.stack(vs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(A, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (A / norms[:, None]) @ U.T
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    _nearest.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_nearest, "long")
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), udf(F.col(vec_col)).alias("centroid_id")
     )
 
 

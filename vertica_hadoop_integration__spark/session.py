@@ -64,6 +64,13 @@ def get_session(
         .config("spark.sql.orc.filterPushdown", "true")
         # local runs: don't let UI/retained-job bookkeeping grow
         .config("spark.ui.enabled", "false")
+        # local[N] runs driver and executors in ONE JVM: the 1g default
+        # heap cannot hold 32 concurrent task slots + broadcast builds
+        # (observed: broadcast OOM at 50k-doc dedup). No-op if the JVM is
+        # already up (driver-owned sessions keep their own setting).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     )
     if master is None and not os.environ.get("SPARK_MASTER"):
         master = f"local[{_DEFAULT_CPUS}]"
