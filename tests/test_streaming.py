@@ -142,3 +142,35 @@ def test_stream_static_enrich_matches_batch(spark, events_batch, events_stream_d
     )
     cols = ["event_id", "user_id", "c_mktsegment"]
     assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_load_lands_batches_and_is_replay_safe(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    from vertica_hadoop_integration__spark.streaming.loader import stream_load
+    from vertica_hadoop_integration__spark.ledger import Ledger
+
+    src = _stream_source(spark, events_stream_dir, events_batch)
+    dest = str(tmp_path / "landed")
+    ledger_path = str(tmp_path / "ledger")
+    q = stream_load(
+        src.select("event_id", "user_id", "value"),
+        dest, ledger_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    landed = spark.read.orc(dest + "/batch=*")
+    assert landed.count() == events_batch.count()
+    led = Ledger(spark, ledger_path).read()
+    assert led.filter(F.col("is_complete") == "t").count() >= 1
+    assert led.filter(F.col("is_complete") == "f").count() == 0
+
+    # restart with same checkpoint: no new data -> no duplicate rows
+    src2 = _stream_source(spark, events_stream_dir, events_batch)
+    q2 = stream_load(
+        src2.select("event_id", "user_id", "value"),
+        dest, ledger_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.orc(dest + "/batch=*").count() == events_batch.count()
