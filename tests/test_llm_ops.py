@@ -144,3 +144,35 @@ def test_clean_corpus_invariants(spark, sf_dir):
     # schema: original columns + predicted_lang
     assert set(out.columns) == set(d.columns) | {"predicted_lang"}
     out.unpersist()
+
+
+def test_connected_components_known_graphs(spark):
+    from vertica_hadoop_integration__spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4, star 10<-{11,12,13}, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (11, 10), (12, 10), (13, 10), (20, 21)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert {cc[n] for n in (1, 2, 3, 4)} == {1}
+    assert {cc[n] for n in (10, 11, 12, 13)} == {10}
+    assert {cc[n] for n in (20, 21)} == {20}
+
+    cl = dedup_clusters(edges).collect()
+    sizes = {r["canonical_id"]: r["cluster_size"] for r in cl}
+    assert sizes == {1: 4, 10: 4, 20: 2}
+
+
+def test_minhash_clusters_cover_planted_dups(spark, docs_with_planted_dups):
+    from vertica_hadoop_integration__spark.operators.graph import dedup_clusters
+
+    pairs = D.minhash_dedup(
+        docs_with_planted_dups, num_hashes=16, bands=8, min_jaccard=0.5
+    )
+    cl = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    # docs 1,2 are exact dups -> same cluster, canonical is the min id
+    assert cl[1] == cl[2] == 1

@@ -310,3 +310,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return clean_corpus(d, min_chars=20, min_tokens=5, min_jaccard=0.7)
+
+
+# -- near-dup clusters via connected components (rows-only) ----------------
+@register("dedup_minhash_clusters")
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash pairs -> connected components -> one canonical id
+    per duplicate cluster. Iterative label propagation (operators/
+    graph.py); structure asserted in tests/test_llm_ops.py."""
+    from ..operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.7)
+    return dedup_clusters(pairs)
