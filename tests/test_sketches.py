@@ -95,3 +95,38 @@ def test_hypertable_rollup_partials_match_direct(spark):
         (r["bucket_start"], r["event_type"]): r["n_events"] for r in direct.collect()
     }
     assert got == want
+
+
+def test_refresh_rollup_incremental_matches_full(spark, tmp_path):
+    import datetime
+
+    from vertica_hadoop_integration__spark.operators.temporal import refresh_rollup
+
+    e = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "rollup")
+    refresh_rollup(e, path)  # full build
+    full = spark.read.parquet(path)
+
+    # perturb one day: drop its 'error' events, refresh ONLY that day
+    day = "2024-01-02"
+    d0 = datetime.date.fromisoformat(day)
+    e2 = e.filter(
+        ~((F.to_date("ts") == F.lit(d0)) & (F.col("event_type") == "error"))
+    )
+    refresh_rollup(e2, path, days=[day])
+    incr = spark.read.parquet(path)
+
+    # ground truth: full rebuild from the perturbed events
+    path2 = str(tmp_path / "rollup_truth")
+    refresh_rollup(e2, path2)
+    truth = spark.read.parquet(path2)
+
+    cols = ["granularity", "bucket_start", "event_type", "n_events", "total_value"]
+    assert sorted(map(tuple, incr.select(*cols).collect())) == sorted(
+        map(tuple, truth.select(*cols).collect())
+    )
+    # and the untouched days were not rewritten: row count for other days
+    # must equal the original build
+    other_full = full.filter(F.col("part_day") != F.lit(d0)).count()
+    other_incr = incr.filter(F.col("part_day") != F.lit(d0)).count()
+    assert other_full == other_incr
