@@ -380,6 +380,67 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           {cols}
+    FROM orders
+    GROUP BY 1
+    """.format(
+        cols=", ".join(
+            f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_{s}"
+            for s in _PIVOT_STATUSES
+        )
+    ),
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one revenue column per order status, by month. Explicit
+    pivot values keep the plan single-pass (no distinct-scan to discover
+    them) and the schema stable."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+    )
+    return piv.select(
+        "order_month", *[F.col(s).alias(f"rev_{s}") for s in _PIVOT_STATUSES]
+    )
+
+
+@register(
+    "unpivot_quality_metrics",
+    oracle="""
+    SELECT doc_id, 'n_chars' AS metric, CAST(n_chars AS DOUBLE) AS metric_value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_tokens' AS metric,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+    FROM documents
+    """,
+)
+def unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-doc metrics to (doc_id, metric, value)
+    rows — single scan via the Expand operator, not one scan per
+    metric."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("n_tokens"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["n_chars", "n_tokens"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
 _PROFILE_NUM = {"o_orderkey", "o_custkey", "o_totalprice"}
 _PROFILE_SQL = " UNION ALL ".join(
