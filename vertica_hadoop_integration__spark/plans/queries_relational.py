@@ -380,6 +380,56 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (vs the GK sketch in
+    sketch_approx_quantiles): Spark's percentile = DuckDB quantile_cont
+    bit-for-bit. Exact percentiles buffer each group's values — the
+    sketch is the 100 TB default; this is the verifier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           list_reverse_sort(list_slice(embedding::DOUBLE[], 1, 4)) AS top4_sorted,
+           len(embedding) AS dim,
+           list_max(embedding::DOUBLE[]) AS max_dim,
+           list_min(embedding::DOUBLE[]) AS min_dim,
+           embedding[1]::DOUBLE AS first_dim
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column: slice, sort,
+    size, extrema, element access — all scan-stage projections."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.sort_array(F.slice(emb, 1, 4), asc=False).alias("top4_sorted"),
+        F.size("embedding").alias("dim"),
+        F.array_max(emb).alias("max_dim"),
+        F.array_min(emb).alias("min_dim"),
+        F.element_at(emb, 1).alias("first_dim"),
+    )
+
+
 _PIVOT_STATUSES = ["F", "O", "P"]
 
 
