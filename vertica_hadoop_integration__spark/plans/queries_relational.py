@@ -381,6 +381,63 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_variance_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty
+    FROM s
+    """,
+)
+def agg_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact-decimal power sums — a single
+    pass with map-side partials, and hash-identical across engines
+    (built-in stddev uses Welford-style accumulation whose float result
+    depends on partial order; the power-sum formula does not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag", "n", var.alias("var_qty"), F.sqrt(var).alias("stddev_qty")
+    )
+
+
+@register(
+    "scalar_regexp_functions",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '(\w+)$', 1) AS last_word,
+           regexp_replace(text, '\d+', '#', 'g') AS nums_masked,
+           CASE WHEN regexp_matches(text, '\d') THEN 1 ELSE 0 END AS has_digit
+    FROM documents
+    """,
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar family: extract / global replace / match test —
+    scan-stage projections (Java regex vs DuckDB RE2 agree on this
+    pattern class; verified by the oracle hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace("text", r"\d+", "#").alias("nums_masked"),
+        F.when(F.col("text").rlike(r"\d"), 1).otherwise(0).alias("has_digit"),
+    )
+
+
+@register(
     "agg_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
