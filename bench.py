@@ -51,9 +51,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_session("bench")
-    # warm the JVM + parquet footers once with a trivial action so measured
-    # times reflect query execution, not session startup
+    # warm the JVM, codegen infrastructure, parquet reader, and shuffle
+    # machinery once with a small untimed scan+agg so the first measured
+    # query reflects steady-state execution, not one-time session costs
     spark.range(1).count()
+    from pyspark.sql import functions as F
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .limit(50000)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")))
+        .count()
+    )
 
     times: dict[str, float] = {}
     total = 0.0
