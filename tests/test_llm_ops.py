@@ -176,3 +176,15 @@ def test_minhash_clusters_cover_planted_dups(spark, docs_with_planted_dups):
     cl = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
     # docs 1,2 are exact dups -> same cluster, canonical is the min id
     assert cl[1] == cl[2] == 1
+
+
+def test_kmeans_ivf_recall_not_worse_than_every_nth(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(e, q, k=5).collect()}
+    idx0 = S.build_ivf_index(e, every_nth=20)
+    idx1 = S.build_ivf_index(e, every_nth=20, kmeans_iters=3)
+    r0 = {(r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(e, q, k=5, nprobe=5, index=idx0).collect()}
+    r1 = {(r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(e, q, k=5, nprobe=5, index=idx1).collect()}
+    assert len(exact & r1) >= len(exact & r0) - 2  # refined >= seeded (slack for ties)
+    assert len(exact & r1) / len(exact) >= 0.3

@@ -174,19 +174,108 @@ def _assign_arrow(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 50,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids.
+
+    Init = every-Nth-by-id (deterministic); each iteration assigns
+    (map-only, the same JVM/Arrow kernel IVF probing uses) and recomputes
+    elementwise means via posexplode + groupBy(centroid, dim) — k*dim
+    partial aggregates, shuffled as (k*dim) rows total after map-side
+    combine. Run on a SAMPLE at 100 TB (``sample_fraction``): centroid
+    quality needs ~1000 points per centroid, not the full corpus; only
+    the final assignment pass touches everything. Empty clusters keep
+    their previous centroid. Returns (centroid_id, centroid_vec)."""
+    # array<double> throughout: iterated means are double, and coalesce
+    # with float init vectors would be a type mismatch
+    pts = corpus.select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if sample_fraction:
+        pts = pts.sample(fraction=sample_fraction, seed=seed)
+    pts = pts.localCheckpoint()
+    n = pts.count()
+    every_nth = max(1, n // k)
+    cents = (
+        pts.withColumn("_rn", F.monotonically_increasing_id())
+        .filter(F.pmod(F.col("_rn"), F.lit(every_nth)) == 0)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("_pid")).cast("long").alias("centroid_id"),
+            F.col("_v").alias("centroid_vec"),
+        )
+    )
+    import math
+
+    for _ in range(iters):
+        # always the Arrow matmul kernel here: the iteration loop calls
+        # assignment `iters` times, and the JVM literal-unroll path pays
+        # its interpreted-HOF cost per call
+        rows = cents.collect()
+        units = []
+        for r in rows:
+            v = [float(x) for x in r["centroid_vec"]]
+            nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+            units.append((int(r["centroid_id"]), [x / nrm for x in v]))
+        units.sort()
+        assigned = _assign_arrow(pts, units, "_pid", "_v")
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col("_v")).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid_vec"),
+            )
+        )
+        # empty clusters: keep previous centroid
+        prev = cents.withColumnRenamed("centroid_vec", "_prev")
+        cents = (
+            prev.join(means, on="centroid_id", how="left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("centroid_vec"), F.col("_prev")).alias("centroid_vec"),
+            )
+        ).localCheckpoint()
+    return cents
+
+
 def build_ivf_index(
     corpus: DataFrame,
     every_nth: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+    kmeans_sample: float | None = None,
 ):
     """One-off IVF index build: (centroids, assignment). The assignment
     is materialized (localCheckpoint here; at scale, write it bucketed/
     partitioned BY centroid_id) — probing must hit a *stored* index, not
     re-derive the assignment lineage per query: recomputation both
     rescans the corpus and re-inflates the argmax expression tree
-    through every downstream join."""
-    cents = pick_centroids(corpus, every_nth, id_col, vec_col)
+    through every downstream join.
+
+    ``kmeans_iters > 0`` refines the every-Nth seed centroids with
+    Lloyd's iterations (optionally on a sample) before the final
+    assignment — better-balanced buckets, higher probe recall."""
+    if kmeans_iters > 0:
+        n = corpus.count()
+        k = max(1, n // every_nth)
+        cents = kmeans_centroids(
+            corpus, k=k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
+            sample_fraction=kmeans_sample,
+        ).localCheckpoint()
+    else:
+        cents = pick_centroids(corpus, every_nth, id_col, vec_col)
     assigned = assign_to_centroids(corpus, cents, id_col, vec_col).localCheckpoint()
     return cents, assigned
 
