@@ -71,7 +71,20 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        # consume EVERY projected column: count() alone lets Spark satisfy
+        # the action without evaluating pure projections (column pruning),
+        # understating projection-heavy queries. A hash-sum over all
+        # columns forces full evaluation while returning one row.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 2^63-scale hashes overflows
+            # under ANSI mode
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        n = row["n"]
         dt = time.perf_counter() - t0
         times[name] = round(dt, 4)
         total += dt

@@ -108,6 +108,87 @@ def test_lsh_topk_shapes_and_selfconsistency(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_embedding_lsh_near_dup_recall_and_precision(spark):
+    """Multi-table sign-projection LSH must find planted near-dup vector
+    pairs (recall) and emit ONLY pairs passing the exact verify
+    (precision is exact by construction)."""
+    import random
+
+    rng = random.Random(0)
+    rows, vid = [], 0
+    for _ in range(20):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((vid, base))
+        # planted near-dup: tiny perturbation -> cosine ~0.999
+        rows.append((vid + 1, [x + rng.gauss(0, 0.01) for x in base]))
+        vid += 2
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = D.embedding_near_dup_pairs(
+        emb, min_cosine=0.99, num_planes=4, num_tables=4, dim=16
+    )
+    exact = D.embedding_near_dup_exact(emb, min_cosine=0.99)
+    gp = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    ep = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert gp <= ep, "LSH emitted a pair the exact verify rejects"
+    assert ep, "fixture produced no exact near-dup pairs"
+    recall = len(gp & ep) / len(ep)
+    assert recall >= 0.8, f"embedding LSH recall {recall:.2f} < 0.8"
+
+
+def test_simhash_spread_bits_within_threshold_found(spark):
+    """Pigeonhole completeness: a pair whose differing bits are SPREAD
+    across many 16-bit bands must still be returned when its hamming
+    distance is within max_hamming (bands auto-raise to max_hamming+1)."""
+    # Build two docs whose simhash signatures differ in several bits spread
+    # over the word-hash space: share most tokens, differ in a few.
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = a.replace("gamma", "omega").replace("theta", "sigma")
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    from vertica_hadoop_integration__spark.operators.dedup import simhash64
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    d = bin(sigs[1] ^ sigs[2]).count("1")
+    assert d > 0, "fixture degenerate: identical signatures"
+    pairs = D.simhash_near_pairs(df, max_hamming=d, bands=4).collect()
+    found = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    assert (1, 2) in found, (
+        f"pair at hamming {d} missed despite max_hamming={d} "
+        "(banding must guarantee completeness)"
+    )
+
+
+def test_ngram_length_bucket_blocking_lossless(spark, sf_dir):
+    """The (lang, size-bucket) blocking must not change results vs
+    lang-only blocking at any threshold (the size-ratio bound makes the
+    bucket neighborhood a superset of qualifying pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    # force the array path regardless of corpus vocabulary size
+    blocked = D.ngram_jaccard_pairs(d, block_cols=("lang",), min_jaccard=0.7,
+                                    bitset_max_vocab=0)
+    got = {(r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+           for r in blocked.collect()}
+    # reference: plain per-lang pair join, no length blocking
+    t = d.select(
+        "doc_id", "lang",
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("toks"),
+    )
+    a = t.select(F.col("doc_id").alias("doc_id_a"), "lang", F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lang_b"),
+                 F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    ref = (
+        a.join(b, on=[F.col("lang") == F.col("lang_b")])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b",
+                (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+    )
+    want = {(r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+            for r in ref.collect()}
+    assert got == want
+
+
 def test_language_id_deterministic_argmax(spark, docs_with_planted_dups):
     out = language_id(docs_with_planted_dups).collect()
     assert all(r["predicted_lang"] in ("de", "en", "es", "fr", "zh") for r in out)

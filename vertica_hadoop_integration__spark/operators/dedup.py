@@ -7,7 +7,9 @@ all-pairs cross join never materializes at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import distinct_tokens, shingles, tokens
@@ -49,6 +51,18 @@ def _in_bucket_pairs(
     return buckets.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer partitions — a small parquet file scans as ONE partition and
+    would serialize the expensive per-row work (shingling, hashing) onto
+    one core. At real scale the scan already exceeds defaultParallelism
+    and this is a no-op (no shuffle is added)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # -- exact ------------------------------------------------------------------
 
 
@@ -77,33 +91,26 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``num_hashes`` seeded
     hash functions, the min over the document's shingle hashes.
 
-    Map-only: the signature is computed per-row with higher-order
-    functions (``transform`` + ``array_min`` over the shingle array) —
-    no explode, no groupBy, zero shuffle. At 100 TB this stage is
-    embarrassingly parallel and pipelines straight into the band
-    exchange, which is then the ONLY shuffle in the whole LSH plan."""
-    # Two staged projections (CollapseProject keeps non-cheap exprs used
-    # >1x staged instead of inlining the tokenize+slice+concat pipeline
-    # 16x per row — measured 84s -> 10s on the sf0.1 LSH plan):
-    #   1. the shingle string array,
-    #   2. each shingle hashed ONCE to a long — the per-seed hash then
-    #      re-hashes 8 bytes instead of re-hashing the string 16x.
-    staged = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh")
-    ).select(
+    Physical shape: explode shingles -> hash each once -> groupBy(doc)
+    with ``num_hashes`` min(xxhash64(h, seed)) aggregates. Aggregates run
+    inside WholeStageCodegen, unlike higher-order functions which Spark
+    always interprets — the previous transform+array_min formulation paid
+    num_hashes interpreted array scans per row and measured 2.3x slower
+    at sf0.1. The groupBy shuffle is map-side-combined: every doc's
+    shingles sit in one input partition (explode of a single row), so the
+    exchange carries ~one 16-long row per document — negligible against
+    the text scan at 100 TB."""
+    staged = _spread(df).select(
         F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh64"),
-    )
-
-    def _seeded_min(seed: int):
-        # single-arg lambda: a 2-arg lambda would make transform() bind the
-        # array INDEX to the second parameter, clobbering the seed
-        return F.array_min(
-            F.transform(F.col("_sh64"), lambda h: F.xxhash64(h, F.lit(seed)))
-        )
-
-    cols = [_seeded_min(seed).alias(f"mh_{seed}") for seed in range(num_hashes)]
-    return staged.select(F.col(id_col), *cols)
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
+    # shingles() always yields >=1 element (empty text -> [""]), so the
+    # explode never drops a document
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return staged.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -120,14 +127,16 @@ def minhash_lsh_pairs(
     hash are candidates. Returns (doc_id_a, doc_id_b, n_shared_bands) with
     a < b.
 
-    Scale shape: ONE shuffle, on (band_idx, band_hash). No self-join —
-    a self-join would recompute (and re-optimize) the whole signature
-    lineage on both sides; instead doc ids are collect_list'd per bucket
-    (LSH buckets are small by construction) and pairs are generated
-    in-bucket with array combinators. ``max_bucket_size`` guards the
-    quadratic corner: a bucket larger than the cap is near-universal
-    boilerplate and is dropped (standard practice in web-scale dedup —
-    such clusters are handled by exact dedup upstream)."""
+    Scale shape: two narrow shuffles — the signature groupBy (16 longs
+    per doc after map-side combine) and the (band_idx, band_hash)
+    exchange. No self-join — a self-join would recompute (and
+    re-optimize) the whole signature lineage on both sides; instead doc
+    ids are collect_list'd per bucket (LSH buckets are small by
+    construction) and pairs are generated in-bucket with array
+    combinators. ``max_bucket_size`` guards the quadratic corner: a
+    bucket larger than the cap is near-universal boilerplate and is
+    dropped (standard practice in web-scale dedup — such clusters are
+    handled by exact dedup upstream)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
@@ -172,7 +181,7 @@ def minhash_dedup(
     # the broadcast threshold — broadcasting the ARRAY side is exactly
     # wrong at corpus scale (observed driver OOM at 50k docs). Sort-merge
     # shuffles hashes+arrays once, partitioned by id; scale-safe.
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
     ).hint("merge")
     joined = (
@@ -203,7 +212,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     longs per doc."""
     # hash staged once per token row — the 64 agg expressions below each
     # reference the column, not their own xxhash64 computation
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
     h = F.col("h")
@@ -231,13 +240,23 @@ def simhash_near_pairs(
     max_bucket_size: int = 10000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
-    16-bit chunks (pigeonhole: hamming<=max implies >=1 identical band for
-    max < bands' chunk count); group on (band_idx, chunk), expand pairs
+    contiguous chunks; group on (band_idx, chunk), expand pairs
     in-bucket, verify exact hamming distance. Returns
-    (doc_id_a, doc_id_b, hamming)."""
+    (doc_id_a, doc_id_b, hamming).
+
+    Completeness (pigeonhole): a pair at hamming distance d has all its
+    differing bits spread over at most d bands, so it is guaranteed to
+    share an identical band only when d <= bands-1. ``bands`` is
+    auto-raised to ``max_hamming + 1`` so the returned pair set is
+    COMPLETE for the requested threshold — more bands cost more
+    (band_idx, chunk) shuffle rows, which is the honest price of the
+    guarantee. The chunk boundaries partition all 64 bits even when
+    bands does not divide 64 (widths differ by at most one bit)."""
+    if bands < max_hamming + 1:
+        bands = max_hamming + 1
     sig = simhash64(df, text_col, id_col)
-    chunk_bits = 64 // bands
-    mask = (1 << chunk_bits) - 1
+    # band b covers bits [64*b//bands, 64*(b+1)//bands) — full coverage
+    bounds = [(64 * b) // bands for b in range(bands + 1)]
     stacked = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -245,8 +264,8 @@ def simhash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.shiftright(F.col("simhash"), b * chunk_bits)
-                    .bitwiseAND(F.lit(mask))
+                    F.shiftright(F.col("simhash"), bounds[b])
+                    .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
                     .alias("chunk"),
                 )
                 for b in range(bands)
@@ -271,6 +290,33 @@ def simhash_near_pairs(
 # -- n-gram Jaccard with length/lang blocking -------------------------------
 
 
+def _size_bucket(n: Column, min_jaccard: float) -> Column:
+    """Log-scaled size bucket for lossless length blocking: J(A,B) >= t
+    implies t <= |A|/|B| <= 1/t, i.e. |ln|A| - ln|B|| <= ln(1/t) — with
+    bucket width ln(1/t), every qualifying pair sits in the same or an
+    adjacent bucket. The width is widened by 1e-6 relative so the
+    knife-edge case (|A|/|B| exactly = t) cannot straddle two bucket
+    boundaries through float rounding."""
+    if min_jaccard >= 1.0:
+        # J >= 1 requires identical sets, hence identical sizes
+        return F.greatest(n, F.lit(1)).cast("long")
+    if min_jaccard <= 0.0:
+        # no size constraint derivable — one bucket (no length blocking)
+        return F.lit(0).cast("long")
+    width = math.log(1.0 / min_jaccard) * (1.0 + 1e-6)
+    return F.floor(
+        F.log(F.greatest(n, F.lit(1)).cast("double")) / F.lit(width)
+    ).cast("long")
+
+
+def _adjacent_bucket_probes(bucket: Column) -> Column:
+    """The 3 buckets a probe-side row must visit to meet every same-or-
+    adjacent-bucket partner exactly once under an equi-join (the build
+    side keeps its single bucket; |bucket diff| <= 1 means exactly one of
+    the three probes matches)."""
+    return F.explode(F.array(bucket - 1, bucket, bucket + 1))
+
+
 def _bitset_jaccard_pairs(
     df: DataFrame,
     vocab: list[str],
@@ -283,7 +329,9 @@ def _bitset_jaccard_pairs(
     tokens): each token set becomes one 64-bit mask, intersection/union
     are popcounts — the pair join then carries a single long per side
     instead of a token array, and the per-pair work is two AND/OR +
-    bit_count instead of an O(|A|+|B|) array intersection."""
+    bit_count instead of an O(|A|+|B|) array intersection. Pair
+    generation is blocked on (block_cols, size bucket) like the general
+    path — the bucket comes from the popcount."""
     bit_map = F.create_map(
         *[c for i, v in enumerate(vocab) for c in (F.lit(v), F.lit(1 << i).cast("long"))]
     )
@@ -292,18 +340,24 @@ def _bitset_jaccard_pairs(
         F.lit(0).cast("long"),
         lambda acc, t: acc.bitwiseOR(F.element_at(bit_map, t)),
     )
-    t = df.select(F.col(id_col), *[F.col(c) for c in block_cols], mask.alias("mask"))
+    t = _spread(df).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], mask.alias("mask")
+    ).withColumn("szb", _size_bucket(F.bit_count(F.col("mask")), min_jaccard))
     a = t.select(
         F.col(id_col).alias("doc_id_a"),
         *[F.col(c) for c in block_cols],
+        "szb",
         F.col("mask").alias("mask_a"),
     )
     b = t.select(
         F.col(id_col).alias("doc_id_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        _adjacent_bucket_probes(F.col("szb")).alias("szb_b"),
         F.col("mask").alias("mask_b"),
     )
-    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols]
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
+        F.col("szb") == F.col("szb_b")
+    ]
     inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
     return (
@@ -327,9 +381,13 @@ def ngram_jaccard_pairs(
     bitset_max_vocab: int = 64,
 ) -> DataFrame:
     """Exact token-set Jaccard over blocked pairs: only pairs agreeing on
-    ``block_cols`` are compared (equi-join on the block key — the cross
-    join is per-block, bounded by the largest block; add a length bucket
-    to block_cols to cap it further).
+    ``block_cols`` AND sitting in the same-or-adjacent log-size bucket
+    are compared. The size bucket makes pair GENERATION sub-quadratic:
+    blocking on lang alone leaves O((n/|langs|)^2) candidate pairs per
+    block at corpus scale, while J >= t mathematically confines partners
+    to a ~3-bucket size neighborhood (see _size_bucket) — so the bucket
+    join prunes the pair space itself, not just the verify cost, and is
+    provably lossless at the threshold.
 
     Adaptive physical strategy: if the corpus vocabulary fits in 64
     tokens (one cheap distinct-count probe), token sets are packed into a
@@ -347,24 +405,32 @@ def ngram_jaccard_pairs(
         return _bitset_jaccard_pairs(
             df, vocab, text_col, id_col, block_cols, min_jaccard
         )
-    t = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        distinct_tokens(F.col(text_col)).alias("toks"),
-    ).withColumn("n_toks", F.size("toks"))
+    t = (
+        _spread(df).select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            distinct_tokens(F.col(text_col)).alias("toks"),
+        )
+        .withColumn("n_toks", F.size("toks"))
+        .withColumn("szb", _size_bucket(F.col("n_toks"), min_jaccard))
+    )
     a = t.select(
         F.col(id_col).alias("doc_id_a"),
         *[F.col(c) for c in block_cols],
+        "szb",
         F.col("toks").alias("toks_a"),
         F.col("n_toks").alias("n_a"),
     )
     b = t.select(
         F.col(id_col).alias("doc_id_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        _adjacent_bucket_probes(F.col("szb")).alias("szb_b"),
         F.col("toks").alias("toks_b"),
         F.col("n_toks").alias("n_b"),
     )
-    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols]
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
+        F.col("szb") == F.col("szb_b")
+    ]
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - inter
     # size-ratio prune BEFORE the per-pair intersection: J(A,B) <= min/max,
@@ -417,6 +483,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 6,
+    num_tables: int = 4,
     seed: int = 7,
     dim: int = 64,
     max_bucket_size: int = 100000,
@@ -425,19 +492,47 @@ def embedding_near_dup_pairs(
     projection), exact cosine verify >= threshold. In-bucket pair
     expansion — no self-join, no quadratic blowup. Vectors are
     unit-normalized once in the bucketing scan, so the per-pair verify is
-    a single dot product instead of dot + two norms; each vector lands in
-    exactly one bucket, so pairs are unique without a distinct."""
-    from .similarity import lsh_bucket_signature
+    a single dot product instead of dot + two norms.
+
+    ``num_tables`` independent hash tables (different plane seeds) lift
+    recall: a pair colliding with probability p per table is found with
+    probability 1-(1-p)^L overall — e.g. cos=0.9, 6 planes: p~0.40,
+    L=4 -> ~0.87. Cost is linear in L (each vector lands in exactly one
+    bucket per table); a pair found in several tables is deduped on
+    (id_a, id_b) before the verify filter."""
+    from .similarity import _planes_df
 
     unit = emb.select(F.col(id_col), normalize(F.col(vec_col)).alias("_u"))
-    withb = lsh_bucket_signature(unit, "_u", num_planes, seed, dim)
+
+    def _sig(table_seed: int):
+        sig = F.lit(0).cast("long")
+        for plane in _planes_df(unit, dim, num_planes, table_seed):
+            sig = sig * 2 + (dot(F.col("_u"), plane) >= 0).cast("long")
+        return sig
+
+    # all L signatures in ONE scan (planes are plan literals), then explode
+    # to (table, bucket) rows — vs. L unions each rescanning the input
+    stacked = unit.select(
+        F.col(id_col),
+        F.col("_u"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _sig(seed + 1000 * t).alias("lsh_bucket"),
+                )
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select(F.col(id_col), F.col("tb.tbl").alias("tbl"), F.col("tb.lsh_bucket").alias("lsh_bucket"), F.col("_u"))
     payload = F.struct(F.col(id_col).alias("id"), F.col("_u").alias("v"))
-    pairs = _in_bucket_pairs(withb, ["lsh_bucket"], payload, max_bucket_size)
+    pairs = _in_bucket_pairs(stacked, ["tbl", "lsh_bucket"], payload, max_bucket_size)
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             dot(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cos_sim") >= min_cosine)
     )

@@ -162,8 +162,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine threshold — the sf0.01 correctness oracle
+    for dedup_embedding_lsh below, NOT the scale path (quadratic)."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_exact(e, min_cosine=0.4)
+
+
+# -- embedding near-dup: LSH-bucketed (the 100 TB path; rows-only) ---------
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH buckets -> in-bucket pair expansion ->
+    exact cosine verify (operators/dedup.py::embedding_near_dup_pairs).
+    This is the first-class 100 TB path: candidate generation is linear
+    in rows (each vector lands in exactly one bucket per table), the
+    quadratic step is confined to capped buckets, and precision is exact
+    (every emitted pair is verified). Recall vs the exact path is
+    pytest-asserted (tests/test_llm_ops.py); non-SQL-expressible ->
+    rows-only check.
+
+    Parameters are tuned to the fixture's pair distribution (cosine 0.4
+    threshold -> per-table collision p~0.40 at 2 planes, 8 tables ->
+    ~0.98 expected recall of dedup_embedding_cosine's pairs). A
+    production corpus deduping at cosine>=0.95 would raise num_planes
+    (smaller buckets) since p per table rises with similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        e, min_cosine=0.4, num_planes=2, num_tables=8
+    )
 
 
 # -- ANN: brute-force cosine top-k (exact baseline, oracle-checked) --------

@@ -464,7 +464,10 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions",
     oracle="""
     SELECT vec_id,
-           list_reverse_sort(list_slice(embedding::DOUBLE[], 1, 4)) AS top4_sorted,
+           array_to_string(
+               list_transform(list_reverse_sort(list_slice(embedding::DOUBLE[], 1, 4)),
+                              x -> CAST(round(x * 1000000) AS BIGINT)),
+               ',') AS top4_sorted,
            len(embedding) AS dim,
            list_max(embedding::DOUBLE[]) AS max_dim,
            list_min(embedding::DOUBLE[]) AS min_dim,
@@ -474,12 +477,23 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function family over the embedding column: slice, sort,
-    size, extrema, element access — all scan-stage projections."""
+    size, extrema, element access — all scan-stage projections.
+
+    The sorted-slice column is serialized to a comma-joined string of
+    micro-quantized ints (round(x*1e6)) on BOTH sides: the driver's
+    canonicalizer hashes pandas frames and dies on list-typed cells, and
+    raw double->string formatting differs between the JVM and DuckDB."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
-        F.sort_array(F.slice(emb, 1, 4), asc=False).alias("top4_sorted"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.slice(emb, 1, 4), asc=False),
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("top4_sorted"),
         F.size("embedding").alias("dim"),
         F.array_max(emb).alias("max_dim"),
         F.array_min(emb).alias("min_dim"),
