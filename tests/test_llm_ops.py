@@ -248,6 +248,23 @@ def test_connected_components_known_graphs(spark):
     assert sizes == {1: 4, 10: 4, 20: 2}
 
 
+def test_connected_components_unconverged_raises(spark):
+    """A component whose diameter exceeds max_iter must fail loudly
+    (strict default) instead of silently returning split clusters."""
+    import pytest
+
+    from vertica_hadoop_integration__spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["doc_id_a", "doc_id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+    # non-strict: returns (possibly split) labels with a warning only
+    out = connected_components(chain, max_iter=2, strict=False)
+    assert out.count() == 12
+
+
 def test_minhash_clusters_cover_planted_dups(spark, docs_with_planted_dups):
     from vertica_hadoop_integration__spark.operators.graph import dedup_clusters
 

@@ -118,6 +118,101 @@ def test_job_lock_mutual_exclusion(tmp_path):
     l2.release()
 
 
+def test_job_lock_reclaims_dead_owner(tmp_path):
+    """A lock whose recorded pid is dead must be reclaimed, not wedge the
+    job forever (the hard-crash case)."""
+    lock = JobLock(str(tmp_path), "job")
+    # forge a lock file from a crashed process: pid that cannot be alive
+    with open(lock.path, "w") as f:
+        f.write("999999999")
+    assert lock.acquire(), "dead-pid lock was not reclaimed"
+    lock.release()
+    assert not os.path.exists(lock.path)
+
+
+def test_run_incremental_raises_distinct_locked_signal(spark, sf_dir, tmp_path):
+    """Lock held by a LIVE process -> JobLockHeld, not an empty list
+    (an empty list is indistinguishable from 'nothing pending')."""
+    import pytest
+
+    from vertica_hadoop_integration__spark.pipeline import JobLockHeld
+
+    src = _orders_with_month(spark, sf_dir)
+    spec = JobSpec(
+        table_name="orders",
+        source_path=sf_dir,
+        target_path=str(tmp_path / "out"),
+        primary_id="order_month",
+        num_partitions=2,
+        output_format="parquet",
+    )
+    ledger_path = str(tmp_path / "ledger")
+    lock_dir = os.path.join(ledger_path, "_locks")
+    holder = JobLock(lock_dir, "orders")
+    assert holder.acquire()  # we are alive -> no reclaim
+    try:
+        with pytest.raises(JobLockHeld):
+            run_incremental(spark, spec, src, ledger_path)
+    finally:
+        holder.release()
+
+
+def test_pipeline_logs_every_step(spark, sf_dir, tmp_path, caplog):
+    """P8 audit trail (EtlLogger, sqoop_etl.py:28): each pipeline step is
+    logged with its parameters before/after execution."""
+    import logging
+
+    src = _orders_with_month(spark, sf_dir)
+    spec = JobSpec(
+        table_name="orders",
+        source_path=sf_dir,
+        target_path=str(tmp_path / "out"),
+        primary_id="order_month",
+        num_partitions=2,
+        output_format="parquet",
+    )
+    with caplog.at_level(logging.INFO, logger="spark_etl.orders"):
+        run_incremental(
+            spark, spec, src, str(tmp_path / "ledger"), max_iterations=1
+        )
+    text = caplog.text
+    for step in (
+        "step=lock_acquired",
+        "step=enqueue",
+        "step=extract_start",
+        "step=extract_done",
+        "step=ledger_flip",
+        "step=drained",
+        "step=lock_released",
+    ):
+        assert step in text, f"missing audit step: {step}"
+    assert "job=orders" in text
+
+
+def test_write_atomic_overwrite_leaves_no_debris(spark, sf_dir, tmp_path):
+    """Overwrite commits the new data, removes the moved-aside old copy,
+    and never leaves .replaced/.inprogress dirs on the happy path."""
+    n1 = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "t")
+    write_atomic(n1, path, output_format="parquet")
+    write_atomic(n1.limit(5), path, output_format="parquet")
+    assert spark.read.parquet(path).count() == 5
+    debris = [p for p in os.listdir(tmp_path) if ".replaced" in p or ".inprogress" in p]
+    assert debris == []
+
+
+def test_cli_pause_file_skips_run(tmp_path, capsys):
+    from vertica_hadoop_integration__spark.cli import RC_PAUSED, main
+
+    pause = tmp_path / "PAUSE"
+    pause.write_text("maintenance")
+    rc = main(
+        ["run", "nonexistent.yaml", "--pause-file", str(pause)]
+    )
+    assert rc == RC_PAUSED
+    assert "ALERT" in capsys.readouterr().err
+
+
 def test_compact_path_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     from vertica_hadoop_integration__spark.sources.maintenance import compact_path
     from vertica_hadoop_integration__spark.sources import load_table

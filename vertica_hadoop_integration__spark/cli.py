@@ -2,18 +2,36 @@
 job per table, run_sqoop_job.sh:15-25).
 
     python -m vertica_hadoop_integration__spark.cli run job.yaml [job2.yaml ...]
-        [--ledger DIR] [--source-table NAME] [--sf-dir DIR]
+        [--ledger DIR] [--source-table NAME] [--sf-dir DIR] [--pause-file PATH]
 
 Each yaml is a JobSpec (jobspec.py). Jobs run sequentially like the
 reference's shell loop; locking makes concurrent invocations safe.
+
+Operational guards mirroring run_sqoop_job.sh:2-9:
+* pause file — when present, the run is SKIPPED with a nonzero exit and
+  an alert line (the reference's operator kill-switch before cron fires);
+* lock contention — a job whose lock is held by a live run is reported
+  and skipped (alert to stderr, nonzero exit) instead of silently doing
+  nothing.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import functions as F
+
+RC_OK = 0
+RC_LOCKED = 1
+RC_PAUSED = 2
+
+
+def _alert(msg: str) -> None:
+    """The reference emailed on pause/contention (run_sqoop_job.sh:4-8);
+    headless equivalent: a greppable ALERT line on stderr."""
+    print(f"ALERT spark-etl-engine: {msg}", file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -23,15 +41,24 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("specs", nargs="+", help="job yaml files")
     run.add_argument("--ledger", default="/tmp/spark_etl_ledger")
     run.add_argument("--sf-dir", default=None, help="override source dir for fixture tables")
+    run.add_argument(
+        "--pause-file",
+        default=os.environ.get("SPARK_GRAFT_PAUSE_FILE", "/tmp/spark_etl_pause"),
+        help="skip the whole run (rc=2) while this file exists",
+    )
     args = p.parse_args(argv)
 
+    if os.path.exists(args.pause_file):
+        _alert(f"pause file present ({args.pause_file}); skipping run")
+        return RC_PAUSED
+
     from .jobspec import JobSpec
-    from .pipeline import run_incremental
+    from .pipeline import JobLockHeld, run_incremental
     from .session import get_session
     from .sources import TABLES, load_table
 
     spark = get_session("spark-etl-engine-cli")
-    rc = 0
+    rc = RC_OK
     for spec_path in args.specs:
         spec = JobSpec.from_yaml(spec_path)
         src_dir = args.sf_dir or spec.source_path
@@ -46,7 +73,12 @@ def main(argv: list[str] | None = None) -> int:
                 spec.primary_id,
                 F.date_trunc("month", F.col(base)).cast("date").cast("string"),
             )
-        done = run_incremental(spark, spec, source, args.ledger)
+        try:
+            done = run_incremental(spark, spec, source, args.ledger)
+        except JobLockHeld as e:
+            _alert(f"{spec.table_name}: lock held by a live run ({e.lock_path}); skipped")
+            rc = RC_LOCKED
+            continue
         print(f"{spec.table_name}: {len(done)} partition(s) written")
     return rc
 

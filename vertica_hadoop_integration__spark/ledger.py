@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import uuid
 
+from .locking import FileLock
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -59,8 +60,17 @@ class Ledger:
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # Ledger-scoped writer lock: every mutation is a whole-snapshot
+        # read-modify-write, so two concurrent writers on DIFFERENT tables
+        # sharing one ledger path (two jobs, or a stream plus a batch run)
+        # would otherwise lose each other's rows — last snapshot wins.
+        # Serializing the read->union->swap critical section closes that;
+        # readers stay lock-free (the pointer swap is atomic).
+        self._write_lock = FileLock(os.path.join(path, "_WRITE_LOCK"))
         if not os.path.exists(self._pointer_path()):
-            self._write_snapshot(self.spark.createDataFrame([], LEDGER_SCHEMA))
+            with self._write_lock:
+                if not os.path.exists(self._pointer_path()):
+                    self._write_snapshot(self.spark.createDataFrame([], LEDGER_SCHEMA))
 
     # -- commit protocol ---------------------------------------------------
     def _pointer_path(self) -> str:
@@ -101,56 +111,58 @@ class Ledger:
         """Insert a pending row for every partition value absent from the
         ledger (anti-join semantics -> idempotent re-runs). ``parts`` must
         have a single string column ``part``. Returns rows inserted."""
-        current = self.read()
-        seen = current.filter(F.col("table_name") == table_name).select(
-            F.col("primary_partition_value").alias("part")
-        )
-        new = parts.select(F.col("part").cast("string").alias("part")).join(
-            F.broadcast(seen), on=["part"], how="left_anti"
-        )
-        new_rows = new.select(
-            F.lit(table_name).alias("table_name"),
-            F.lit(hive_db).alias("hive_db"),
-            F.current_timestamp().alias("start_date"),
-            F.lit(None).cast("timestamp").alias("end_date"),
-            F.lit(partition_column).cast("string").alias("primary_partition_column"),
-            F.col("part").alias("primary_partition_value"),
-            F.lit("f").alias("is_complete"),
-            F.lit(num_mappers).cast("int").alias("num_mappers"),
-        )
-        n = new_rows.count()
-        if n:
-            self._write_snapshot(current.unionByName(new_rows))
-        return n
+        with self._write_lock:
+            current = self.read()
+            seen = current.filter(F.col("table_name") == table_name).select(
+                F.col("primary_partition_value").alias("part")
+            )
+            new = parts.select(F.col("part").cast("string").alias("part")).join(
+                F.broadcast(seen), on=["part"], how="left_anti"
+            )
+            new_rows = new.select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(hive_db).alias("hive_db"),
+                F.current_timestamp().alias("start_date"),
+                F.lit(None).cast("timestamp").alias("end_date"),
+                F.lit(partition_column).cast("string").alias("primary_partition_column"),
+                F.col("part").alias("primary_partition_value"),
+                F.lit("f").alias("is_complete"),
+                F.lit(num_mappers).cast("int").alias("num_mappers"),
+            )
+            n = new_rows.count()
+            if n:
+                self._write_snapshot(current.unionByName(new_rows))
+            return n
 
     def enqueue_whole_table(
         self, table_name: str, hive_db: str, num_mappers: int
     ) -> int:
         """Whole-table mode (PRIMARY_ID='': one NULL-keyed row,
         sqoop_table.py:141-143)."""
-        current = self.read()
-        exists = not (
-            current.filter(
-                (F.col("table_name") == table_name)
-                & F.col("primary_partition_value").isNull()
+        with self._write_lock:
+            current = self.read()
+            exists = not (
+                current.filter(
+                    (F.col("table_name") == table_name)
+                    & F.col("primary_partition_value").isNull()
+                )
+                .limit(1)
+                .isEmpty()
             )
-            .limit(1)
-            .isEmpty()
-        )
-        if exists:
-            return 0
-        row = self.spark.range(1).select(
-            F.lit(table_name).alias("table_name"),
-            F.lit(hive_db).alias("hive_db"),
-            F.current_timestamp().alias("start_date"),
-            F.lit(None).cast("timestamp").alias("end_date"),
-            F.lit(None).cast("string").alias("primary_partition_column"),
-            F.lit(None).cast("string").alias("primary_partition_value"),
-            F.lit("f").alias("is_complete"),
-            F.lit(num_mappers).cast("int").alias("num_mappers"),
-        )
-        self._write_snapshot(current.unionByName(row))
-        return 1
+            if exists:
+                return 0
+            row = self.spark.range(1).select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(hive_db).alias("hive_db"),
+                F.current_timestamp().alias("start_date"),
+                F.lit(None).cast("timestamp").alias("end_date"),
+                F.lit(None).cast("string").alias("primary_partition_column"),
+                F.lit(None).cast("string").alias("primary_partition_value"),
+                F.lit("f").alias("is_complete"),
+                F.lit(num_mappers).cast("int").alias("num_mappers"),
+            )
+            self._write_snapshot(current.unionByName(row))
+            return 1
 
     # -- S1/S2: oldest pending (sqoop_table.py:39-52) ----------------------
     def next_pending(self, table_name: str) -> str | None:
@@ -177,17 +189,20 @@ class Ledger:
 
     # -- S14: mark complete (sqoop_table.py:59-66) -------------------------
     def mark_complete(self, table_name: str, partition_value: str | None) -> None:
-        current = self.read()
-        match = (F.col("table_name") == table_name) & (
-            F.col("primary_partition_value").eqNullSafe(F.lit(partition_value))
-        )
-        updated = current.withColumn(
-            "is_complete", F.when(match, F.lit("t")).otherwise(F.col("is_complete"))
-        ).withColumn(
-            "end_date", F.when(match, F.current_timestamp()).otherwise(F.col("end_date"))
-        )
-        self._write_snapshot(updated)
+        with self._write_lock:
+            current = self.read()
+            match = (F.col("table_name") == table_name) & (
+                F.col("primary_partition_value").eqNullSafe(F.lit(partition_value))
+            )
+            updated = current.withColumn(
+                "is_complete", F.when(match, F.lit("t")).otherwise(F.col("is_complete"))
+            ).withColumn(
+                "end_date",
+                F.when(match, F.current_timestamp()).otherwise(F.col("end_date")),
+            )
+            self._write_snapshot(updated)
 
     # -- S15: delete rows (sqoop_table.py:68-73) ---------------------------
     def delete_table(self, table_name: str) -> None:
-        self._write_snapshot(self.read().filter(F.col("table_name") != table_name))
+        with self._write_lock:
+            self._write_snapshot(self.read().filter(F.col("table_name") != table_name))

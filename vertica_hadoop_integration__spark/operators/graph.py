@@ -13,6 +13,8 @@ scale, persist+unpersist or checkpoint to HDFS instead — same shape).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -22,12 +24,19 @@ def connected_components(
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     ``edges`` is an undirected pair list; isolated nodes absent from it
     simply form their own singleton components downstream (left join +
-    coalesce at the call site)."""
+    coalesce at the call site).
+
+    If the fixpoint is not reached within ``max_iter`` rounds (component
+    diameter exceeds it), labels are WRONG — one component would be
+    silently split into several. ``strict=True`` (default) raises in
+    that case; ``strict=False`` logs a warning and returns the partial
+    labels (callers that only need a conservative over-partitioning)."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -38,6 +47,7 @@ def connected_components(
         sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("label"))
     ).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.u == labels.node)
@@ -54,7 +64,7 @@ def connected_components(
                 ),
             )
         ).localCheckpoint()
-        changed = (
+        stable = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
             .filter(F.col("n.label") != F.col("o.label"))
@@ -62,8 +72,18 @@ def connected_components(
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if stable:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (component diameter exceeds it); labels would split a "
+            "single component into several"
+        )
+        if strict:
+            raise RuntimeError(msg + " — raise max_iter or pass strict=False")
+        logging.getLogger(__name__).warning(msg)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -21,37 +21,43 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .etl_logging import EtlLogger
 from .jobspec import JobSpec
 from .ledger import Ledger
+from .locking import FileLock
 from .operators.relational import pending_partition_pipeline
 from .sources.writers import write_atomic
 
 
+class JobLockHeld(RuntimeError):
+    """The job's lock is held by a live process — a distinct signal from
+    'nothing pending' (an empty return used to be ambiguous: a crashed
+    holder would silently stall the pipeline forever)."""
+
+    def __init__(self, lock_path: str):
+        super().__init__(f"job lock held: {lock_path}")
+        self.lock_path = lock_path
+
+
 class JobLock:
     """Mutual exclusion per job name (reference: JobLock, sqoop_etl.py:29,
-    92-94,104). O_CREAT|O_EXCL lock file; released in finally."""
+    92-94,104). FileLock underneath: pid-stamped, and a lock whose owner
+    pid is dead is reclaimed automatically — a hard-crashed run no longer
+    wedges the job permanently."""
 
     def __init__(self, lock_dir: str, name: str):
         os.makedirs(lock_dir, exist_ok=True)
-        self._path = os.path.join(lock_dir, f"{name}.lock")
-        self._fd: int | None = None
+        self._lock = FileLock(os.path.join(lock_dir, f"{name}.lock"))
+
+    @property
+    def path(self) -> str:
+        return self._lock.path
 
     def acquire(self) -> bool:
-        try:
-            self._fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(self._fd, str(os.getpid()).encode())
-            return True
-        except FileExistsError:
-            return False
+        return self._lock.acquire(blocking=False)
 
     def release(self) -> None:
-        if self._fd is not None:
-            os.close(self._fd)
-            self._fd = None
-            try:
-                os.remove(self._path)
-            except FileNotFoundError:
-                pass
+        self._lock.release()
 
 
 def enqueue_pending(
@@ -121,23 +127,37 @@ def run_incremental(
 ) -> list[str]:
     """The full E1 state machine: lock -> enqueue unseen -> loop oldest-
     pending-first until drained -> unlock. Idempotent: re-runs enqueue
-    nothing new and completed partitions are never re-extracted."""
+    nothing new and completed partitions are never re-extracted.
+
+    Raises :class:`JobLockHeld` when another LIVE run holds the lock (a
+    dead holder's lock is reclaimed transparently) — callers can tell
+    "locked out" apart from "nothing to do". Every step is logged before
+    it executes (P8 audit trail, sqoop_etl.py:28)."""
+    log = EtlLogger(spec.table_name)
     lock = JobLock(lock_dir or os.path.join(ledger_path, "_locks"), spec.table_name)
     if not lock.acquire():
-        return []
+        log.warn("lock_contended", lock=lock.path)
+        raise JobLockHeld(lock.path)
+    log.step("lock_acquired", lock=lock.path)
     try:
         ledger = Ledger(spark, ledger_path)
-        enqueue_pending(spark, spec, ledger, source)
+        n_new = enqueue_pending(spark, spec, ledger, source)
+        log.step("enqueue", new_partitions=n_new)
         done: list[str] = []
         while ledger.pending_exists(spec.table_name):
             value = ledger.next_pending(spec.table_name)
+            log.step("extract_start", partition=value, num_partitions=spec.num_partitions)
             out = backup_partition(spec, source, value)
+            log.step("extract_done", partition=value, path=out)
             ledger.mark_complete(spec.table_name, value)
+            log.step("ledger_flip", partition=value, is_complete="t")
             done.append(out)
             if max_iterations and len(done) >= max_iterations:
                 break
             if not spec.primary_id:
                 break  # whole-table mode: single iteration (sqoop_etl.py:81-82)
+        log.step("drained", partitions_written=len(done))
         return done
     finally:
         lock.release()
+        log.step("lock_released", lock=lock.path)

@@ -87,9 +87,26 @@ def write_atomic(
     swap this for a manifest commit. Guarantees a reader never sees a
     half-written partition directory, and a crashed job leaves only an
     ``.inprogress`` dir that a re-run ignores (idempotence via the ledger's
-    is_complete flag)."""
+    is_complete flag).
+
+    Overwrite path: the previous committed directory is atomically moved
+    ASIDE (never deleted in place) before the new one is renamed in — a
+    crash between the two renames leaves the old data recoverable at
+    ``<final>.replaced-<id>`` instead of permanently lost, and a
+    concurrent reader that resolved the path before the swap still reads
+    a complete directory. The aside copy is deleted only after the new
+    directory is committed."""
     tmp = f"{final_path}.inprogress-{uuid.uuid4().hex[:8]}"
     write_columnar(df, tmp, **kwargs)
+    aside = None
     if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.replace(tmp, final_path)
+        aside = f"{final_path}.replaced-{uuid.uuid4().hex[:8]}"
+        os.replace(final_path, aside)
+    try:
+        os.replace(tmp, final_path)
+    except BaseException:
+        if aside is not None:
+            os.replace(aside, final_path)  # restore the old committed data
+        raise
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
