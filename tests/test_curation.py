@@ -1,0 +1,153 @@
+"""Corpus-curation operators: deterministic sampling, stratification,
+mixture reporting, quantization, radius search, cluster-canonical
+cleaning. Correctness invariants + the plan-shape properties the 100 TB
+story depends on (map-only sampling, broadcast query side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.operators import corpus as C
+from vertica_hadoop_integration__spark.operators.similarity import range_search
+from vertica_hadoop_integration__spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_systematic_sample_deterministic_and_map_only(docs):
+    s1 = C.systematic_sample(docs, modulus=7, residue=2)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in C.systematic_sample(docs, modulus=7, residue=2)
+                  .select("doc_id").collect())
+    assert ids1 == ids2 and ids1
+    assert all(i % 7 == 2 for i in ids1)
+    # map-only: no exchange in the plan
+    assert "Exchange" not in s1._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_exact_quota_and_rerun_stable(docs):
+    out = C.stratified_sample(docs, strata_col="lang", n_per_stratum=5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    strata = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, strata[lang])
+    again = C.stratified_sample(docs, strata_col="lang", n_per_stratum=5)
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == \
+           sorted(r.doc_id for r in again.select("doc_id").collect())
+
+
+def test_quality_stratified_keeps_longest(docs):
+    kept = C.quality_stratified_keep(docs, keep_frac=0.3, strata_col="lang")
+    # within each lang, min kept token count >= max dropped token count
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    with_tok = docs.withColumn("ntok", ntok)
+    kept_tok = with_tok.join(kept.select("doc_id"), "doc_id", "left_semi")
+    dropped_tok = with_tok.join(kept.select("doc_id"), "doc_id", "left_anti")
+    mins = {r["lang"]: r["m"] for r in
+            kept_tok.groupBy("lang").agg(F.min("ntok").alias("m")).collect()}
+    maxs = {r["lang"]: r["m"] for r in
+            dropped_tok.groupBy("lang").agg(F.max("ntok").alias("m")).collect()}
+    for lang, lo in mins.items():
+        if lang in maxs:
+            assert lo >= maxs[lang]
+
+
+def test_mixture_report_shares_sum_to_one(docs):
+    rep = C.mixture_report(docs)
+    total_share = rep.agg(F.sum("token_share")).collect()[0][0]
+    assert total_share == pytest.approx(1.0, abs=1e-9)
+    total_docs = rep.agg(F.sum("n_docs")).collect()[0][0]
+    assert total_docs == docs.count()
+
+
+def test_length_histogram_partitions_corpus(docs):
+    hist = C.length_histogram(docs, length_col="n_chars")
+    rows = hist.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.filter(F.col("n_chars") > 0).count()
+    for r in rows:
+        assert r["log2_bucket"] >= 0
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, embs):
+    from vertica_hadoop_integration__spark.functions.vector_fns import (
+        quantize_int8,
+        quantize_scale,
+    )
+
+    q = embs.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8(F.col("embedding")).alias("q"),
+        quantize_scale(F.col("embedding")).alias("scale"),
+    )
+    # every quantized value in [-127, 127]
+    oob = q.filter(
+        F.exists(F.col("q"), lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert oob == 0
+    # reconstruction error bounded by half a step: |x - q*scale| <= scale/2
+    bad = q.filter(
+        F.exists(
+            F.zip_with(
+                F.col("v"), F.col("q"),
+                lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale"))
+                > F.col("scale") * 0.5 + 1e-12,
+            ),
+            lambda b: b,
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_range_search_matches_exact_filter(spark, embs):
+    q = embs.filter(F.col("vec_id") < 5)
+    got = range_search(embs, q, min_cosine=0.3)
+    # oracle: brute-force top-k with huge k, filtered to the radius
+    from vertica_hadoop_integration__spark.operators.similarity import brute_force_topk
+
+    exact = brute_force_topk(embs, q, k=10**6).filter(F.col("cos_sim") >= 0.3)
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert got_pairs == exact_pairs
+    # scale shape: the query side is broadcast, corpus side streams
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_clean_corpus_clusters_subset_of_pairs_strategy(docs):
+    pairs_kept = C.clean_corpus(docs, min_chars=20, min_tokens=5,
+                                min_jaccard=0.7, dedup_strategy="pairs")
+    clust_kept = C.clean_corpus(docs, min_chars=20, min_tokens=5,
+                                min_jaccard=0.7, dedup_strategy="clusters")
+    p_ids = {r.doc_id for r in pairs_kept.select("doc_id").collect()}
+    c_ids = {r.doc_id for r in clust_kept.select("doc_id").collect()}
+    # cluster mode can only drop MORE (transitive closure), never less
+    assert c_ids <= p_ids
+    # both keep at least one doc per exact-text group that passed gates
+    assert c_ids
+
+
+def test_bpe_estimate_tracks_whitespace_tokens(docs):
+    from vertica_hadoop_integration__spark.functions.text_fns import (
+        bpe_token_estimate,
+        token_count,
+    )
+
+    stats = docs.select(
+        bpe_token_estimate(F.col("text")).alias("bpe"),
+        token_count(F.col("text")).alias("ws"),
+    ).agg(F.sum("bpe").alias("bpe"), F.sum("ws").alias("ws")).collect()[0]
+    # BPE-ish count splits punctuation out, so it is >= whitespace count
+    assert stats["bpe"] >= stats["ws"]
+    assert stats["bpe"] <= stats["ws"] * 3  # and not absurdly larger

@@ -74,6 +74,37 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     return pandas_udf(_cos, "double")(a, b)
 
 
+def quantize_int8(a: Column) -> Column:
+    """Symmetric absmax int8 quantization of one embedding: each value
+    maps to floor(x * 127/absmax + 0.5) in [-127, 127] (explicit
+    floor(+0.5) rounding — identical IEEE double ops on any engine,
+    unlike round()'s per-engine tie rules). Returns array<int>; pair
+    with ``quantize_scale`` to reconstruct (x ~ q * absmax/127).
+
+    Shrinks a float32 embedding column 4x — at 100 TB of vectors that is
+    the difference between an index that fits executor memory and one
+    that spills. Map-only projection; computed in the scan stage."""
+    absmax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.lit(127.0) / F.nullif(absmax, F.lit(0.0))
+    return F.transform(
+        a,
+        lambda x: F.coalesce(
+            F.floor(x.cast("double") * scale + F.lit(0.5)), F.lit(0)
+        ).cast("int"),
+    )
+
+
+def quantize_scale(a: Column) -> Column:
+    """The dequantization step size absmax/127 for ``quantize_int8``
+    (0-vectors yield NULL scale and an all-zero quantized array)."""
+    absmax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    return F.nullif(absmax, F.lit(0.0)) / F.lit(127.0)
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize an embedding (array<double> out). Pre-normalizing the
     corpus once turns cosine top-k into dot-product top-k — at 100 TB the

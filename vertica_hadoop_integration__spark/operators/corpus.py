@@ -30,6 +30,7 @@ def clean_corpus(
     min_jaccard: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    dedup_strategy: str = "pairs",
 ) -> DataFrame:
     """Return the cleaned corpus: original columns + ``predicted_lang``.
 
@@ -37,8 +38,20 @@ def clean_corpus(
     gates, computed inline — same thresholds as
     ``text.quality_features``), docs outside ``keep_langs`` (argmax of
     stopword-marker scores; None keeps all), exact duplicates (smallest
-    id per normalized-text hash wins), and the higher-id member of every
-    verified >= ``min_jaccard`` near-duplicate pair."""
+    id per normalized-text hash wins), and near-duplicates at
+    >= ``min_jaccard``.
+
+    ``dedup_strategy`` picks the near-dup keep rule:
+
+    * ``"pairs"`` — drop the higher-id member of every verified pair.
+      One extra anti-join; can over-keep when two docs are only
+      transitively similar through a higher-id hub (pairs (a,c),(b,c)
+      keep both a and b).
+    * ``"clusters"`` — connected components over the verified pairs,
+      keep only the minimum id of each component (graph.py::
+      dedup_clusters). Exact under chains at the cost of the iterative
+      label-propagation rounds (O(cluster diameter), shallow for
+      near-dup graphs)."""
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tok = token_count(text)
@@ -77,17 +90,143 @@ def clean_corpus(
         .drop("_rn")
     )
 
-    # near-dedup: drop the higher-id side of each verified pair
-    drops = (
-        minhash_dedup(
-            exact_canon,
-            text_col=text_col,
-            id_col=id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            min_jaccard=min_jaccard,
-        )
-        .select(F.col("doc_id_b").alias(id_col))
-        .distinct()
+    pairs = minhash_dedup(
+        exact_canon,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
     )
+    if dedup_strategy == "clusters":
+        from .graph import dedup_clusters
+
+        # every non-canonical member of a component is a drop
+        drops = (
+            dedup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    else:
+        # near-dedup: drop the higher-id side of each verified pair
+        drops = (
+            pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+        )
     return exact_canon.join(drops, on=id_col, how="left_anti")
+
+
+# -- corpus curation: sampling, stratification, mixture reporting ----------
+#
+# The selection half of a training-data pipeline: once cleaned, a corpus
+# is SAMPLED (deterministically — reruns must pick the same docs),
+# STRATIFIED (per-language/source quotas or quality cuts), and its
+# MIXTURE measured (what share of tokens comes from where). All pure
+# DataFrame ops: one window per stratum (shuffle on the stratum key,
+# never on doc id) or a single groupBy — nothing driver-side, no UDFs.
+
+
+def systematic_sample(
+    df: DataFrame, modulus: int, residue: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 1-in-``modulus`` sample: keep rows where
+    ``id % modulus = residue``. Map-only (runs inside the scan stage);
+    rerun-stable and cheap to reproduce on any engine. For id spaces
+    with stride patterns, hash the id first (see ``stratified_sample``'s
+    md5 ordering) — the fixture ids are dense so plain mod is unbiased."""
+    return df.filter(F.col(id_col) % modulus == residue)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, chosen by md5 of the
+    id — a deterministic pseudo-random order that any engine reproduces
+    (no RNG state, no partition-order dependence). One shuffle on the
+    stratum key; the window prunes to n rows per stratum map-side
+    before the final sort of each group."""
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def quality_stratified_keep(
+    df: DataFrame,
+    keep_frac: float = 0.2,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each stratum by token count (longer
+    docs first — the simple monotone quality proxy; swap the order
+    expression for a model score column at no plan change). percent_rank
+    is used so the cut adapts to stratum size; ties break by id for
+    determinism."""
+    n_tok = token_count(F.col(text_col))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("_n_tok"), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_n_tok", n_tok)
+        .withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= keep_frac)
+        .drop("_n_tok", "_pr")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mixture: per (lang, source) doc counts, token sums, and
+    share of all tokens. One groupBy (partial aggregation map-side), then
+    a scalar total joined back via a windowless cross-broadcast — the
+    grouped frame is dimension-sized, so the share division is free.
+    Token arithmetic goes through DECIMAL so the shares are
+    order-independent (float partial-agg reordering would drift)."""
+    n_tok = token_count(F.col(text_col)).cast("decimal(18,0)")
+    grouped = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("_tok"),
+    )
+    total = grouped.agg(F.sum("_tok").alias("_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .select(
+            *group_cols,
+            "n_docs",
+            F.col("_tok").cast("long").alias("n_tokens"),
+            # double division of the two EXACT decimal sums — never
+            # decimal/decimal (result-scale rules differ across engines)
+            (F.col("_tok").cast("double") / F.col("_total").cast("double")).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame, length_col: str = "n_chars"
+) -> DataFrame:
+    """Power-of-two length histogram: bucket = floor(log2(len)), with doc
+    counts and per-bucket char totals. The canonical corpus-shape
+    diagnostic (truncation spikes, boilerplate bands show up as bucket
+    anomalies). Single groupBy over a map-side bucket expression."""
+    bucket = F.floor(F.log2(F.col(length_col).cast("double"))).cast("int")
+    return (
+        df.filter(F.col(length_col) > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(length_col).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("total_chars"),
+        )
+    )

@@ -68,6 +68,36 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All corpus vectors within ``min_cosine`` of each query (radius
+    search — the retrieval mode dedup and contamination checks use,
+    where the neighbor COUNT is unknown a priori so top-k is the wrong
+    shape). Same plan skeleton as ``brute_force_topk`` minus the window:
+    broadcast query side, one corpus scan, threshold filter evaluated
+    inside the scan stage — output is only the qualifying pairs, so no
+    shuffle at all."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
 # -- IVF (inverted file) ----------------------------------------------------
 
 

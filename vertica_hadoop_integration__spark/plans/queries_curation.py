@@ -1,0 +1,246 @@
+"""Corpus-curation queries: the selection half of a training-data
+pipeline — deterministic sampling, stratified quotas and quality cuts,
+mixture reporting, token budgeting, embedding quantization, radius
+similarity search, and event-stream dedup.
+
+These extend the reference's data-movement surface with the operations a
+100 TB corpus build runs between "cleaned" and "shipped" (the cleaning
+composition itself is ``pipeline_clean_corpus``). All are pure DataFrame
+programs over the fixture tables; every SQL-expressible one carries a
+DuckDB oracle.
+
+Cross-engine determinism rules (same as queries_llm):
+* pseudo-random orderings come from md5 of ids, never RNG state;
+* ratio outputs are computed as double divisions of EXACT integer/
+  decimal aggregates (never decimal/decimal division — result-scale
+  rules differ across engines);
+* list outputs are serialized with array_join/array_to_string (list
+  cells break the harness canonicalizer);
+* explicit floor(x+0.5) rounding, never round() (per-engine tie rules).
+
+NOTE plans/__init__ import order: the first three registrations here are
+deliberately the window picks for the driver's first-50 correctness
+window (see plans/__init__.py) — keep them first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus as C
+from ..operators import similarity as S
+from ..sources import load_table
+from .registry import register
+
+
+# -- stratified sampling (window pick #1) ----------------------------------
+@register(
+    "corpus_sample_stratified",
+    oracle="""
+    WITH r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, text, lang, source, n_chars
+    FROM r WHERE rn <= 20
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-language sample, ordered by md5(doc_id): rerun-
+    stable on any engine (no RNG), one shuffle on the stratum key."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample(d, strata_col="lang", n_per_stratum=20)
+
+
+# -- mixture report (window pick #2) ---------------------------------------
+@register(
+    "corpus_mixture_report",
+    oracle=r"""
+    WITH g AS (
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+        FROM documents GROUP BY lang, source)
+    SELECT lang, source, n_docs,
+           CAST(tok AS BIGINT) AS n_tokens,
+           CAST(tok AS DOUBLE) / CAST(sum(tok) OVER () AS DOUBLE) AS token_share
+    FROM g
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) doc counts, token sums, and share of all
+    tokens — the mixture table a data recipe is written against."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.mixture_report(d)
+
+
+# -- BPE-ish token estimate (window pick #3) -------------------------------
+@register(
+    "text_bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+                AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-free BPE token-count estimate (letter runs | digits |
+    single other chars) for corpus token budgets."""
+    from ..functions.text_fns import bpe_token_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_token_estimate(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+# -- systematic sampling ---------------------------------------------------
+@register(
+    "corpus_sample_systematic",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def corpus_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-10 deterministic sample; map-only, runs inside the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.systematic_sample(d, modulus=10, residue=3).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# -- quality-stratified keep ------------------------------------------------
+@register(
+    "corpus_quality_stratified",
+    oracle=r"""
+    WITH t AS (
+        SELECT *, len(string_split_regex(lower(trim(text)), '\s+')) AS ntok
+        FROM documents),
+         r AS (
+        SELECT *, percent_rank() OVER (
+                   PARTITION BY lang ORDER BY ntok DESC, doc_id) AS pr
+        FROM t)
+    SELECT doc_id, text, lang, source, n_chars
+    FROM r WHERE pr <= 0.2
+    """,
+)
+def corpus_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20% of each language by token count (monotone quality proxy;
+    swap in a model score column at no plan change)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.quality_stratified_keep(d, keep_frac=0.2, strata_col="lang").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# -- length histogram ------------------------------------------------------
+@register(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS INT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return C.length_histogram(d, length_col="n_chars")
+
+
+# -- embedding int8 quantization -------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               embedding::DOUBLE[] AS v,
+               list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)),
+                              'max') AS absmax
+        FROM embeddings)
+    SELECT vec_id,
+           array_to_string(
+               list_transform(v, x -> CAST(coalesce(
+                   floor(x * (127.0 / nullif(absmax, 0.0)) + 0.5), 0) AS INT)),
+               ',') AS q_int8,
+           nullif(absmax, 0.0) / 127.0 AS scale
+    FROM t
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization (4x smaller vectors); the
+    quantized array is serialized to a comma string for the harness."""
+    from ..functions.vector_fns import quantize_int8, quantize_scale
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.array_join(quantize_int8(F.col("embedding")), ",").alias("q_int8"),
+        quantize_scale(F.col("embedding")).alias("scale"),
+    )
+
+
+# -- radius similarity search ----------------------------------------------
+@register(
+    "ann_range_search",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings)
+    SELECT query_id, neighbor_id,
+           list_cosine_similarity(qv, cv) AS cos_sim
+    FROM q, c
+    WHERE neighbor_id <> query_id
+      AND list_cosine_similarity(qv, cv) >= 0.3
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors within cosine >= 0.3 of each query (radius search —
+    the retrieval mode contamination checks use; neighbor count unknown
+    a priori, so top-k is the wrong shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.range_search(e, q, min_cosine=0.3)
+
+
+# -- event-stream exact dedup ----------------------------------------------
+@register(
+    "events_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           min(event_id) AS canonical_event_id,
+           count(*) AS n_copies
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on (user_id, event_type, ts) — the batch form of
+    at-least-once ingestion cleanup (streaming form:
+    dropDuplicatesWithinWatermark, streaming/loader.py). Shuffles only
+    the key + id, smallest event_id wins."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type", "ts").agg(
+        F.min("event_id").alias("canonical_event_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# -- cluster-canonical corpus cleaning (rows-only) -------------------------
+@register("pipeline_clean_corpus_clustered")
+def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_corpus with dedup_strategy='clusters': near-dup drops come
+    from connected components over verified pairs (exact under chains —
+    pairwise drop can over-keep docs that are only transitively similar
+    through a higher-id hub). Non-SQL-expressible (LSH + iterative CC);
+    keep-set invariants pytest-asserted (tests/test_curation.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.clean_corpus(
+        d, min_chars=20, min_tokens=5, min_jaccard=0.7,
+        dedup_strategy="clusters",
+    )

@@ -217,16 +217,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, q, k=5)
 
 
-# -- ANN: same top-k through the Arrow/pandas-UDF scoring kernel -----------
-# rows-only: numpy's pairwise summation isn't bitwise-identical to the
-# sequential fold; pair-set equality vs the exact path is pytest-asserted.
-@register("ann_cosine_topk_arrow")
-def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector_fns import cosine_arrow
-
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    return S.brute_force_topk(e, q, k=5, scorer=cosine_arrow)
+# ann_cosine_topk_arrow moved to queries_extras.py (below the correctness
+# window; the exact primary above is the family's oracle-checked row)
 
 
 # -- ANN: IVF approximate top-k (scale path; rows-only + pytest recall) ----

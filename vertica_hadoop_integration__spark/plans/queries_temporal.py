@@ -119,15 +119,5 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.kmv_distinct(o, "o_custkey", ("o_orderstatus",), k=64)
 
 
-@register("sketch_hll_distinct")
-def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return K.hll_distinct(o, "o_custkey", ("o_orderstatus",), rsd=0.02)
-
-
-@register("sketch_approx_quantiles")
-def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return K.approx_quantiles(
-        li, "l_extendedprice", ("l_returnflag",), probabilities=(0.25, 0.5, 0.75, 0.95)
-    )
+# sketch_hll_distinct / sketch_approx_quantiles moved to queries_extras.py
+# (below the correctness window; kmv stays here as the family's checked row)
