@@ -138,6 +138,50 @@ def test_clean_corpus_clusters_subset_of_pairs_strategy(docs):
     assert c_ids
 
 
+def test_decontaminate_flags_eval_docs_and_drop_matches_flag(docs):
+    ev_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    ev = C.eval_shingle_set(ev_docs, shingle_n=5)
+    flagged = C.decontaminate(docs, ev, shingle_n=5, mode="flag")
+    # every eval doc shares its own shingles -> must be flagged
+    ev_ids = {r.doc_id for r in ev_docs.select("doc_id").collect()}
+    hit_ids = {r.doc_id for r in
+               flagged.filter(F.col("is_contaminated") == 1).collect()}
+    assert ev_ids <= hit_ids
+    # drop mode keeps exactly the unflagged rows
+    clean = C.decontaminate(docs, ev, shingle_n=5, mode="drop")
+    assert clean.count() == flagged.filter(F.col("is_contaminated") == 0).count()
+    assert {r.doc_id for r in clean.select("doc_id").collect()} & hit_ids == set()
+
+
+def test_minhash_probe_matches_batch_dedup(docs):
+    """Probing a batch against a prebuilt index finds exactly the
+    cross-parity pairs the one-shot dedup finds on the union (same
+    hash family both sides), without re-reading corpus text."""
+    from vertica_hadoop_integration__spark.operators import dedup as D
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bands_df, verify_df = D.minhash_index(corpus, num_hashes=16, bands=8)
+    probed = D.minhash_probe(
+        bands_df, verify_df, batch, num_hashes=16, bands=8, min_jaccard=0.7
+    )
+    got = {(min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id))
+           for r in probed.collect()}
+    full = D.minhash_dedup(docs, num_hashes=16, bands=8, min_jaccard=0.7)
+    want = {(r.doc_id_a, r.doc_id_b) for r in full.collect()
+            if r.doc_id_a % 2 != r.doc_id_b % 2}
+    assert got == want
+    # self-probe sanity: a batch probed against its own index pairs every
+    # doc with itself at jaccard 1.0
+    b2, v2 = D.minhash_index(batch, num_hashes=16, bands=8)
+    self_pairs = D.minhash_probe(b2, v2, batch, num_hashes=16, bands=8,
+                                 min_jaccard=0.99)
+    ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    self_hits = {r.new_id for r in self_pairs.filter(
+        F.col("new_id") == F.col("corpus_id")).collect()}
+    assert self_hits == ids
+
+
 def test_bpe_estimate_tracks_whitespace_tokens(docs):
     from vertica_hadoop_integration__spark.functions.text_fns import (
         bpe_token_estimate,

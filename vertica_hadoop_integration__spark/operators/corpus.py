@@ -115,6 +115,66 @@ def clean_corpus(
     return exact_canon.join(drops, on=id_col, how="left_anti")
 
 
+def decontaminate(
+    df: DataFrame,
+    eval_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing any word
+    ``shingle_n``-gram with the evaluation set.
+
+    ``eval_shingles`` is a one-column frame (``shingle``) of the eval
+    suite's n-grams (see :func:`eval_shingle_set`) — small by nature
+    (benchmarks are MBs, corpora are TBs), so it is broadcast and the
+    check runs as a map-side semi-join of the exploded doc shingles: one
+    corpus scan, no shuffle of corpus data. ``mode='flag'`` returns
+    (id, is_contaminated 0/1) for every doc; ``mode='drop'`` returns the
+    clean rows of ``df``."""
+    from ..functions.text_fns import shingles
+
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    hit_ids = (
+        doc_sh.join(F.broadcast(eval_shingles), on="shingle", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return df.join(hit_ids, on=id_col, how="left_anti")
+    return (
+        df.select(id_col)
+        .join(hit_ids.withColumn("_hit", F.lit(1)), on=id_col, how="left")
+        .select(
+            F.col(id_col), F.coalesce(F.col("_hit"), F.lit(0)).alias("is_contaminated")
+        )
+    )
+
+
+def eval_shingle_set(
+    eval_docs: DataFrame, text_col: str = "text", shingle_n: int = 5
+) -> DataFrame:
+    """The distinct word n-grams of an evaluation suite, as the
+    one-column (``shingle``) frame :func:`decontaminate` consumes.
+    Computed once per benchmark release and persisted."""
+    from ..functions.text_fns import shingles
+
+    return (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+
+
 # -- corpus curation: sampling, stratification, mixture reporting ----------
 #
 # The selection half of a training-data pipeline: once cleaned, a corpus

@@ -200,6 +200,130 @@ def minhash_dedup(
     )
 
 
+# -- incremental MinHash: persisted index + probe ---------------------------
+#
+# The production dedup shape: a 100 TB corpus is deduped ONCE, its LSH
+# index persisted; every new ingest batch then probes the index without
+# re-scanning corpus text. Write both frames bucketed — bands_df by
+# (band_idx, band_hash), verify_df by the id — and the probe joins
+# become co-located (zero corpus-side shuffle per batch).
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent dedup index for ``df``: returns
+    ``(bands_df, verify_df)``.
+
+    * ``bands_df`` — (id, band_idx, band_hash): the LSH bucket table,
+      one row per (doc, band). Candidate generation for a new batch is
+      an equi-join against it.
+    * ``verify_df`` — (id, sh): each doc's distinct 64-bit shingle
+      hashes, for exact-Jaccard verification without touching corpus
+      text again. Jaccard over hashed shingles equals Jaccard over
+      shingles up to 64-bit collisions (~n^2/2^64 — negligible).
+
+    Both are computed in one signature pass (the shingle explode feeds
+    the signature aggregation; the verify set is an extra collect_set
+    aggregate on the same groupBy — no second scan)."""
+    rows_per_band = num_hashes // bands
+    staged = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ] + [F.collect_set(F.col("_h")).alias("sh")]
+    sigs = staged.groupBy(id_col).agg(*aggs)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    bands_df = (
+        sigs.select(F.col(id_col), *band_cols)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash")
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_idx", "band.band_hash")
+    )
+    verify_df = sigs.select(F.col(id_col), F.sort_array(F.col("sh")).alias("sh"))
+    return bands_df, verify_df
+
+
+def minhash_probe(
+    bands_df: DataFrame,
+    verify_df: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an ingest batch against a persisted index: returns verified
+    (new_id, corpus_id, jaccard) pairs at >= ``min_jaccard``.
+
+    Cost is proportional to the BATCH, not the corpus: the batch's band
+    rows equi-join the bucket table (corpus side co-located when written
+    bucketed by (band_idx, band_hash)); only candidate corpus docs'
+    shingle sets are fetched from verify_df (join pruned by candidate
+    ids). Corpus text is never re-read. ``num_hashes``/``bands``/
+    ``shingle_n`` must match the index build — band hashes are seeded
+    the same way on both sides."""
+    new_bands, new_verify = minhash_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cands = (
+        new_bands.select(
+            F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+        )
+        .join(
+            bands_df.select(
+                F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+            ),
+            on=["band_idx", "band_hash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    # verify joins shuffle hash arrays — merge-hint both (broadcasting an
+    # array-carrying side is the known OOM shape, see minhash_dedup)
+    nv = new_verify.select(
+        F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")
+    ).hint("merge")
+    cv = verify_df.select(
+        F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_corpus")
+    ).hint("merge")
+    joined = cands.join(nv, on="new_id").join(cv, on="corpus_id")
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_corpus")))
+    union = F.size(F.col("sh_new")) + F.size(F.col("sh_corpus")) - inter
+    return (
+        joined.select(
+            "new_id",
+            "corpus_id",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -231,6 +231,56 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- benchmark decontamination ---------------------------------------------
+@register(
+    "corpus_decontaminate",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                              i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                   AS sh
+        FROM t),
+    ev AS (SELECT flatten(list(sh)) AS evs FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id,
+           CASE WHEN len(list_intersect(g.sh, ev.evs)) > 0 THEN 1 ELSE 0 END
+               AS is_contaminated
+    FROM g, ev
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the eval set (here: docs with doc_id % 97 = 0 stand in
+    for a benchmark suite). Eval shingles broadcast; the check is a
+    map-side semi-join over one corpus scan — no corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = C.eval_shingle_set(d.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    return C.decontaminate(d, ev, shingle_n=5, mode="flag")
+
+
+# -- incremental dedup: probe an ingest batch against a persisted index ----
+@register("dedup_minhash_probe")
+def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: even doc_ids play the indexed corpus,
+    odd doc_ids the new ingest batch; the batch is deduped against the
+    index without re-reading corpus text (operators/dedup.py::
+    minhash_index/minhash_probe). Non-SQL-expressible (banded xxhash64);
+    pair-set parity with minhash_dedup over the union is
+    pytest-asserted (tests/test_curation.py)."""
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    bands_df, verify_df = D.minhash_index(corpus, num_hashes=16, bands=8)
+    return D.minhash_probe(
+        bands_df, verify_df, batch, num_hashes=16, bands=8, min_jaccard=0.7
+    )
+
+
 # -- cluster-canonical corpus cleaning (rows-only) -------------------------
 @register("pipeline_clean_corpus_clustered")
 def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
