@@ -57,3 +57,38 @@ def test_bucketed_join_elides_shuffle_and_matches(spark, bucketed_tables):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_sorted lays out one contiguous key range per file with tight
+    row-group stats — verified against the actual parquet footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.sources.writers import write_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    dest = str(tmp_path / "sorted_orders")
+    write_sorted(orders, dest, sort_cols=["o_custkey"], num_files=8,
+                 output_format="parquet")
+
+    ranges = []
+    for name in sorted(os.listdir(dest)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dest, name)).metadata
+        col_idx = md.schema.names.index("o_custkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "expected multiple output files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file key ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # nothing lost in the layout shuffle
+    assert spark.read.parquet(dest).count() == orders.count()
