@@ -182,6 +182,18 @@ def test_minhash_probe_matches_batch_dedup(docs):
     assert self_hits == ids
 
 
+def test_embedding_kmeans_covers_corpus(spark, embs):
+    from vertica_hadoop_integration__spark.operators import similarity as S
+
+    cents = S.kmeans_centroids(embs, k=8, iters=2)
+    assert cents.count() == 8
+    assigned = S.assign_to_centroids(embs, cents)
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    rows = sizes.collect()
+    assert sum(r["n"] for r in rows) == embs.count()
+    assert all(r["n"] > 0 for r in rows)
+
+
 def test_bpe_estimate_tracks_whitespace_tokens(docs):
     from vertica_hadoop_integration__spark.functions.text_fns import (
         bpe_token_estimate,

@@ -281,6 +281,25 @@ def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- embedding clustering (iterative k-means; rows-only) -------------------
+@register("embedding_kmeans")
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-style clustering of the embedding corpus: Lloyd's k-means
+    (operators/similarity.py::kmeans_centroids — map-only Arrow
+    assignment, k*dim-row mean shuffle per iteration) followed by a
+    final zero-shuffle assignment pass; returns per-cluster sizes.
+    Iterative + partition-order-seeded -> non-SQL-expressible, rows-only
+    (cluster-count and coverage invariants pytest-asserted)."""
+    from ..operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(e, k=8, iters=3)
+    assigned = SIM.assign_to_centroids(e, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+
+
 # -- cluster-canonical corpus cleaning (rows-only) -------------------------
 @register("pipeline_clean_corpus_clustered")
 def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
