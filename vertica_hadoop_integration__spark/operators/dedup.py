@@ -113,6 +113,27 @@ def minhash_signatures(
     return staged.groupBy(id_col).agg(*aggs)
 
 
+def _sigs_with_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}, sh): MinHash signature plus the doc's distinct
+    64-bit shingle hashes, from ONE explode+groupBy pass — the shared
+    kernel of minhash_dedup and minhash_index."""
+    staged = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ] + [F.collect_set(F.col("_h")).alias("sh")]
+    return staged.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -171,22 +192,57 @@ def minhash_dedup(
     bands: int = 4,
     min_jaccard: float = 0.8,
     shingle_n: int = 3,
+    max_bucket_size: int = 10000,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates -> exact Jaccard verification ->
     keep rows whose pair passes the threshold. Returns verified duplicate
-    pairs (doc_id_a, doc_id_b, jaccard)."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
-    # merge-hint the token side: its rows carry whole shingle arrays, and
-    # the planner's size estimate for a derived projection can land under
-    # the broadcast threshold — broadcasting the ARRAY side is exactly
-    # wrong at corpus scale (observed driver OOM at 50k docs). Sort-merge
-    # shuffles hashes+arrays once, partitioned by id; scale-safe.
-    toks = _spread(df).select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).hint("merge")
+    pairs (doc_id_a, doc_id_b, jaccard).
+
+    One text scan total: signatures AND per-doc hashed shingle sets come
+    out of the same explode+groupBy (the minhash_index shape), cached
+    with persist() so the band branch and both verify branches don't
+    each re-scan text and re-shingle (previously: three scans). persist
+    beats localCheckpoint here: lazy, so the first action computes it in
+    stream with its consumer instead of a separate eager wave, and LRU
+    eviction bounds memory (A/B median 2.9s vs 5.3s at sf0.1).
+    Verification intersects 64-bit hash arrays — equal to raw-shingle
+    Jaccard up to 64-bit collisions (~n^2/2^64) and cheaper than
+    string-array intersection. The cached frame is one row per doc
+    (16 longs + the hash set) — the same thing minhash_index persists;
+    at cluster scale prefer the materialized index itself."""
+    rows_per_band = num_hashes // bands
+    sigs = _sigs_with_sets(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).persist()
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    stacked = sigs.select(F.col(id_col), *band_cols).select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    cands = (
+        _in_bucket_pairs(stacked, ["band_idx", "band_hash"], F.col(id_col), max_bucket_size)
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
+        .distinct()
+    )
+    # merge-hint the set side: its rows carry whole hash arrays, and the
+    # planner's size estimate for a derived projection can land under the
+    # broadcast threshold — broadcasting the ARRAY side is exactly wrong
+    # at corpus scale (observed driver OOM at 50k docs). Sort-merge
+    # shuffles the arrays once, partitioned by id; scale-safe.
+    v = sigs.select(F.col(id_col), F.col("sh")).hint("merge")
     joined = (
-        cands.join(toks.withColumnRenamed(id_col, "doc_id_a").withColumnRenamed("sh", "sh_a"), on="doc_id_a")
-        .join(toks.withColumnRenamed(id_col, "doc_id_b").withColumnRenamed("sh", "sh_b"), on="doc_id_b")
+        cands.join(v.withColumnRenamed(id_col, "doc_id_a").withColumnRenamed("sh", "sh_a"), on="doc_id_a")
+        .join(v.withColumnRenamed(id_col, "doc_id_b").withColumnRenamed("sh", "sh_b"), on="doc_id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
@@ -232,15 +288,7 @@ def minhash_index(
     the signature aggregation; the verify set is an extra collect_set
     aggregate on the same groupBy — no second scan)."""
     rows_per_band = num_hashes // bands
-    staged = _spread(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
-    ).select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(seed))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ] + [F.collect_set(F.col("_h")).alias("sh")]
-    sigs = staged.groupBy(id_col).agg(*aggs)
+    sigs = _sigs_with_sets(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band_{b}"
