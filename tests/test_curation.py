@@ -182,6 +182,24 @@ def test_minhash_probe_matches_batch_dedup(docs):
     assert self_hits == ids
 
 
+def test_redact_pii_scrubs_planted_pii(spark):
+    from vertica_hadoop_integration__spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 today"),
+        (2, "server at 192.168.1.100 is fine"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_redactions)
+           for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in got[1][0] and "<PHONE>" in got[1][0]
+    assert "bob@" not in got[1][0] and "555" not in got[1][0]
+    assert got[1][1] == 2
+    assert got[2] == ("server at <IP> is fine", 1)
+    assert got[3] == ("nothing sensitive here", 0)
+
+
 def test_embedding_kmeans_covers_corpus(spark, embs):
     from vertica_hadoop_integration__spark.operators import similarity as S
 

@@ -577,11 +577,17 @@ def ngram_jaccard_pairs(
         return _bitset_jaccard_pairs(
             df, vocab, text_col, id_col, block_cols, min_jaccard
         )
+    # hash tokens to 64-bit longs before the pair join: the blocked join
+    # then shuffles ~8 bytes per token instead of the token strings, and
+    # array_intersect compares longs — identical jaccard up to 64-bit
+    # collisions (~n^2/2^64), same narrowing minhash_dedup's verify uses
     t = (
         _spread(df).select(
             F.col(id_col),
             *[F.col(c) for c in block_cols],
-            distinct_tokens(F.col(text_col)).alias("toks"),
+            F.array_distinct(
+                F.transform(distinct_tokens(F.col(text_col)), lambda tk: F.xxhash64(tk))
+            ).alias("toks"),
         )
         .withColumn("n_toks", F.size("toks"))
         .withColumn("szb", _size_bucket(F.col("n_toks"), min_jaccard))

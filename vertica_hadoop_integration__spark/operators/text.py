@@ -89,3 +89,38 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(
         F.col(id_col), rolling_fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+# conservative ASCII patterns with identical semantics in Java regex and
+# RE2 (no backrefs, no lookaround) — cross-engine oracle parity
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,14}[0-9]", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora: replace email / phone-number / IP
+    literals with typed placeholder tokens. Pure regexp projection (runs
+    in the scan stage, zero shuffle); patterns are deliberately
+    conservative ASCII classes so any engine applies them identically.
+    Returns (id, clean_text, n_redactions) — the redaction count feeds
+    corpus-quality dashboards (a spike means a leaky source)."""
+    clean = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    n = F.lit(0)
+    for _, token in PII_PATTERNS:
+        # count placeholder occurrences in the redacted text (assumes the
+        # raw corpus doesn't contain the literal placeholders)
+        n = n + (
+            F.length(clean) - F.length(F.replace(clean, F.lit(token), F.lit("")))
+        ) / F.lit(len(token))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n.cast("int").alias("n_redactions"),
+    )

@@ -281,6 +281,36 @@ def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- PII redaction ---------------------------------------------------------
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH r AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g'),
+                   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+               AS clean_text
+        FROM documents)
+    SELECT doc_id, clean_text,
+           CAST((length(clean_text) - length(replace(clean_text, '<EMAIL>', ''))) / 7
+              + (length(clean_text) - length(replace(clean_text, '<PHONE>', ''))) / 7
+              + (length(clean_text) - length(replace(clean_text, '<IP>', ''))) / 4
+              AS INT) AS n_redactions
+    FROM r
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/phone/IP literals -> typed placeholders, with a
+    per-doc redaction count. Pure regexp projection in the scan stage."""
+    from ..operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    return redact_pii(d)
+
+
 # -- embedding clustering (iterative k-means; rows-only) -------------------
 @register("embedding_kmeans")
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
