@@ -104,3 +104,75 @@ def test_salted_join_equals_plain_join(spark, left, right, how):
     )
     want = sorted(map(tuple, l.join(r, on=["k"], how=how).collect()))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=14,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_length_bucket_blocking_is_lossless(spark, docs, threshold):
+    """The size-bucket blocking in ngram_jaccard_pairs must NEVER drop a
+    qualifying pair — for any token multiset population and threshold,
+    blocked pairs == unblocked pairs (the 'provably lossless' claim)."""
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("xx")
+    )
+    blocked = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(df, min_jaccard=threshold).collect()
+    }
+    unblocked = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.0).collect()
+        if r.jaccard >= threshold
+    }
+    assert blocked == unblocked
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_int8_roundtrip_error_bound(spark, vec):
+    """For any float vector: quantized values stay in [-127, 127] and
+    |x - q*scale| <= scale/2 elementwise (zero vectors: q all 0)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from vertica_hadoop_integration__spark.functions.vector_fns import (
+        quantize_int8,
+        quantize_scale,
+    )
+
+    schema = StructType([StructField("embedding", ArrayType(FloatType()))])
+    df = spark.createDataFrame([([float(x) for x in vec],)], schema)
+    row = df.select(
+        quantize_int8(F.col("embedding")).alias("q"),
+        quantize_scale(F.col("embedding")).alias("scale"),
+    ).collect()[0]
+    q, scale = row["q"], row["scale"]
+    assert all(-127 <= v <= 127 for v in q)
+    if scale is None:
+        assert all(v == 0 for v in q)
+    else:
+        import numpy as np
+
+        x = np.array(vec, dtype=np.float32).astype(np.float64)
+        err = np.abs(x - np.array(q, dtype=np.float64) * scale)
+        assert (err <= scale / 2 + 1e-9).all()
