@@ -182,6 +182,39 @@ def test_minhash_probe_matches_batch_dedup(docs):
     assert self_hits == ids
 
 
+def test_repetition_signals_flag_degenerate_docs(spark):
+    from vertica_hadoop_integration__spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "a perfectly ordinary sentence with distinct words throughout"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].repetitive == 1 and got[1].top_token_frac == 1.0
+    assert got[1].dup_2gram_frac == pytest.approx(0.8)  # 5 bigrams, 1 distinct
+    assert got[2].repetitive == 0 and got[2].top_token_frac < 0.3
+
+
+def test_pack_sequences_partitions_token_stream(spark):
+    from vertica_hadoop_integration__spark.operators.text import pack_sequences
+
+    text = " ".join(f"tok{i}" for i in range(130))
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    chunks = sorted(
+        pack_sequences(df, max_tokens=64).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [r.n_tokens for r in chunks] == [64, 64, 2]
+    reassembled = " ".join(r.chunk_text for r in chunks)
+    assert reassembled == text
+    # short doc -> exactly one chunk
+    one = pack_sequences(
+        spark.createDataFrame([(1, "just a few words")], ["doc_id", "text"]),
+        max_tokens=64,
+    ).collect()
+    assert len(one) == 1 and one[0].n_tokens == 4
+
+
 def test_redact_pii_scrubs_planted_pii(spark):
     from vertica_hadoop_integration__spark.operators.text import redact_pii
 

@@ -13,6 +13,7 @@ from ..functions.text_fns import (
     rolling_fingerprint,
     stopword_hits,
     token_count,
+    tokens,
 )
 
 # Tiny per-language marker lexicons for the heuristic n-gram language ID.
@@ -82,6 +83,91 @@ def quality_features(
         F.when((n_chars >= 100) & (n_tok >= 20) & (n_punct * 5 <= n_chars), 1)
         .otherwise(0)
         .alias("quality_ok"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition diagnostics — the standard signals a
+    training-data quality gate cuts on, all computable in the scan stage:
+
+    * ``dup_2gram_frac`` — fraction of word-bigram occurrences that are
+      repeats (1 - distinct/total); boilerplate and degenerate loops
+      score high;
+    * ``top_token_frac`` — share of tokens taken by the single most
+      frequent token ("the the the ..." pathologies);
+    * ``mean_token_len`` — characters per token (machine gibberish and
+      char-level noise drift far from prose's ~4-6);
+    * ``repetitive`` — composite flag at the usual cut points
+      (dup_2gram_frac > 0.2 or top_token_frac > 0.3).
+
+    All ratios are double divisions of exact integer counts (engine-
+    parity rule). Pure projection, zero shuffle."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    grams2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tok - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    n_g2 = F.size(grams2)
+    n_g2_distinct = F.size(F.array_distinct(grams2))
+    # most-frequent-token count without a shuffle: fold over the distinct
+    # tokens, counting each one's occurrences via filter+size — bounded
+    # work because distinct tokens per DOC are bounded, unlike the corpus
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    dup_frac = F.lit(1.0) - n_g2_distinct.cast("double") / n_g2.cast("double")
+    top_frac = top_cnt.cast("double") / n_tok.cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_2gram_frac"),
+        top_frac.alias("top_token_frac"),
+        (
+            F.length(F.col(text_col)).cast("double") / n_tok.cast("double")
+        ).alias("mean_token_len"),
+        F.when((dup_frac > 0.2) | (top_frac > 0.3), 1).otherwise(0).alias("repetitive"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk documents into fixed-token-budget training sequences:
+    each doc's token stream is split into consecutive ``max_tokens``-token
+    chunks (last chunk ragged). Output (id, chunk_idx, chunk_text,
+    n_tokens) — the example-granularity frame a tokenizer/packer consumes.
+
+    Map-only: chunk boundaries are positions in the per-row token array
+    (sequence + slice), exploded without any shuffle; at 100 TB the
+    explode multiplies rows inside the scan stage and downstream
+    repartitioning is the consumer's choice. Cross-doc bin packing (fill
+    the tail of one doc's last chunk with the next doc's tokens) is
+    deliberately NOT done here — it destroys doc provenance and forces a
+    global order; modern packers do it tokenizer-side per batch."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks).cast("double") / F.lit(max_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * max_tokens + 1, max_tokens)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_text"),
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
     )
 
 

@@ -281,6 +281,76 @@ def dedup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- repetition / degeneracy signals ---------------------------------------
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, text, toks, len(toks) AS n_tok,
+               list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                              i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                   AS g2
+        FROM t),
+    s AS (
+        SELECT doc_id, n_tok, length(text) AS n_chars,
+               len(g2) AS n_g2, len(list_distinct(g2)) AS n_g2d,
+               list_max(list_transform(list_distinct(toks),
+                        tk -> len(list_filter(toks, x -> x = tk)))) AS top_cnt
+        FROM g)
+    SELECT doc_id,
+           CAST(n_tok AS INT) AS n_tokens,
+           1.0 - CAST(n_g2d AS DOUBLE) / CAST(n_g2 AS DOUBLE) AS dup_2gram_frac,
+           CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_token_frac,
+           CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_token_len,
+           CASE WHEN 1.0 - CAST(n_g2d AS DOUBLE) / CAST(n_g2 AS DOUBLE) > 0.2
+                  OR CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.3
+                THEN 1 ELSE 0 END AS repetitive
+    FROM s
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition diagnostics (duplicate-bigram fraction,
+    top-token share, mean token length, composite flag) — scan-stage
+    projections, zero shuffle."""
+    from ..operators.text import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d)
+
+
+# -- fixed-budget sequence packing -----------------------------------------
+@register(
+    "corpus_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               greatest(CAST(ceil(len(toks) / 64.0) AS INT), 1) AS n_chunks
+        FROM t)
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, (i - 1) * 64 + 1, (i - 1) * 64 + 64),
+                           ' ') AS chunk_text,
+           CAST(len(list_slice(toks, (i - 1) * 64 + 1, (i - 1) * 64 + 64)) AS INT)
+               AS n_tokens
+    FROM c, unnest(generate_series(1, n_chunks)) AS s(i)
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into consecutive 64-token training sequences
+    (last chunk ragged) — map-only explode in the scan stage."""
+    from ..operators.text import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, max_tokens=64)
+
+
 # -- PII redaction ---------------------------------------------------------
 @register(
     "text_redact_pii",
