@@ -182,6 +182,31 @@ def test_minhash_probe_matches_batch_dedup(docs):
     assert self_hits == ids
 
 
+def test_gap_fill_locf_dense_grid(spark):
+    import datetime as dt
+
+    from vertica_hadoop_integration__spark.operators.temporal import gap_fill_locf
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(minutes=3), 2.0),
+        ("b", t0 + dt.timedelta(minutes=1), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = sorted(
+        gap_fill_locf(ev).collect(), key=lambda r: (r.event_type, r.bucket_ts)
+    )
+    a = [r for r in got if r.event_type == "a"]
+    b = [r for r in got if r.event_type == "b"]
+    # dense: every minute in [min, max] for every key
+    assert len(a) == 4 and len(b) == 4
+    assert [r.n_events for r in a] == [1, 0, 0, 1]
+    assert [r.locf_value for r in a] == [1.0, 1.0, 1.0, 2.0]
+    # key b: NULL until first observation, then carried forward
+    assert [r.locf_value for r in b] == [None, 5.0, 5.0, 5.0]
+
+
 def test_repetition_signals_flag_degenerate_docs(spark):
     from vertica_hadoop_integration__spark.operators.text import repetition_signals
 

@@ -215,3 +215,68 @@ def refresh_rollup(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    granularity: str = "minute",
+) -> DataFrame:
+    """Regularize an event stream onto a dense time grid: one row per
+    (key, bucket) for EVERY bucket between the stream's min and max,
+    with missing buckets filled by last-observation-carried-forward
+    (the timeseries resampling step a hypertable serves dashboards
+    from; absent from the reference's SQL surface like the other
+    temporal ops).
+
+    Output: key cols, bucket_ts, n_events (0 on gaps), total_value
+    (NULL-on-gap), locf_value (carried forward; NULL until a key's
+    first observation).
+
+    Scale shape: the bucket aggregation is one shuffle of
+    (key, bucket) partials; the dense spine is keys x sequence(min,
+    max) — generated by exploding ONE timestamp sequence per key (the
+    global [min, max] pair is a 1-row broadcast), never a driver loop.
+    The LOCF window partitions by key ordered by bucket — the same
+    single shuffle the spine join already established. Spine size is
+    keys x buckets, independent of event count: at 100 TB of events a
+    minute grid over a year is 525k rows per key — trivial next to the
+    input."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts")
+    agg = events.groupBy(*key_cols, bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    bounds = events.agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("_lo"),
+        F.date_trunc(granularity, F.max(ts_col)).alias("_hi"),
+    )
+    keys = events.select(*key_cols).distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.expr(f"interval 1 {granularity}")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = spine.join(agg, on=[*key_cols, "bucket_ts"], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("total_value"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    )

@@ -400,6 +400,45 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- timeseries gap fill (dense grid + LOCF) -------------------------------
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    agg AS (
+        SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM e GROUP BY 1, 2),
+    b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+                 date_trunc('minute', max(ts)) AS hi FROM e),
+    k AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+        SELECT k.event_type, s.bucket_ts
+        FROM k, b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE))
+             AS s(bucket_ts)),
+    j AS (
+        SELECT spine.event_type, spine.bucket_ts, agg.n_events, agg.total_value
+        FROM spine LEFT JOIN agg USING (event_type, bucket_ts))
+    SELECT event_type, bucket_ts,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           total_value,
+           last_value(total_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM j
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-minute grid per event_type with last-observation-
+    carried-forward over gaps (operators/temporal.py::gap_fill_locf)."""
+    from ..operators.temporal import gap_fill_locf
+
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill_locf(e, ts_col="ts", key_cols=("event_type",),
+                         value_col="value", granularity="minute")
+
+
 # -- cluster-canonical corpus cleaning (rows-only) -------------------------
 @register("pipeline_clean_corpus_clustered")
 def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
