@@ -85,6 +85,51 @@ def test_asof_join_matches_naive(spark, left, right):
 
 @settings(max_examples=10, deadline=None)
 @given(
+    left=st.lists(_EVENT, min_size=1, max_size=10),
+    right=st.lists(_EVENT, min_size=0, max_size=10),
+    direction=st.sampled_from(["forward", "nearest"]),
+)
+def test_asof_join_directions_match_naive(spark, left, right, direction):
+    rdeduped: dict[tuple[int, int], int] = {}
+    for u, s, v in right:
+        rdeduped[(u, s)] = max(rdeduped.get((u, s), -1), v)
+    rrows = [(u, s, v) for (u, s), v in rdeduped.items()]
+
+    out = T.asof_join(
+        _df(spark, left), _df(spark, rrows), on="user_id", direction=direction
+    ).collect()
+
+    def expected(u, s):
+        back = [(s2, v) for (u2, s2), v in rdeduped.items() if u2 == u and s2 <= s]
+        fwd = [(s2, v) for (u2, s2), v in rdeduped.items() if u2 == u and s2 >= s]
+        if direction == "forward":
+            pick = min(fwd) if fwd else None
+        else:  # nearest: closer wins, tie -> backward
+            b = max(back) if back else None
+            f = min(fwd) if fwd else None
+            if b is None:
+                pick = f
+            elif f is None:
+                pick = b
+            else:
+                pick = b if (s - b[0]) <= (f[0] - s) else f
+        if pick is None:
+            return (None, None)
+        return (T0 + datetime.timedelta(seconds=pick[0]), float(pick[1]))
+
+    got = sorted(
+        (r["user_id"], r["ts"], r["value"], r["asof_ts"], r["asof_value"])
+        for r in out
+    )
+    want = sorted(
+        (u, T0 + datetime.timedelta(seconds=s), float(v), *expected(u, s))
+        for u, s, v in left
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
     left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=1, max_size=15
     ),

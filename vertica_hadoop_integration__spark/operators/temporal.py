@@ -37,19 +37,25 @@ def asof_join(
     value_cols: tuple[str, ...] = ("value",),
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the newest right row with
-    ``right.ts <= left.ts`` (direction="backward") sharing the join key.
+    """For each left row, attach the matching right row sharing the join
+    key: the newest with ``right.ts <= left.ts`` (``backward``, the
+    default), the oldest with ``right.ts >= left.ts`` (``forward``), or
+    whichever of the two is closer in time (``nearest``, ties to the
+    backward match) — the pandas ``merge_asof`` direction surface.
 
     Implementation: tag both sides, union, and carry right-side values
-    forward with ``last(..., ignorenulls=True)`` over a window ordered by
-    (ts, side) — right rows sort before left rows at equal ts, so a
+    with ``last(..., ignorenulls=True)`` over a window ordered by
+    (ts, side) — ascending for backward, descending for forward; right
+    rows sort before left rows at equal ts in either direction, so a
     same-timestamp right row IS visible to the left row. One shuffle on
-    the join key; nothing is broadcast, nothing loops on the driver.
+    the join key; ``nearest`` adds only a second sort (both windows
+    share the exchange), nothing is broadcast, nothing loops on the
+    driver.
 
     Output: every left row + ``asof_ts`` + ``asof_<v>`` for each value
-    col (NULL when no prior right row exists — left-join semantics)."""
-    if direction != "backward":
-        raise ValueError("only direction='backward' is implemented")
+    col (NULL when no match in the direction — left-join semantics)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
     lcols = left.columns
     r = right.select(
         F.col(on),
@@ -64,21 +70,55 @@ def asof_join(
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols if c != on],
     )
-    w = (
+    unioned = r.unionByName(l, allowMissingColumns=True)
+
+    def _carry(w, prefix: str):
+        return [
+            F.last("_r_ts", ignorenulls=True).over(w).alias(f"{prefix}ts"),
+            *[
+                F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}")
+                for v in value_cols
+            ],
+        ]
+
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l, allowMissingColumns=True).select(
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "backward":
+        carried_cols = _carry(w_back, "asof_")
+    elif direction == "forward":
+        carried_cols = _carry(w_fwd, "asof_")
+    else:
+        carried_cols = _carry(w_back, "_b_") + _carry(w_fwd, "_f_")
+    carried = unioned.select(
         *[F.col(c) for c in [on, "_t", "_side"]],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
-            for v in value_cols
-        ],
+        *carried_cols,
         *[F.col(c) for c in lcols if c != on],
     )
-    return carried.filter(F.col("_side") == 1).select(
+    out = carried.filter(F.col("_side") == 1)
+    if direction == "nearest":
+        # closer side wins; NULL side loses; tie -> backward
+        b_closer = F.col("_b_ts").isNotNull() & (
+            F.col("_f_ts").isNull()
+            | (F.col("_t").cast("double") - F.col("_b_ts").cast("double")
+               <= F.col("_f_ts").cast("double") - F.col("_t").cast("double"))
+        )
+        pick = lambda v: F.when(b_closer, F.col(f"_b_{v}")).otherwise(  # noqa: E731
+            F.col(f"_f_{v}")
+        )
+        out = out.select(
+            "*",
+            pick("ts").alias("asof_ts"),
+            *[pick(v).alias(f"asof_{v}") for v in value_cols],
+        )
+    return out.select(
         *[F.col(c) for c in lcols],
         F.col("asof_ts"),
         *[F.col(f"asof_{v}") for v in value_cols],

@@ -400,6 +400,41 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- forward as-of join ----------------------------------------------------
+@register(
+    "asof_join_forward",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS value FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+           CAST(c.ts AS TIMESTAMP) AS asof_ts, c.value AS asof_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase annotated with the user's NEXT click at or after it
+    (forward as-of — attribution windows look this way). Same
+    union+window single-shuffle plan as the backward variant, descending
+    order (operators/temporal.py::asof_join direction='forward')."""
+    from ..operators import temporal as T
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return T.asof_join(
+        purchases, clicks, on="user_id", value_cols=("value",),
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
 # -- timeseries gap fill (dense grid + LOCF) -------------------------------
 @register(
     "events_gap_fill_locf",
