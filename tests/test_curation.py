@@ -207,6 +207,31 @@ def test_gap_fill_locf_dense_grid(spark):
     assert [r.locf_value for r in b] == [None, 5.0, 5.0, 5.0]
 
 
+def test_gap_fill_interpolate_blends_linearly(spark):
+    import datetime as dt
+
+    from vertica_hadoop_integration__spark.operators.temporal import (
+        gap_fill_interpolate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(minutes=3), 4.0),
+        ("b", t0 + dt.timedelta(minutes=2), 7.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = sorted(
+        gap_fill_interpolate(ev).collect(),
+        key=lambda r: (r.event_type, r.bucket_ts),
+    )
+    a = [r.interp_value for r in got if r.event_type == "a"]
+    b = [r.interp_value for r in got if r.event_type == "b"]
+    assert a == [1.0, 2.0, 3.0, 4.0]  # linear blend across the gap
+    # no extrapolation: NULL before first / after last observation
+    assert b == [None, None, 7.0, None]
+
+
 def test_repetition_signals_flag_degenerate_docs(spark):
     from vertica_hadoop_integration__spark.operators.text import repetition_signals
 

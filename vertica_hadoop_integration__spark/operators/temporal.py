@@ -284,6 +284,32 @@ def gap_fill_locf(
     keys x buckets, independent of event count: at 100 TB of events a
     minute grid over a year is 525k rows per key — trivial next to the
     input."""
+    joined = _dense_grid(events, ts_col, key_cols, value_col, granularity)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("total_value"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+def _dense_grid(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    granularity: str,
+) -> DataFrame:
+    """Shared spine of the gap-fill family: per-(key, bucket) aggregates
+    left-joined onto the dense keys x [min, max] bucket grid (bounds are
+    a 1-row broadcast; buckets come from exploding one sequence per key,
+    never a driver loop)."""
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts")
     agg = events.groupBy(*key_cols, bucket).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -307,16 +333,45 @@ def gap_fill_locf(
             ).alias("bucket_ts"),
         )
     )
-    joined = spine.join(agg, on=[*key_cols, "bucket_ts"], how="left")
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return spine.join(agg, on=[*key_cols, "bucket_ts"], how="left")
+
+
+def gap_fill_interpolate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    granularity: str = "minute",
+) -> DataFrame:
+    """Gap fill by linear interpolation: observed buckets keep their
+    aggregate; gaps between two observations get the time-weighted blend
+    v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev); gaps
+    before the first / after the last observation stay NULL (no
+    extrapolation). Same dense spine and single (key-partitioned)
+    exchange as gap_fill_locf — the ascending and descending carry
+    windows share it, adding only a second sort."""
+    joined = _dense_grid(events, ts_col, key_cols, value_col, granularity)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_prev = Window.partitionBy(*key_cols).orderBy(F.col("bucket_ts").asc()).rowsBetween(*frame)
+    w_next = Window.partitionBy(*key_cols).orderBy(F.col("bucket_ts").desc()).rowsBetween(*frame)
+    obs_ts = F.when(F.col("total_value").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("total_value", ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_prev)
+    next_v = F.last("total_value", ignorenulls=True).over(w_next)
+    next_t = F.last(obs_ts, ignorenulls=True).over(w_next)
+    t = F.col("bucket_ts").cast("double")
+    blend = prev_v + (next_v - prev_v) * (t - prev_t.cast("double")) / (
+        next_t.cast("double") - prev_t.cast("double")
+    )
+    interp = (
+        F.when(F.col("total_value").isNotNull(), F.col("total_value"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), blend)
+        .otherwise(F.lit(None).cast("double"))
     )
     return joined.select(
         *key_cols,
         "bucket_ts",
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.col("total_value"),
-        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        interp.alias("interp_value"),
     )

@@ -474,6 +474,62 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                          value_col="value", granularity="minute")
 
 
+# -- timeseries gap fill (linear interpolation) ----------------------------
+@register(
+    "events_gap_fill_interpolate",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    agg AS (
+        SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM e GROUP BY 1, 2),
+    b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+                 date_trunc('minute', max(ts)) AS hi FROM e),
+    k AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+        SELECT k.event_type, s.bucket_ts
+        FROM k, b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MINUTE))
+             AS s(bucket_ts)),
+    j AS (
+        SELECT spine.event_type, spine.bucket_ts, agg.n_events, agg.total_value
+        FROM spine LEFT JOIN agg USING (event_type, bucket_ts)),
+    c AS (
+        SELECT *,
+               last_value(total_value IGNORE NULLS) OVER wasc AS prev_v,
+               last_value(CASE WHEN total_value IS NOT NULL THEN bucket_ts END
+                          IGNORE NULLS) OVER wasc AS prev_t,
+               last_value(total_value IGNORE NULLS) OVER wdesc AS next_v,
+               last_value(CASE WHEN total_value IS NOT NULL THEN bucket_ts END
+                          IGNORE NULLS) OVER wdesc AS next_t
+        FROM j
+        WINDOW wasc AS (PARTITION BY event_type ORDER BY bucket_ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wdesc AS (PARTITION BY event_type ORDER BY bucket_ts DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, bucket_ts,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           total_value,
+           CASE WHEN total_value IS NOT NULL THEN total_value
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                     prev_v + (next_v - prev_v)
+                     * (epoch(bucket_ts) - epoch(prev_t))
+                     / (epoch(next_t) - epoch(prev_t))
+                ELSE NULL END AS interp_value
+    FROM c
+    """,
+)
+def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-minute grid with linear interpolation across gaps (no
+    extrapolation past the observed range) —
+    operators/temporal.py::gap_fill_interpolate."""
+    from ..operators.temporal import gap_fill_interpolate
+
+    e = load_table(spark, sf_dir, "events")
+    return gap_fill_interpolate(e, ts_col="ts", key_cols=("event_type",),
+                                value_col="value", granularity="minute")
+
+
 # -- cluster-canonical corpus cleaning (rows-only) -------------------------
 @register("pipeline_clean_corpus_clustered")
 def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
