@@ -207,6 +207,28 @@ def test_gap_fill_locf_dense_grid(spark):
     assert [r.locf_value for r in b] == [None, 5.0, 5.0, 5.0]
 
 
+def test_funnel_respects_event_order(spark):
+    import datetime as dt
+
+    from vertica_hadoop_integration__spark.operators.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", m(0)), (1, "click", m(1)), (1, "purchase", m(2)),
+        # user 2: clicked BEFORE viewing -> reaches view only
+        (2, "click", m(0)), (2, "view", m(1)),
+        # user 3: view+click but purchase precedes the click -> stops at click
+        (3, "view", m(0)), (3, "purchase", m(1)), (3, "click", m(2)),
+        # user 4: never viewed -> in no stage
+        (4, "purchase", m(0)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r.stage: r.n_users for r in funnel(ev).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
 def test_gap_fill_interpolate_blends_linearly(spark):
     import datetime as dt
 

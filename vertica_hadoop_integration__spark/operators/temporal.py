@@ -375,3 +375,49 @@ def gap_fill_interpolate(
         F.col("total_value"),
         interp.alias("interp_value"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k when they have a
+    stage-k event at-or-after their (earliest qualifying) stage-(k-1)
+    event. Returns one row per stage: (stage_idx, stage, n_users).
+
+    Physical shape: cascaded min-aggregations, each stage one
+    filter+join+groupBy on the user key — every shuffle is on the SAME
+    key, so after the first exchange the join/groupBy pairs are
+    co-partitioned and AQE coalesces the rest. The per-stage frontier
+    (user, earliest qualifying ts) is user-cardinality-sized, never
+    event-sized. No window over full event history, no per-user
+    collect."""
+    cur = None
+    counts = []
+    for i, s in enumerate(stages):
+        ev = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if cur is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(cur.select("u", F.col("t").alias("_t_prev")), on="u")
+                .filter(F.col("t") >= F.col("_t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -530,6 +530,38 @@ def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 value_col="value", granularity="minute")
 
 
+# -- conversion funnel -----------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view'
+           GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+           JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel: users reaching each
+    stage at-or-after their previous stage's earliest qualifying event
+    (operators/temporal.py::funnel — cascaded user-key min-aggregations,
+    frontier frames are user-sized, not event-sized)."""
+    from ..operators.temporal import funnel
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel(e, stages=("view", "click", "purchase"))
+
+
 # -- cluster-canonical corpus cleaning (rows-only) -------------------------
 @register("pipeline_clean_corpus_clustered")
 def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
