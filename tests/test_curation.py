@@ -227,6 +227,11 @@ def test_funnel_respects_event_order(spark):
     ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
     got = {r.stage: r.n_users for r in funnel(ev).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+    # attribution window: user 3's click came 2 min after view -> a
+    # 1-minute max_lag cuts them from the click stage (and user 1 stays)
+    windowed = {r.stage: r.n_users
+                for r in funnel(ev, max_lag="1 minute").collect()}
+    assert windowed == {"view": 3, "click": 1, "purchase": 1}
 
 
 def test_gap_fill_interpolate_blends_linearly(spark):

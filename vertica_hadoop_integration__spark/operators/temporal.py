@@ -383,10 +383,13 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_lag: str | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: a user reaches stage k when they have a
     stage-k event at-or-after their (earliest qualifying) stage-(k-1)
-    event. Returns one row per stage: (stage_idx, stage, n_users).
+    event — and, when ``max_lag`` is given (an INTERVAL string like
+    ``'30 minutes'``), no later than that after it (the attribution
+    window). Returns one row per stage: (stage_idx, stage, n_users).
 
     Physical shape: cascaded min-aggregations, each stage one
     filter+join+groupBy on the user key — every shuffle is on the SAME
@@ -404,9 +407,14 @@ def funnel(
         if cur is None:
             cur = ev.groupBy("u").agg(F.min("t").alias("t"))
         else:
+            qualifies = F.col("t") >= F.col("_t_prev")
+            if max_lag is not None:
+                qualifies = qualifies & (
+                    F.col("t") <= F.col("_t_prev") + F.expr(f"interval {max_lag}")
+                )
             cur = (
                 ev.join(cur.select("u", F.col("t").alias("_t_prev")), on="u")
-                .filter(F.col("t") >= F.col("_t_prev"))
+                .filter(qualifies)
                 .groupBy("u")
                 .agg(F.min("t").alias("t"))
             )
