@@ -130,6 +130,54 @@ def test_asof_join_directions_match_naive(spark, left, right, direction):
 
 @settings(max_examples=10, deadline=None)
 @given(
+    left=st.lists(_EVENT, min_size=1, max_size=10),
+    right=st.lists(_EVENT, min_size=0, max_size=10),
+)
+def test_asof_join_interpolate_matches_naive(spark, left, right):
+    rdeduped: dict[tuple[int, int], int] = {}
+    for u, s, v in right:
+        rdeduped[(u, s)] = max(rdeduped.get((u, s), -1), v)
+    rrows = [(u, s, v) for (u, s), v in rdeduped.items()]
+
+    out = T.asof_join(
+        _df(spark, left), _df(spark, rrows), on="user_id",
+        direction="interpolate",
+    ).collect()
+
+    def expected(u, s):
+        back = [(s2, v) for (u2, s2), v in rdeduped.items() if u2 == u and s2 <= s]
+        fwd = [(s2, v) for (u2, s2), v in rdeduped.items() if u2 == u and s2 >= s]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        ts = lambda p: T0 + datetime.timedelta(seconds=p[0])  # noqa: E731
+        if b is None and f is None:
+            return (None, None, None)
+        if b is None:
+            return (None, ts(f), float(f[1]))
+        if f is None:
+            return (ts(b), None, float(b[1]))
+        frac = (s - b[0]) / (f[0] - b[0]) if f[0] > b[0] else 0.0
+        return (ts(b), ts(f), float(b[1]) + (float(f[1]) - float(b[1])) * frac)
+
+    got = sorted(
+        (r["user_id"], r["ts"], r["value"],
+         r["asof_prev_ts"], r["asof_next_ts"], r["asof_value"])
+        for r in out
+    )
+    want = sorted(
+        (u, T0 + datetime.timedelta(seconds=s), float(v), *expected(u, s))
+        for u, s, v in left
+    )
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5]
+        if w[5] is None:
+            assert g[5] is None
+        else:
+            assert abs(g[5] - w[5]) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
     left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=1, max_size=15
     ),

@@ -41,7 +41,11 @@ def asof_join(
     key: the newest with ``right.ts <= left.ts`` (``backward``, the
     default), the oldest with ``right.ts >= left.ts`` (``forward``), or
     whichever of the two is closer in time (``nearest``, ties to the
-    backward match) — the pandas ``merge_asof`` direction surface.
+    backward match) — the pandas ``merge_asof`` direction surface —
+    or the time-weighted linear blend of both (``interpolate``:
+    v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev),
+    clamped to the single available side at the series edges, NULL when
+    neither side matches; value cols must be numeric).
 
     Implementation: tag both sides, union, and carry right-side values
     with ``last(..., ignorenulls=True)`` over a window ordered by
@@ -53,8 +57,10 @@ def asof_join(
     driver.
 
     Output: every left row + ``asof_ts`` + ``asof_<v>`` for each value
-    col (NULL when no match in the direction — left-join semantics)."""
-    if direction not in ("backward", "forward", "nearest"):
+    col (NULL when no match in the direction — left-join semantics).
+    ``interpolate`` instead emits ``asof_prev_ts``/``asof_next_ts`` (the
+    bracketing timestamps) + blended ``asof_<v>``."""
+    if direction not in ("backward", "forward", "nearest", "interpolate"):
         raise ValueError(f"unknown direction: {direction}")
     lcols = left.columns
     r = right.select(
@@ -95,7 +101,7 @@ def asof_join(
         carried_cols = _carry(w_back, "asof_")
     elif direction == "forward":
         carried_cols = _carry(w_fwd, "asof_")
-    else:
+    else:  # nearest / interpolate need both carries
         carried_cols = _carry(w_back, "_b_") + _carry(w_fwd, "_f_")
     carried = unioned.select(
         *[F.col(c) for c in [on, "_t", "_side"]],
@@ -117,6 +123,27 @@ def asof_join(
             "*",
             pick("ts").alias("asof_ts"),
             *[pick(v).alias(f"asof_{v}") for v in value_cols],
+        )
+    elif direction == "interpolate":
+        # blend fraction along [prev_ts, next_ts]; an exact-timestamp
+        # match (prev == next == t) degenerates to the backward value
+        tb = F.col("_b_ts").cast("double")
+        tf = F.col("_f_ts").cast("double")
+        t = F.col("_t").cast("double")
+        frac = F.when(tf > tb, (t - tb) / (tf - tb)).otherwise(F.lit(0.0))
+
+        def blend(v: str) -> Column:
+            b, f = F.col(f"_b_{v}"), F.col(f"_f_{v}")
+            return F.when(
+                b.isNotNull() & f.isNotNull(),
+                b.cast("double") + (f.cast("double") - b.cast("double")) * frac,
+            ).otherwise(F.coalesce(b, f).cast("double"))
+
+        return out.select(
+            *[F.col(c) for c in lcols],
+            F.col("_b_ts").alias("asof_prev_ts"),
+            F.col("_f_ts").alias("asof_next_ts"),
+            *[blend(v).alias(f"asof_{v}") for v in value_cols],
         )
     return out.select(
         *[F.col(c) for c in lcols],

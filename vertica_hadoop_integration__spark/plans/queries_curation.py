@@ -435,6 +435,62 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
 
 
+# -- interpolated as-of join -----------------------------------------------
+@register(
+    "asof_join_interpolate",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS value FROM events
+               WHERE event_type = 'click' GROUP BY user_id, ts),
+         b AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+                      c.ts AS prev_ts, c.value AS prev_v
+               FROM p ASOF LEFT JOIN c
+               ON p.user_id = c.user_id AND p.ts >= c.ts),
+         f AS (SELECT p.event_id, c.ts AS next_ts, c.value AS next_v
+               FROM p ASOF LEFT JOIN c
+               ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT b.event_id, b.user_id, CAST(b.ts AS TIMESTAMP) AS ts, b.value,
+           CAST(prev_ts AS TIMESTAMP) AS asof_prev_ts,
+           CAST(next_ts AS TIMESTAMP) AS asof_next_ts,
+           CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                     prev_v + (next_v - prev_v)
+                     * (CASE WHEN epoch(next_ts) > epoch(prev_ts)
+                             THEN (epoch(b.ts) - epoch(prev_ts))
+                                  / (epoch(next_ts) - epoch(prev_ts))
+                             ELSE 0.0 END)
+                ELSE CAST(coalesce(prev_v, next_v) AS DOUBLE)
+           END AS asof_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase annotated with the time-weighted blend of the
+    user's bracketing clicks (linear interpolation between the backward
+    and forward as-of matches; clamps to the only available side at the
+    series edges). Same union+window single-shuffle plan — both carry
+    windows share one exchange (operators/temporal.py::asof_join
+    direction='interpolate')."""
+    from ..operators import temporal as T
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return T.asof_join(
+        purchases, clicks, on="user_id", value_cols=("value",),
+        direction="interpolate",
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        "asof_prev_ts", "asof_next_ts", "asof_value",
+    )
+
+
 # -- timeseries gap fill (dense grid + LOCF) -------------------------------
 @register(
     "events_gap_fill_locf",
