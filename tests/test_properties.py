@@ -201,6 +201,39 @@ def test_salted_join_equals_plain_join(spark, left, right, how):
 
 @settings(max_examples=8, deadline=None)
 @given(
+    points=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 40)),  # (lo, span)
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([1.0, 7.0, 25.0, 1000.0]),
+)
+def test_range_join_bucketed_equals_broadcast(spark, points, intervals, width):
+    """Bucketing rewrite must be result-identical to the broadcast
+    nested-loop plan for any bucket width, including overlapping and
+    zero-length intervals and boundary-exact points."""
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], ["pid", "p"]
+    )
+    idf = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(intervals)],
+        ["iid", "lo", "hi"],
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in T.range_join_bucketed(
+            pdf, idf, "p", bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid) for r in T.range_join_point(pdf, idf, "p").collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
     docs=st.lists(
         st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
         min_size=2,

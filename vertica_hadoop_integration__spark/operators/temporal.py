@@ -178,6 +178,47 @@ def range_join_point(
     )
 
 
+def range_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Point-in-interval join for interval tables TOO LARGE to broadcast
+    — the bucketing rewrite ``range_join_point``'s docstring promises:
+    every interval explodes into the fixed-width buckets it overlaps,
+    every fact row maps to exactly ONE bucket (``floor(p/width)``), the
+    two sides equi-join on bucket id (a plain shuffled hash join — no
+    nested loop, no broadcast), and the exact range predicate re-checks
+    candidates.
+
+    Result-identical to ``range_join_point`` for any ``bucket_width``
+    (each candidate pair arises once, then is exactly filtered); width
+    only tunes the trade between interval duplication (span/width + 1
+    copies) and per-bucket candidate fan-in. Pick width near the median
+    interval length. Both sides scale: shuffle partitions by bucket id,
+    AQE handles skewed buckets like any hot join key."""
+    w = float(bucket_width)
+    p = F.col(point_col)
+    exploded = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)),
+                F.floor(F.col(hi_col) / F.lit(w)),
+            )
+        ),
+    )
+    bucketed_fact = fact.withColumn("_bucket", F.floor(p / F.lit(w)))
+    return (
+        bucketed_fact.join(exploded, on="_bucket")
+        .filter((p >= F.col(lo_col)) & (p < F.col(hi_col)))
+        .drop("_bucket")
+    )
+
+
 def hypertable_rollup(
     events: DataFrame,
     ts_col: str = "ts",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity as S
 from ..operators import sketches as K
 from ..sources import load_table
+from .queries_temporal import _BANDS, _BANDS_SQL
 from .registry import register
 
 
@@ -35,6 +36,38 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return S.brute_force_topk(e, q, k=5, scorer=cosine_arrow)
+
+
+@register(
+    "range_join_bucketed",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT b.band_id, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def range_join_bucketed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range_join_price_bands through the bucketing rewrite
+    (operators/temporal.py::range_join_bucketed): equi-join on exploded
+    bucket ids instead of a broadcast nested loop — the plan that holds
+    when the interval side is also huge. Same oracle as the broadcast
+    variant; result-identity across any width pytest-asserted."""
+    from ..operators import temporal as T
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    joined = T.range_join_bucketed(
+        li, bands, "l_extendedprice", bucket_width=20000.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
 
 
 @register("sketch_hll_distinct")
