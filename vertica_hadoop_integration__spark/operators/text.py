@@ -210,3 +210,56 @@ def redact_pii(
         clean.alias("clean_text"),
         n.cast("int").alias("n_redactions"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf * ln(N/df)) — the keyword-extraction primitive behind corpus
+    topic profiling and near-duplicate triage dashboards.
+
+    Physical shape, corpus-scale: explode -> groupBy (doc, term) builds
+    term frequencies in one shuffle with map-side combine and NO hot key
+    (the key carries doc_id); document frequencies re-aggregate that
+    (term-keyed, partial-agg absorbs stop-word skew); N is a 1-row
+    broadcast. The scoring join is term-keyed (the planner broadcasts
+    the df side while it is small; at web-vocabulary scale it shuffles —
+    both correct), and the final top-k is one row_number window per doc.
+    Everything is Catalyst built-ins; ties break on term ascending so
+    results are deterministic."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -70,6 +70,39 @@ def range_join_bucketed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_topterms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+          FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document
+    (operators/text.py::tfidf_top_terms) — keyword extraction over the
+    corpus, one term-frequency shuffle + one doc-partitioned window."""
+    from ..operators.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
 @register("sketch_hll_distinct")
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
