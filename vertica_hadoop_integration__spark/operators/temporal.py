@@ -497,3 +497,51 @@ def funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (the cohort), counted in every later period they were
+    active — the (cohort_start, period_offset) -> n_users triangle
+    behind every retention dashboard.
+
+    Physical shape: first-event per user and distinct (user, period)
+    are both user-keyed aggregations, so their join is co-partitioned
+    after one exchange; the final count re-aggregates onto the tiny
+    (cohort, offset) key space. Frames after the first aggregation are
+    user-cardinality-sized, never event-sized — at 100 TB of events the
+    expensive step is the one map-side-combined scan."""
+    per = {"week": 7, "day": 1}[granularity]
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("cohort_start")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(granularity, F.col(ts_col)).alias("period_start"),
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, on="u")
+        .select(
+            F.col("cohort_start"),
+            (
+                F.datediff(
+                    F.col("period_start").cast("date"),
+                    F.col("cohort_start").cast("date"),
+                )
+                / per
+            )
+            .cast("int")
+            .alias("period_offset"),
+            F.col("u"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

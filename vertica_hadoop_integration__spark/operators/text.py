@@ -263,3 +263,54 @@ def tfidf_top_terms(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    OWN unigram language model (p(term) = corpus_count/total_tokens) —
+    the cheapest perplexity proxy for quality cuts: gibberish and
+    boilerplate both sit far from the corpus-typical token mix.
+
+    Determinism at scale: per-term log-probs are doubles, but summing
+    doubles is partial-aggregation-order-dependent — so each
+    tf * ln(p) contribution is cast to DECIMAL(30,15) first and summed
+    EXACTLY (order-free), then the per-doc average goes back to DOUBLE.
+    One (doc, term) shuffle + one term-keyed re-aggregation + a 1-row
+    broadcast total; the model "training" and scoring are the same two
+    scans no matter the corpus size.
+
+    Output: (id, n_tokens, avg_nll, ppl_proxy=exp(avg_nll))."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    contrib = (
+        tf.join(counts, on="term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_ll",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("cnt").cast("double") / F.col("_total").cast("double")
+                )
+            ).cast("decimal(30,15)"),
+        )
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum("_ll").alias("_sum_ll"),
+    )
+    avg_nll = -(F.col("_sum_ll").cast("double")) / F.col("n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        avg_nll.alias("avg_nll"),
+        F.exp(avg_nll).alias("ppl_proxy"),
+    )

@@ -103,6 +103,71 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, k=3)
 
 
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_start
+          FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period_start
+          FROM e)
+    SELECT CAST(f.cohort_start AS TIMESTAMP) AS cohort_start,
+           CAST(date_diff('day', CAST(f.cohort_start AS DATE),
+                          CAST(a.period_start AS DATE)) / 7 AS INT)
+               AS period_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event stream
+    (operators/temporal.py::retention_cohorts): first-event cohort x
+    period offset -> active users. All user-keyed aggregations; frames
+    shrink to user cardinality after the first scan."""
+    from ..operators.temporal import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e, granularity="week")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    counts AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+    total AS (SELECT sum(cnt) AS total FROM counts),
+    contrib AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(CAST(tf.tf AS DOUBLE)
+                    * ln(CAST(counts.cnt AS DOUBLE)
+                         / CAST(total.total AS DOUBLE))
+                    AS DECIMAL(30,15)) AS ll
+        FROM tf JOIN counts USING (term) CROSS JOIN total),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               sum(ll) AS sum_ll
+        FROM contrib GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           -CAST(sum_ll AS DOUBLE) / n_tokens AS avg_nll,
+           exp(-CAST(sum_ll AS DOUBLE) / n_tokens) AS ppl_proxy
+    FROM per_doc
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average negative log-likelihood per doc under the corpus unigram
+    LM (operators/text.py::unigram_logprob) — perplexity-proxy quality
+    scoring with order-free DECIMAL summation of the log-probs."""
+    from ..operators.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
 @register("sketch_hll_distinct")
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
