@@ -290,3 +290,120 @@ def length_histogram(
             .alias("total_chars"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-length chunking step between cleaning and tokenization
+    in a training pipeline (``pack_sequences`` then bins the chunks).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the final chunk is allowed to run
+    short, and a doc at most ``chunk_size`` tokens long is one chunk.
+    Chunk COUNT uses integer arithmetic only (exact in any engine), and
+    the whole operator is a single generate+slice projection in the scan
+    stage: no shuffle, no UDF, output rows ~ input tokens / stride.
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        (n - chunk_size + stride - 1) / stride + 1
+    ).cast("int")
+    chunk = F.slice(toks, F.col("chunk_idx") * stride + 1, chunk_size)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(
+                F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+            ).alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """One-row corpus vocabulary profile: total tokens, distinct terms,
+    hapax count (terms seen once — the long-tail/noise indicator), and
+    the token share covered by the top-k most frequent terms (the
+    head-heaviness a stop-word list would remove).
+
+    Everything reduces off one (term, count) aggregation; the top-k
+    slice uses sort-limit (planned as a distributed TakeOrderedAndProject
+    — per-partition top-k then a k-row merge, NEVER a global sort or a
+    single-partition window, which would serialize a web-scale
+    vocabulary). Ratios are double divisions of exact integer counts
+    (oracle-stable)."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_count"),
+    )
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(top_k)
+        .agg(F.sum("cnt").cast("double").alias("_topk_tokens"))
+    )
+    return totals.crossJoin(F.broadcast(topk)).select(
+        "total_tokens",
+        "vocab_size",
+        "hapax_count",
+        (F.col("_topk_tokens") / F.col("total_tokens").cast("double")).alias(
+            "topk_share"
+        ),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(id) — stable
+    across engines, runs, cluster sizes, and corpus growth (a doc keeps
+    its split forever; new docs don't reshuffle old ones, unlike
+    rand(seed) whose draw depends on row order/partitioning). The
+    bucket compare stays in HEX-STRING space (fixed-width lowercase hex
+    orders like the number it spells), so any engine with md5 produces
+    the identical split without base-conversion builtins. Pure
+    projection, scan-stage cost; split shares are exact to 1/16^8.
+
+    Output: every row + ``split`` in {'train','val','test'}."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    val_hi = f"{round(val_pct / 100 * 16**8):08x}"
+    test_hi = f"{round((val_pct + test_pct) / 100 * 16**8):08x}"
+    split = (
+        F.when(h < val_hi, F.lit("val"))
+        .when(h < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -168,6 +168,88 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d)
 
 
+@register(
+    "corpus_chunk_documents",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 64 THEN 1
+                      ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+          FROM d),
+    x AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM c)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+                AS INT) AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+               AS chunk_text
+    FROM x
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token windows, stride
+    48 — operators/corpus.py::chunk_documents): the context-length split
+    before packing/tokenization. Scan-stage generate+slice, no
+    shuffle."""
+    from ..operators.corpus import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, overlap=16)
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, term ASC)
+                   AS rnk FROM counts)
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+           CAST(sum(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS DOUBLE)
+               / CAST(sum(cnt) AS DOUBLE) AS topk_share
+    FROM ranked
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row vocabulary profile: token total, vocab size, hapax count,
+    top-100 token share (operators/corpus.py::vocab_stats)."""
+    from ..operators.corpus import vocab_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_stats(d, top_k=100)
+
+
+@register(
+    "corpus_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '0ccccccd' THEN 'val'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '1999999a' THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5(doc_id) hex
+    range (operators/corpus.py::hash_split) — membership survives
+    corpus growth and recomputation on any engine."""
+    from ..operators.corpus import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, val_pct=5, test_pct=5).select("doc_id", "split")
+
+
 @register("sketch_hll_distinct")
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
