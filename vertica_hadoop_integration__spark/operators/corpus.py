@@ -407,3 +407,45 @@ def hash_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def contamination_score(
+    df: DataFrame,
+    eval_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Graded decontamination: instead of :func:`decontaminate`'s binary
+    flag, score each doc by the FRACTION of its distinct word n-grams
+    that appear in the eval suite — pipelines drop above a high cutoff
+    and down-weight the grey zone instead of discarding every doc that
+    shares one n-gram with a benchmark.
+
+    Same scale shape as the flag path: eval shingles broadcast, one
+    corpus scan, hits counted by a map-side left join (eval set is
+    distinct, so no fan-out), one groupBy on doc id. The ratio is a
+    double division of exact integer counts.
+
+    Output: (id, n_shingles, n_hits, contamination)."""
+    from ..functions.text_fns import shingles
+
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    hits = doc_sh.join(
+        F.broadcast(eval_shingles.withColumn("_hit", F.lit(1))),
+        on="shingle",
+        how="left",
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contamination"),
+    )

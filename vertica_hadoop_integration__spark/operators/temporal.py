@@ -545,3 +545,51 @@ def retention_cohorts(
         .groupBy("cohort_start", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    granularity: str = "hour",
+    trailing: int = 24,
+) -> DataFrame:
+    """Volume-anomaly detection: z-score of each (key, bucket)'s event
+    count against the trailing ``trailing`` OBSERVED buckets (frame
+    excludes the current row — the baseline never sees the point it
+    judges). The alerting primitive over an ingest stream: |z| spikes
+    mark outages and floods.
+
+    Determinism at scale: baseline mean/variance come from integer
+    power sums (sum, sum-of-squares of counts) over a rows-frame —
+    exact, order-free — with the float math happening once per row on
+    those exact sums (variance clamped at 0 against cancellation).
+    One shuffle: the bucket aggregation and the key-partitioned window
+    share the (key)-keyed exchange.
+
+    Output: keys, bucket_ts, n_events, baseline_mean, zscore (NULL
+    until a baseline exists / when the baseline is flat)."""
+    keys = [F.col(k) for k in key_cols]
+    hourly = events.groupBy(
+        *keys, F.date_trunc(granularity, F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_events").over(w).cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    nd = n.cast("double")
+    mean = F.when(n > 0, s1 / nd)
+    var = F.when(n > 0, F.greatest((s2 - s1 * s1 / nd) / nd, F.lit(0.0)))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n_events").cast("double") - mean) / std)
+    return hourly.select(
+        *key_cols,
+        "bucket_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        mean.alias("baseline_mean"),
+        z.alias("zscore"),
+    )

@@ -250,6 +250,80 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d, val_pct=5, test_pct=5).select("doc_id", "split")
 
 
+@register(
+    "corpus_contamination_score",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 1)),
+                       i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                   AS sh
+        FROM t),
+    ev AS (SELECT list_distinct(flatten(list(sh))) AS evs
+           FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id,
+           CAST(len(g.sh) AS BIGINT) AS n_shingles,
+           CAST(len(list_intersect(g.sh, ev.evs)) AS BIGINT) AS n_hits,
+           CAST(len(list_intersect(g.sh, ev.evs)) AS DOUBLE)
+               / CAST(len(g.sh) AS DOUBLE) AS contamination
+    FROM g, ev
+    """,
+)
+def corpus_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per-doc fraction of distinct 5-grams
+    found in the eval suite (doc_id % 97 = 0 stands in for a benchmark)
+    — operators/corpus.py::contamination_score. Broadcast eval set, one
+    corpus scan."""
+    from ..operators.corpus import contamination_score, eval_shingle_set
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = eval_shingle_set(d.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    return contamination_score(d, ev, shingle_n=5)
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS bucket_ts,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type, bucket_ts, n_events,
+               count(*) OVER w AS n,
+               CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+               CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS s2
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN n > 0 THEN s1 / n END AS baseline_mean,
+           CASE WHEN n > 0
+                     AND sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) > 0
+                THEN (CAST(n_events AS DOUBLE) - s1 / n)
+                     / sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0))
+           END AS zscore
+    FROM s
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume z-score per event_type against the trailing 24
+    observed buckets (operators/temporal.py::anomaly_zscore) — baseline
+    from exact integer power sums, current row excluded from its own
+    baseline."""
+    from ..operators.temporal import anomaly_zscore
+
+    e = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(e, granularity="hour", trailing=24)
+
+
 @register("sketch_hll_distinct")
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
