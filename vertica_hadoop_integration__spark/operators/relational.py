@@ -193,3 +193,89 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+# --- MERGE / SCD (extension; the set-mutation surface past S14/S15) -------
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """``MERGE INTO target USING updates ON keys WHEN MATCHED THEN
+    UPDATE ... WHEN NOT MATCHED THEN INSERT`` as a pure dataflow: one
+    full-outer join on the key, non-key columns resolved
+    update-wins-else-target. The natural extension of the engine's
+    UPDATE (S14) / DELETE (S15) projections to set-based mutation; the
+    caller commits the result via the same atomic-overwrite path.
+
+    One shuffle on the merge key for both sides; at dimension scale the
+    planner broadcasts the updates side on its own. Updates must be
+    unique per key (standard MERGE precondition — enforce upstream or
+    the join fans out, same as any SQL MERGE)."""
+    non_keys = [c for c in target.columns if c not in key_cols]
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c not in key_cols],
+    )
+    joined = target.join(u, on=key_cols, how="full_outer")
+    resolved = [
+        (
+            F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+            if f"_u_{c}" in joined.columns
+            else F.col(c)
+        )
+        for c in non_keys
+    ]
+    return joined.select(*key_cols, *resolved)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    change_ts_col: str = "change_ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply a change batch to a type-2 slowly-changing dimension:
+    every key in ``changes`` has its OPEN row (``valid_to`` NULL)
+    closed at the change timestamp, and a new open row appended with
+    the changed attributes; history rows pass through untouched.
+
+    ``changes`` carries the key, the new values for every non-key
+    attribute of ``dim`` (same names), and ``change_ts_col``; one
+    change per key per batch (dedupe upstream — same precondition as
+    MERGE). All three legs are projections off ONE key-keyed left
+    join of the dim against the change set (typically tiny — the
+    planner broadcasts it; a rare huge batch shuffles, also correct);
+    output is union-by-name, ready for the atomic-overwrite commit."""
+    attr_cols = [
+        c for c in dim.columns if c not in (*key_cols, from_col, to_col)
+    ]
+    ch = changes.select(
+        *key_cols,
+        *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
+        F.col(change_ts_col).alias("_chg_ts"),
+    )
+    joined = dim.join(ch, on=key_cols, how="left")
+    is_open = F.col(to_col).isNull()
+    has_chg = F.col("_chg_ts").isNotNull()
+    # history rows + open rows of unchanged keys: untouched
+    kept = joined.filter(~(is_open & has_chg)).select(*dim.columns)
+    # open rows of changed keys: closed at the change timestamp
+    closed = (
+        joined.filter(is_open & has_chg)
+        .withColumn(to_col, F.col("_chg_ts"))
+        .select(*dim.columns)
+    )
+    # the new open version per changed key
+    opened = (
+        joined.filter(is_open & has_chg)
+        .select(
+            *key_cols,
+            *[F.col(f"_n_{c}").alias(c) for c in attr_cols],
+            F.col("_chg_ts").alias(from_col),
+            F.lit(None).cast(joined.schema[to_col].dataType).alias(to_col),
+        )
+    )
+    return kept.unionByName(closed).unionByName(opened)

@@ -324,6 +324,100 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_zscore(e, granularity="hour", trailing=24)
 
 
+@register(
+    "scd1_merge_upsert",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(o_totalprice AS DOUBLE) AS o_totalprice
+               FROM orders),
+    u AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) + 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', 1000.0
+        FROM orders WHERE o_orderkey % 500 = 0)
+    SELECT o_orderkey,
+           coalesce(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           coalesce(u.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM t FULL OUTER JOIN u USING (o_orderkey)
+    """,
+)
+def scd1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders: every 100th order re-priced (matched ->
+    update), every 500th re-inserted under a new key (not matched ->
+    insert) — operators/relational.py::merge_upsert, one full-outer
+    join on the merge key."""
+    from ..operators.relational import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice").cast("double") + F.lit(1.0)).alias(
+                "o_totalprice"
+            ),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1000.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return merge_upsert(target, updates, key_cols=["o_orderkey"])
+
+
+@register(
+    "scd2_dimension_history",
+    oracle="""
+    WITH dim AS (SELECT c_custkey, c_nationkey,
+                        TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to
+                 FROM customer),
+    ch AS (SELECT c_custkey,
+                  CAST((c_nationkey + 1) % 25 AS BIGINT) AS new_nat,
+                  TIMESTAMP '2024-06-01 00:00:00' AS chg
+           FROM customer WHERE c_custkey % 50 = 0)
+    SELECT d.c_custkey, d.c_nationkey, d.valid_from, d.valid_to
+    FROM dim d LEFT JOIN ch USING (c_custkey) WHERE ch.chg IS NULL
+    UNION ALL
+    SELECT d.c_custkey, d.c_nationkey, d.valid_from, ch.chg AS valid_to
+    FROM dim d JOIN ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_nat, chg, CAST(NULL AS TIMESTAMP) FROM ch
+    """,
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD batch apply on the customer dimension: every 50th
+    customer changes nation — its open row closes at the change
+    timestamp and a new open version appends
+    (operators/relational.py::scd2_apply)."""
+    from ..operators.relational import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 1) % 25).cast("long").alias("c_nationkey"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("change_ts"),
+    )
+    return scd2_apply(dim, changes, key_cols=["c_custkey"])
+
+
 @register("sketch_hll_distinct")
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
