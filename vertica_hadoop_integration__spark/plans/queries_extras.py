@@ -603,3 +603,32 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+
+# -- exact dedup by binary content hash (oracle-checked) -------------------
+@register(
+    "multimodal_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS canonical_media_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of media payloads: group on sha256(payload) — the
+    binary-column analogue of dedup_exact (text is pruned before the
+    shuffle; only the 32-byte hash + id move). Smallest media_id is the
+    canonical copy."""
+    from .queries_multimodal import _media
+
+    m = _media(spark, sf_dir)
+    return (
+        m.select(F.sha2(F.col("payload"), 256).alias("content_hash"), "media_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
