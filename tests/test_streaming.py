@@ -174,3 +174,46 @@ def test_stream_load_lands_batches_and_is_replay_safe(
     )
     q2.awaitTermination(120)
     assert spark.read.orc(dest + "/batch=*").count() == events_batch.count()
+
+
+def test_streaming_anomaly_scores_state(spark, events_batch, tmp_path):
+    """Per-key Welford state: one emitted row per (event_type, batch),
+    batch volumes sum to the true totals, and exactly the first batch
+    per key lacks a baseline."""
+    from vertica_hadoop_integration__spark.streaming.stateful import (
+        streaming_anomaly_scores,
+    )
+
+    src_dir = tmp_path / "anom_src"
+    events_batch.repartition(3).write.parquet(str(src_dir))
+    n_files = len([p for p in src_dir.glob("*.parquet")])
+    src = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    got = _run_stream(
+        spark, streaming_anomaly_scores(src), tmp_path, "anom_t", "update"
+    )
+    rows = got.collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    want_totals = {
+        r.event_type: r.n
+        for r in events_batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_type) == set(want_totals)
+    for et, et_rows in by_type.items():
+        # one row per micro-batch the key appeared in (keys in every file
+        # -> one per file), volumes sum to the key's true event count
+        assert len(et_rows) <= n_files
+        assert sum(r.batch_n for r in et_rows) == want_totals[et]
+        # exactly one first-batch row without a baseline
+        assert sum(1 for r in et_rows if r.baseline_mean is None) == 1
+
+    # batch fallback = the windowed batch operator
+    batch_out = streaming_anomaly_scores(events_batch)
+    assert set(batch_out.columns) == {
+        "event_type", "bucket_ts", "n_events", "baseline_mean", "zscore"
+    }
