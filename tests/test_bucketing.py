@@ -92,3 +92,65 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, f"file key ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
     # nothing lost in the layout shuffle
     assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_write_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must keep parquet file min/max stats tight on BOTH
+    clustered columns: every file spans a minority of each dimension's
+    range, and a small box filter intersects a minority of files — on
+    both dimensions at once, which a single-column sort cannot do."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vertica_hadoop_integration__spark.sources.writers import write_zorder
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    dest = str(tmp_path / "zo")
+    write_zorder(li, dest, ["l_extendedprice", "l_quantity"], num_files=16)
+
+    spans = []  # per file: {col: (min, max)}
+    for f in glob.glob(dest + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        per = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                lo, hi = per.get(name, (st.min, st.max))
+                per[name] = (min(lo, st.min), max(hi, st.max))
+        spans.append(per)
+    assert len(spans) >= 8
+
+    for col in ("l_extendedprice", "l_quantity"):
+        glo = min(s[col][0] for s in spans)
+        ghi = max(s[col][1] for s in spans)
+        width = ghi - glo
+        # every dimension stays clustered: mean file span well under the
+        # full range (a random layout gives ~1.0; leading-sort gives ~1.0
+        # on the trailing column)
+        mean_span = sum(s[col][1] - s[col][0] for s in spans) / len(spans)
+        assert mean_span < 0.6 * width, (col, mean_span, width)
+        # a 10% box on this column alone intersects a minority of files
+        box_lo, box_hi = glo + 0.45 * width, glo + 0.55 * width
+        touched = sum(
+            1 for s in spans if s[col][1] >= box_lo and s[col][0] <= box_hi
+        )
+        assert touched <= len(spans) * 0.75, (col, touched, len(spans))
+
+    # the 2-D box intersects only a handful of files
+    boxes = {}
+    for col in ("l_extendedprice", "l_quantity"):
+        glo = min(s[col][0] for s in spans)
+        ghi = max(s[col][1] for s in spans)
+        w = ghi - glo
+        boxes[col] = (glo + 0.45 * w, glo + 0.55 * w)
+    touched2d = sum(
+        1
+        for s in spans
+        if all(s[c][1] >= boxes[c][0] and s[c][0] <= boxes[c][1] for c in boxes)
+    )
+    assert touched2d <= len(spans) // 2, (touched2d, len(spans))

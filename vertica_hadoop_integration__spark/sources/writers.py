@@ -138,3 +138,63 @@ def write_atomic(
         raise
     if aside is not None:
         shutil.rmtree(aside, ignore_errors=True)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 16,
+    output_format: str = "parquet",
+    **kwargs,
+) -> None:
+    """Multi-dimensional data-skipping layout: rows ordered by the
+    Z-order (Morton) interleave of 2-3 numeric columns, so parquet
+    footer min/max stats are tight on EVERY clustered column at once —
+    where ``write_sorted`` prunes on the leading column only, a
+    box-filter on any clustered dimension skips most files here (the
+    engine-side analogue of Delta/Iceberg OPTIMIZE ZORDER BY).
+
+    Each column is min-max scaled to ``bits``-bit integers off a 1-row
+    broadcast of the column bounds (no global rank window — skewed
+    columns degrade gracefully to coarser cells, they never serialize
+    the write); the interleave is a pure shift/mask Catalyst expression
+    (codegen-friendly, no UDF); the final placement is one
+    ``repartitionByRange`` + in-file sort on the z-value, exactly
+    ``write_sorted``'s single paid-once shuffle."""
+    if not 2 <= len(cols) <= 3:
+        raise ValueError("z-order wants 2-3 columns")
+    n = len(cols)
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    )
+    staged = df.crossJoin(F.broadcast(bounds))
+    scale = float((1 << bits) - 1)
+
+    def scaled(c: str):
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        frac = F.when(hi > lo, (F.col(c).cast("double") - lo) / (hi - lo)).otherwise(
+            F.lit(0.0)
+        )
+        return F.floor(frac * scale).cast("long")
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled(c), i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    staged = staged.withColumn("_z", z).drop(
+        *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
+    )
+    nf = num_files or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        staged.repartitionByRange(nf, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    write_columnar(ranged, path, output_format=output_format, **kwargs)
