@@ -217,3 +217,35 @@ def test_streaming_anomaly_scores_state(spark, events_batch, tmp_path):
     assert set(batch_out.columns) == {
         "event_type", "bucket_ts", "n_events", "baseline_mean", "zscore"
     }
+
+
+def test_stream_stream_attribution_matches_batch(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    """Watermarked stream-stream click->purchase join emits exactly the
+    pairs the identical batch join produces (both sides replayed with
+    availableNow; final watermark passes all data)."""
+    from vertica_hadoop_integration__spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    def _split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = _split(_stream_source(spark, events_stream_dir, events_batch))
+    got = _run_stream(
+        spark,
+        attribute_purchases(sc, sp, window="30 minutes", watermark="10 minutes"),
+        tmp_path,
+        "attr_t",
+        "append",
+    )
+    bc, bp = _split(events_batch)
+    want = attribute_purchases(bc, bp, window="30 minutes")
+    cols = ["user_id", "click_id", "purchase_id"]
+    got_rows = _sorted_rows(got, cols)
+    want_rows = _sorted_rows(want, cols)
+    assert got_rows == want_rows and got_rows
