@@ -39,6 +39,14 @@ HEADLINE = [
     "range_join_price_bands",
     "hypertable_rollup_events",
     "sketch_kmv_distinct",
+    # round-2 late additions: keyword extraction, LM-scoring, cohort
+    # triangle, scan-stage chunking, 6-way TPC-H join (additive — earlier
+    # rounds' per-query numbers stay comparable)
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "events_retention_cohorts",
+    "corpus_chunk_documents",
+    "q7_volume_shipping",
 ]
 
 
