@@ -719,3 +719,82 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type, count(*) AS n_transitions
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences (lead()
+    within user, ordered by ts with event_id tiebreak — deterministic
+    on duplicate timestamps). One user-keyed exchange feeds both the
+    sequence window and nothing else; the count re-aggregates onto the
+    tiny (type, type) key space."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id, event_id,
+               lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    g AS (SELECT event_type,
+                 CAST(epoch(ts) - epoch(prev_ts) AS DECIMAL(20,6)) AS gap_s
+          FROM s WHERE prev_ts IS NOT NULL)
+    SELECT event_type, count(*) AS n_gaps,
+           CAST(min(gap_s) AS DOUBLE) AS min_gap_s,
+           CAST(max(gap_s) AS DOUBLE) AS max_gap_s,
+           CAST(sum(gap_s) AS DOUBLE) / count(*) AS avg_gap_s
+    FROM g GROUP BY 1
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gaps of each user's event stream (lag
+    within (user, type)): count/min/max/avg seconds between consecutive
+    events. Gap sums run in DECIMAL (order-free) and divide once to
+    DOUBLE."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    ).cast("decimal(20,6)")
+    return (
+        e.select("event_type", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").cast("double").alias("min_gap_s"),
+            F.max("gap_s").cast("double").alias("max_gap_s"),
+            (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias(
+                "avg_gap_s"
+            ),
+        )
+    )
