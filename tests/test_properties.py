@@ -302,3 +302,53 @@ def test_quantize_int8_roundtrip_error_bound(spark, vec):
         x = np.array(vec, dtype=np.float32).astype(np.float64)
         err = np.abs(x - np.array(q, dtype=np.float64) * scale)
         assert (err <= scale / 2 + 1e-9).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.integers(1, 200),
+    chunk_size=st.sampled_from([8, 64]),
+    overlap=st.sampled_from([0, 3, 7]),
+)
+def test_chunk_documents_covers_every_token(spark, n_tokens, chunk_size, overlap):
+    """Chunking invariants for any (doc length, size, overlap): chunks
+    tile the token stream with the exact stride, every token appears in
+    at least one chunk, only the last chunk may run short, and docs at
+    most chunk_size long are exactly one chunk."""
+    from vertica_hadoop_integration__spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_size=chunk_size, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    stride = chunk_size - overlap
+    if n_tokens <= chunk_size:
+        assert len(rows) == 1
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert r.n_chunk_tokens == len(toks)
+        start = r.chunk_idx * stride
+        assert toks == [f"t{i}" for i in range(start, min(start + chunk_size, n_tokens))]
+        covered.update(range(start, start + len(toks)))
+        if r.chunk_idx < len(rows) - 1:
+            assert r.n_chunk_tokens == chunk_size  # only the last runs short
+    assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=5, deadline=None)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True))
+def test_hash_split_deterministic_and_total(spark, ids):
+    """Every row gets exactly one split; reruns and subsets agree (a
+    doc's split never depends on what else is in the corpus)."""
+    from vertica_hadoop_integration__spark.operators.corpus import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    full = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert set(full) == set(ids)
+    assert set(full.values()) <= {"train", "val", "test"}
+    half = spark.createDataFrame([(i,) for i in ids[: len(ids) // 2 + 1]], ["doc_id"])
+    sub = {r.doc_id: r.split for r in hash_split(half).collect()}
+    assert all(full[k] == v for k, v in sub.items())
