@@ -1,0 +1,69 @@
+"""Plan-shape regression guards: no registered query may silently plan a
+CartesianProduct, and BroadcastNestedLoopJoin is allowed only where the
+operator broadcasts a structurally-small side BY DESIGN (documented in
+the allowlist below). Catches the classic scale regression — an edit
+that drops a join key or defeats a pushed filter and turns a hash join
+into an all-pairs plan — without executing anything big: plans build
+against the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from vertica_hadoop_integration__spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin by design: one side is dimension-sized or an
+# explicitly broadcast query/eval set; the huge side streams map-side.
+BNLJ_OK = {
+    "range_join_price_bands",   # broadcast interval dimension (non-equi)
+    "ann_cosine_topk",          # broadcast query vectors vs corpus scan
+    "ann_cosine_topk_arrow",    # same kernel, Arrow scorer
+    "ann_range_search",         # broadcast query side, radius predicate
+    "ann_ivf_topk",             # broadcast centroid table (probe assignment)
+    "dedup_embedding_cosine",   # documented exact oracle path (sf0.01)
+    "embedding_kmeans",         # broadcast centroid table
+}
+
+# A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /
+# averages) also plans as BroadcastNestedLoopJoin — scale-safe because
+# the broadcast payload is a single row. Each entry names its scalar.
+SCALAR_BROADCAST_OK = {
+    "corpus_mixture_report",        # corpus token total
+    "corpus_vocab_stats",           # top-k token sum
+    "events_gap_fill_locf",         # global [min, max] bucket bounds
+    "events_gap_fill_interpolate",  # global [min, max] bucket bounds
+    "subquery_above_avg",           # global average scalar subquery
+    "text_tfidf_topterms",          # corpus document count
+    "text_unigram_logprob",         # corpus token total
+}
+BNLJ_OK |= SCALAR_BROADCAST_OK
+
+# CartesianProduct by design: deliberate small-side cross joins (1-row
+# bounds/totals frames are broadcast, not cartesian, so nothing needs
+# this — keep empty and let any appearance fail loudly).
+CARTESIAN_OK: set[str] = set()
+
+# Queries whose FUNCTION performs driver-side iteration or side-effect
+# setup that makes repeated cheap plan-builds awkward; each has its own
+# dedicated test elsewhere.
+SKIP = {
+    "s19_csv_orc_roundtrip",        # writes a temp CSV staging dir first
+    "s16_truncate_semantics",       # trivial empty-frame plan
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_has_no_accidental_all_pairs_join(spark, name):
+    if name in SKIP:
+        pytest.skip("covered by dedicated tests")
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian join"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join — if a broadcast-by-design "
+            "operator changed, extend BNLJ_OK with a justification"
+        )
