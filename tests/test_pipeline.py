@@ -227,3 +227,15 @@ def test_compact_path_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert after_df.count() == before
     # content identical, not just row count
     assert after_df.exceptAll(li).count() == 0
+
+
+def test_jsonl_staging_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL write -> schema-on-read -> values identical (the ingest
+    format of jsonl_ingest_roundtrip; registered query is rows-only)."""
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    path = str(tmp_path / "jsonl")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(d.schema).json(path)
+    assert back.count() == 200
+    assert d.exceptAll(back).count() == 0
+    assert back.exceptAll(d).count() == 0

@@ -800,3 +800,58 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("jsonl_ingest_roundtrip")
+def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest path (the wire format most raw LLM corpora arrive
+    in): write a documents slice as JSON-lines, read it back with an
+    explicit schema (schema-on-read, no inference scan at scale), land
+    it columnar, return the parquet scan. Rows-only like
+    s19_csv_orc_roundtrip (file side effects aren't SQL); value parity
+    pytest-asserted."""
+    import tempfile
+
+    from ..sources.writers import write_columnar
+
+    d = load_table(spark, sf_dir, "documents").limit(400)
+    tmp = tempfile.mkdtemp(prefix="jsonl_")
+    d.write.mode("overwrite").json(f"{tmp}/staging")
+    staged = spark.read.schema(d.schema).json(f"{tmp}/staging")
+    write_columnar(staged, f"{tmp}/parquet", output_format="parquet")
+    return spark.read.parquet(f"{tmp}/parquet")
+
+
+@register("corpus_dedup_summary")
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup funnel report: corpus size, survivors after exact
+    dedup, survivors after MinHash near-dedup, and the implied drop
+    counts — the operational dashboard row every cleaning run logs.
+    Rows-only (LSH inside); stage counts are plain aggregates of the
+    same frames the pipeline materializes anyway."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import minhash_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        F.col("doc_id").asc()
+    )
+    exact = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    near_drops = (
+        minhash_dedup(exact, min_jaccard=0.8)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = exact.join(near_drops, on="doc_id", how="left_anti")
+    n_input = d.count()
+    n_exact = exact.count()
+    n_clean = clean.count()
+    return spark.createDataFrame(
+        [(n_input, n_exact, n_clean, n_input - n_exact, n_exact - n_clean)],
+        ["n_input", "n_after_exact", "n_after_near", "n_exact_dups", "n_near_dups"],
+    )
