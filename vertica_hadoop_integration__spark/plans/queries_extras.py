@@ -855,3 +855,37 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_input, n_exact, n_clean, n_input - n_exact, n_exact - n_clean)],
         ["n_input", "n_after_exact", "n_after_near", "n_exact_dups", "n_near_dups"],
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6: pure scan-predicate aggregate — every filter pushes to
+    the parquet scan (date, discount band, quantity), zero joins, one
+    map-side-combined agg; the canonical pushdown/pruning check."""
+    from .queries_relational import _dec
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
