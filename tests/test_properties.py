@@ -352,3 +352,51 @@ def test_hash_split_deterministic_and_total(spark, ids):
     half = spark.createDataFrame([(i,) for i in ids[: len(ids) // 2 + 1]], ["doc_id"])
     sub = {r.doc_id: r.split for r in hash_split(half).collect()}
     assert all(full[k] == v for k, v in sub.items())
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    strings=st.lists(
+        st.text(alphabet="abc", min_size=12, max_size=20),
+        min_size=2,
+        max_size=12,
+    ),
+    max_edit=st.sampled_from([1, 2, 3]),
+)
+def test_fuzzy_match_blocking_is_lossless(spark, strings, max_edit):
+    """q-gram blocked fuzzy match == brute-force pairs for any string
+    population above the length floor and any threshold (small alphabet
+    forces near matches and shared-gram collisions)."""
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        fuzzy_match_pairs,
+    )
+
+    floor = (max_edit + 1) * 3 - 1
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_match_pairs(
+            df, max_edit=max_edit, q=3, prefix_len=30
+        ).collect()
+    }
+    want = {
+        (i, j, _lev(a.lower().strip(), b.lower().strip()))
+        for i, a in rows
+        for j, b in rows
+        if i < j
+        and len(a.lower().strip()) > floor
+        and len(b.lower().strip()) > floor
+        and _lev(a.lower().strip(), b.lower().strip()) <= max_edit
+    }
+    assert got == want

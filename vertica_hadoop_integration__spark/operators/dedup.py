@@ -714,3 +714,73 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+# -- fuzzy string matching: q-gram blocked edit-distance join ---------------
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edit: int = 3,
+    q: int = 3,
+    prefix_len: int | None = 30,
+) -> DataFrame:
+    """Entity-matching self-join: pairs whose (normalized, optionally
+    prefix-truncated) strings are within ``max_edit`` Levenshtein edits,
+    WITHOUT the O(n^2) cross join — the fuzzy-dedup primitive for
+    titles, names, and URLs.
+
+    Blocking is q-gram existence (Gravano-style): an edit destroys at
+    most ``q`` q-grams, so strings longer than ``(max_edit + 1) * q - 1``
+    chars within ``max_edit`` edits MUST still share a q-gram — pairs
+    are generated in-bucket per shared gram (the LSH band mechanics from
+    this module), length-filtered (|len_a - len_b| <= max_edit), then
+    verified with the exact ``levenshtein`` built-in. Lossless for
+    strings above that length floor (enforce via ``prefix_len`` > the
+    floor; shorter corpora need a short-string block — raise).
+
+    At web scale add the count-filter refinement (shared grams >=
+    longest - q + 1 - max_edit*q) before verification: same dataflow
+    plus one groupBy on the pair key. Output: (id_a, id_b, edit_dist),
+    id_a < id_b."""
+    floor = (max_edit + 1) * q - 1
+    if prefix_len is not None and prefix_len <= floor:
+        raise ValueError(f"prefix_len must exceed {floor} for lossless blocking")
+    s = F.lower(F.trim(F.col(text_col)))
+    if prefix_len is not None:
+        s = F.substring(s, 1, prefix_len)
+    base = df.select(F.col(id_col), s.alias("_s")).filter(
+        F.length("_s") > floor
+    )
+    k = F.length("_s") - (q - 1)
+    grams = base.select(
+        id_col,
+        "_s",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda i: F.col("_s").substr(i + 1, F.lit(q)),
+                )
+            )
+        ).alias("_g"),
+    )
+    payload = F.struct(F.col(id_col).alias("id"), F.col("_s").alias("s"))
+    pairs = _in_bucket_pairs(grams, ["_g"], payload, max_bucket_size=10000)
+    cand = (
+        pairs.filter(
+            F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s"))) <= max_edit
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("_sa"),
+            F.col("b.s").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "edit_dist")
+    )

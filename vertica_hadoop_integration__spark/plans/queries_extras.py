@@ -889,3 +889,29 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "dedup_fuzzy_match",
+    oracle="""
+    WITH t AS (SELECT doc_id, substring(lower(trim(text)), 1, 30) AS s
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE length(a.s) > 11 AND length(b.s) > 11
+      AND levenshtein(a.s, b.s) <= 3
+    """,
+)
+def dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching over 30-char document prefixes: pairs
+    within 3 edits via q-gram blocking + exact levenshtein verify
+    (operators/dedup.py::fuzzy_match_pairs). The ORACLE is the O(n^2)
+    cross join — value equality proves the blocking lossless at this
+    threshold; the registered plan never builds the quadratic join."""
+    from ..operators.dedup import fuzzy_match_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return fuzzy_match_pairs(
+        d, max_edit=3, q=3, prefix_len=30
+    ).select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
