@@ -915,3 +915,97 @@ def dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(
         d, max_edit=3, q=3, prefix_len=30
     ).select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
+               FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t),
+    bc AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY 1
+           HAVING count(*) >= 5),
+    ug AS (SELECT unnest(toks) AS term FROM t),
+    uc AS (SELECT term, count(*) AS n_term FROM ug GROUP BY 1),
+    tot AS (SELECT count(*) AS n_tokens FROM ug),
+    scored AS (
+        SELECT bc.bigram, bc.n_pair,
+               ln((CAST(bc.n_pair AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE))
+                  / (CAST(a.n_term AS DOUBLE) * CAST(b.n_term AS DOUBLE)))
+                   AS pmi
+        FROM bc
+        JOIN uc a ON a.term = string_split(bc.bigram, ' ')[1]
+        JOIN uc b ON b.term = string_split(bc.bigram, ' ')[2]
+        CROSS JOIN tot)
+    SELECT bigram, n_pair, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS INT)
+               AS rnk
+    FROM scored
+    ORDER BY pmi DESC, bigram ASC LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information: bigrams
+    occurring >= 5 times scored ln(P(ab) / (P(a)P(b))) — the phrase
+    extraction behind tokenizer merge rules and stop-phrase lists.
+    Bigram and unigram counts are two map-side-combined aggregations of
+    one text scan shape; the scoring join keys on terms (vocabulary-
+    sized); the top-50 is a distributed sort-limit. Exact-integer
+    ratios into one ln() per row (cross-engine stable)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # sequence() rejects descending bounds, so 0/1-token docs are
+    # filtered before the index expansion rather than clamped inside it
+    bigrams = (
+        d.select(toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_toks"), i + 1),
+                        F.element_at(F.col("_toks"), i + 2),
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    bc = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    ug = d.select(F.explode(toks).alias("term"))
+    uc = ug.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    tot = ug.agg(F.count(F.lit(1)).alias("n_tokens"))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bc.withColumn("_t1", F.element_at(parts, 1))
+        .withColumn("_t2", F.element_at(parts, 2))
+        .join(uc.select(F.col("term").alias("_t1"), F.col("n_term").alias("_na")), on="_t1")
+        .join(uc.select(F.col("term").alias("_t2"), F.col("n_term").alias("_nb")), on="_t2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("n_tokens").cast("double"))
+                / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(50)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("bigram", "n_pair", "pmi", "rnk")
+    )
