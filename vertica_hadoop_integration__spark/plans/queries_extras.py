@@ -1009,3 +1009,47 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .select("bigram", "n_pair", "pmi", "rnk")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                      event_id
+               FROM events),
+    p AS (SELECT user_id,
+                 array_to_string(
+                     list_slice(list(event_type ORDER BY ts, event_id), 1, 5),
+                     '>') AS path
+          FROM e GROUP BY 1)
+    SELECT path, count(*) AS n_users,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, path ASC) AS INT)
+               AS rnk
+    FROM p GROUP BY 1
+    ORDER BY n_users DESC, path ASC LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journeys: each user's first five events as an
+    ordered path string, counted across users. collect_list order is
+    made deterministic by array_sort over (ts, event_id, type) structs;
+    one user-keyed aggregation, then a path-keyed count on the tiny
+    distinct-path space and a distributed sort-limit."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    path = F.array_join(
+        F.slice(F.transform(seq, lambda x: x["event_type"]), 1, 5), ">"
+    )
+    paths = e.groupBy("user_id").agg(path.alias("path"))
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
