@@ -37,6 +37,7 @@ SCALAR_BROADCAST_OK = {
     "subquery_above_avg",           # global average scalar subquery
     "text_tfidf_topterms",          # corpus document count
     "text_unigram_logprob",         # corpus token total
+    "text_collocations_pmi",        # corpus token total
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 
