@@ -1053,3 +1053,358 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rnk", F.row_number().over(w).cast("int"))
     )
+
+
+# -- TPC-H widening, second batch: q8/q9/q12/q13/q15/q16/q17/q22 -----------
+# (adapted to the reduced fixture schema: no partsupp, l_shipmode,
+# l_commitdate/receiptdate, c_phone, p_container — substitutions noted
+# per query; join/agg shape and scale behavior preserved.)
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {_REV_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 (national market share): NATION_5 suppliers' share of
+    STANDARD-part revenue sold to EUROPE customers, by order year. The
+    ratio is conditional-sum / sum inside ONE aggregation — no second
+    pass over the joined facts. Dims broadcast; lineitem-orders is the
+    only fact-fact shuffle."""
+    from .queries_relational import _dec
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_regionkey").alias("_n1_reg")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    flat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(r), F.col("_n1_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0)
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(nat).cast("double") / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 (product-type profit) adapted: the fixture has no
+    partsupp/ps_supplycost, so profit reduces to discounted revenue of
+    '%widget%' parts by supplier nation and order year. The part filter
+    prunes lineitem BEFORE the orders shuffle (broadcast semi-shaped
+    dim join first)."""
+    from .queries_relational import _dec
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT CAST(least(floor(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE)) / 30),
+                      6) AS INT) AS delay_bucket,
+           count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 (shipping-priority split) adapted: the fixture has no
+    l_shipmode/commitdate/receiptdate, so lines bucket by order-to-ship
+    delay (30-day buckets, capped at 6) instead of ship mode; the
+    high/low priority split is the standard q12 CASE pair. One
+    fact-fact shuffle, then a 7-group aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = F.least(F.floor(delay / 30), F.lit(6)).cast("int")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 (customer order-count distribution) adapted: the
+    o_comment NOT LIKE filter becomes an o_orderpriority exclusion
+    (fixture has no comments). LEFT join keeps zero-order customers;
+    the second aggregate runs on the already-tiny distinct-count
+    space."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l.l_suppkey AS supplier_no,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1995-04-01'
+          AND l.l_shipdate < TIMESTAMP '1995-07-01'
+        GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 (top supplier): per-supplier revenue for one quarter,
+    keep the max (WHERE = scalar max, ties kept — standard q15
+    semantics). The revenue frame is persisted so the max probe and the
+    final filter share one computation; the 1-row max broadcasts."""
+    from .queries_relational import _dec
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-04-01") & (F.col("l_shipdate") < "1995-07-01")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_attrs",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 (supplier count by part attributes) adapted: the
+    fixture has no partsupp, so the part-supplier relation comes from
+    lineitem links; the p_comment/complaint exclusions become brand and
+    type exclusions. countDistinct plans a two-stage partial-distinct
+    aggregate — no row explosion."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pavg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_qty
+        FROM lineitem GROUP BY 1)
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 (small-quantity-order revenue) adapted: p_container
+    does not exist, so the part cut is brand-only. The correlated
+    per-part average decorrelates into a partkey aggregate joined back
+    to lineitem — one extra shuffle on l_partkey instead of a
+    per-row subquery. Exact average via DECIMAL sum / count."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pavg = l.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    a = pavg.select(F.col("l_partkey").alias("_a_partkey"), "avg_qty")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(a, l.l_partkey == F.col("_a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q22_waiting_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS avg_pos
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT n.n_name, count(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.avg_pos
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def q22_waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 (global sales opportunity) adapted: no c_phone, so
+    grouping is by nation instead of country code, and 'no orders'
+    becomes 'no urgent orders' (the dense fixture gives every customer
+    some order). Above-average-balance customers: 1-row average
+    broadcasts, the probe is a LEFT ANTI join (no correlated
+    subquery), and the exact average uses DECIMAL sum / count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_pos")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_pos"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
