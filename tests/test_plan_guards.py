@@ -38,6 +38,7 @@ SCALAR_BROADCAST_OK = {
     "text_tfidf_topterms",          # corpus document count
     "text_unigram_logprob",         # corpus token total
     "text_collocations_pmi",        # corpus token total
+    "q11_important_stock",          # 1-row value-total scalar
     "q15_top_supplier",             # 1-row max-revenue scalar
     "q22_waiting_customers",        # 1-row average-balance scalar
 }
