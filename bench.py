@@ -60,55 +60,89 @@ def main() -> None:
 
     spark = get_session("bench")
     # warm the JVM, codegen infrastructure, parquet reader, and shuffle
-    # machinery once with a small untimed scan+agg so the first measured
-    # query reflects steady-state execution, not one-time session costs
+    # machinery once with small untimed actions so the first measured
+    # query reflects steady-state execution, not one-time session costs.
+    # The first-slot query (q1) was observed paying window/agg codegen
+    # compile cost in round 2, so the warmup now exercises the same
+    # operator classes it uses: parquet scan, hash agg with decimal sums,
+    # a window function, and a broadcast join.
     spark.range(1).count()
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
     from vertica_hadoop_integration__spark.sources import load_table
 
+    _warm = load_table(spark, sf_dir, "lineitem").limit(50000)
     (
-        load_table(spark, sf_dir, "lineitem")
-        .limit(50000)
-        .groupBy("l_returnflag")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")))
+        _warm.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"),
+            F.avg("l_discount").alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .count()
+    )
+    _w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    (
+        _warm.select(
+            F.row_number().over(_w).alias("rn"),
+            F.sum("l_quantity").over(_w).alias("rt"),
+        ).count()
+    )
+    (
+        _warm.join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            _warm.l_suppkey % 5 == F.col("r_regionkey"),
+            "left",
+        ).count()
     )
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # consume EVERY projected column: count() alone lets Spark satisfy
-        # the action without evaluating pure projections (column pruning),
-        # understating projection-heavy queries. A hash-sum over all
-        # columns forces full evaluation while returning one row.
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a long sum of 2^63-scale hashes overflows
-            # under ANSI mode
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        n = row["n"]
-        dt = time.perf_counter() - t0
+        # one query's failure must not void the suite (round-2 lesson:
+        # a single AnalysisException erased all performance data)
+        try:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # consume EVERY projected column: count() alone lets Spark
+            # satisfy the action without evaluating pure projections
+            # (column pruning), understating projection-heavy queries. A
+            # hash-sum over all columns forces full evaluation while
+            # returning one row.
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: a long sum of 2^63-scale hashes
+                # overflows under ANSI mode
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+            ).collect()[0]
+            n = row["n"]
+            dt = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
+            errors[name] = msg
+            print(f"# {name}: ERROR {msg}", file=sys.stderr)
+            continue
         times[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+        out["queries_failed"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -113,8 +113,10 @@ def asof_join(
         # closer side wins; NULL side loses; tie -> backward
         b_closer = F.col("_b_ts").isNotNull() & (
             F.col("_f_ts").isNull()
-            | (F.col("_t").cast("double") - F.col("_b_ts").cast("double")
-               <= F.col("_f_ts").cast("double") - F.col("_t").cast("double"))
+            # exact integer micros math (NTZ-safe and no float rounding at
+            # the tie boundary, unlike casting timestamps to double seconds)
+            | (F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_b_ts"))
+               <= F.unix_micros(F.col("_f_ts")) - F.unix_micros(F.col("_t")))
         )
         pick = lambda v: F.when(b_closer, F.col(f"_b_{v}")).otherwise(  # noqa: E731
             F.col(f"_f_{v}")
@@ -126,11 +128,15 @@ def asof_join(
         )
     elif direction == "interpolate":
         # blend fraction along [prev_ts, next_ts]; an exact-timestamp
-        # match (prev == next == t) degenerates to the backward value
-        tb = F.col("_b_ts").cast("double")
-        tf = F.col("_f_ts").cast("double")
-        t = F.col("_t").cast("double")
-        frac = F.when(tf > tb, (t - tb) / (tf - tb)).otherwise(F.lit(0.0))
+        # match (prev == next == t) degenerates to the backward value.
+        # unix_micros: exact long epoch math (timestamp->double casts are
+        # both lossy and invalid on TIMESTAMP_NTZ inputs)
+        tb = F.unix_micros(F.col("_b_ts"))
+        tf = F.unix_micros(F.col("_f_ts"))
+        t = F.unix_micros(F.col("_t"))
+        frac = F.when(
+            tf > tb, (t - tb).cast("double") / (tf - tb).cast("double")
+        ).otherwise(F.lit(0.0))
 
         def blend(v: str) -> Column:
             b, f = F.col(f"_b_{v}"), F.col(f"_f_{v}")
@@ -427,9 +433,12 @@ def gap_fill_interpolate(
     prev_t = F.last(obs_ts, ignorenulls=True).over(w_prev)
     next_v = F.last("total_value", ignorenulls=True).over(w_next)
     next_t = F.last(obs_ts, ignorenulls=True).over(w_next)
-    t = F.col("bucket_ts").cast("double")
-    blend = prev_v + (next_v - prev_v) * (t - prev_t.cast("double")) / (
-        next_t.cast("double") - prev_t.cast("double")
+    # exact long micros for the blend weights (NTZ-safe; double-second
+    # casts both round and reject TIMESTAMP_NTZ)
+    t = F.unix_micros(F.col("bucket_ts"))
+    blend = prev_v + (next_v - prev_v) * (
+        (t - F.unix_micros(prev_t)).cast("double")
+        / (F.unix_micros(next_t) - F.unix_micros(prev_t)).cast("double")
     )
     interp = (
         F.when(F.col("total_value").isNotNull(), F.col("total_value"))

@@ -569,8 +569,8 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN total_value IS NOT NULL THEN total_value
                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                      prev_v + (next_v - prev_v)
-                     * (epoch(bucket_ts) - epoch(prev_t))
-                     / (epoch(next_t) - epoch(prev_t))
+                     * ((epoch(bucket_ts) - epoch(prev_t))
+                        / (epoch(next_t) - epoch(prev_t)))
                 ELSE NULL END AS interp_value
     FROM c
     """,

@@ -784,8 +784,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # exact micros lag diff -> decimal seconds (NTZ-safe; no double round)
     gap = (
-        F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
+        .cast("decimal(26,0)")
+        / F.lit(1000000).cast("decimal(7,0)")
     ).cast("decimal(20,6)")
     return (
         e.select("event_type", gap.alias("gap_s"))

@@ -39,24 +39,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Pure declarative scan — filters/projections
     applied by callers push down into this scan via Catalyst.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as long
-    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``, session.py);
-    normalize it to a microsecond timestamp so downstream plans see a
-    regular timestamp column (the fixture generator emits whole-microsecond
-    values, so the ns->us truncation is lossless)."""
+    ``events.ts`` is parquet TIMESTAMP(NANOS). How Spark surfaces that
+    depends on the engine version, so normalize both shapes to a regular
+    session-tz ``TIMESTAMP`` column here, at the single ingestion choke
+    point, so every downstream plan (``unix_micros``, watermarks, window
+    ranges) sees one canonical type:
+
+    * Spark 3.x with ``spark.sql.legacy.parquet.nanosAsLong``: long
+      nanoseconds -> ``timestamp_micros(ns div 1000)``.
+    * Spark >= 4.1: the legacy conf is inert and the column arrives as
+      ``TIMESTAMP_NTZ`` -> cast to ``TIMESTAMP``. Under the engine's fixed
+      UTC session timezone (session.py) this is a pure reinterpretation —
+      the stored micros value is unchanged.
+
+    The fixture generator emits whole-microsecond values, so the ns->us
+    truncation in the legacy branch is lossless."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         # defensive: the driver may hand us a session built without this
-        # legacy conf; it is runtime-settable and required to scan
-        # TIMESTAMP(NANOS) parquet.
+        # legacy conf; it is runtime-settable and (on Spark 3.x) required
+        # to scan TIMESTAMP(NANOS) parquet. Inert no-op on Spark >= 4.1.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division: ns values (~1.7e18) exceed double's 53-bit
-        # mantissa, so a float `/ 1000` would round the microsecond
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # integer division: ns values (~1.7e18) exceed double's 53-bit
+            # mantissa, so a float `/ 1000` would round the microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
