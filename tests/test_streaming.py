@@ -219,6 +219,120 @@ def test_streaming_anomaly_scores_state(spark, events_batch, tmp_path):
     }
 
 
+def test_streaming_anomaly_restart_restores_state(spark, events_batch, tmp_path):
+    """Kill-and-restart idempotence + state continuity for the Welford
+    pipeline (mirrors test_stream_rollup's checkpoint-restart pattern):
+    a restart with no new input emits nothing new, and a restart with
+    one more source file scores it against the RESTORED baseline (every
+    emitted row has a non-NULL baseline — proof state was recovered from
+    the checkpoint, not rebuilt from scratch)."""
+    from vertica_hadoop_integration__spark.streaming.stateful import (
+        streaming_anomaly_scores,
+    )
+
+    src_dir = tmp_path / "anom_src"
+    out_dir = str(tmp_path / "anom_out")
+    ckpt = str(tmp_path / "anom_ckpt")
+    events_batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src_dir), mode="append"
+    )
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def _run_once():
+        src = (
+            spark.readStream.schema(events_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            streaming_anomaly_scores(src)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0
+
+    # restart, no new files: checkpoint replays nothing, output unchanged
+    _run_once()
+    assert spark.read.parquet(out_dir).count() == n_first
+
+    # one more file, restart: new rows must be scored against the
+    # baseline built in run 1 (state restored across the restart)
+    events_batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src_dir), mode="append"
+    )
+    _run_once()
+    out = spark.read.parquet(out_dir)
+    new_rows = out.count() - n_first
+    assert new_rows > 0
+    assert out.filter(F.col("baseline_mean").isNull()).count() <= len(
+        [r.event_type for r in events_batch.select("event_type").distinct().collect()]
+    )
+    # total scored volume across all runs covers every event exactly once
+    assert (
+        out.agg(F.sum("batch_n")).first()[0] == events_batch.count()
+    )
+
+
+def test_stream_stream_attribution_restart_is_idempotent(
+    spark, events_batch, events_stream_dir, tmp_path
+):
+    """Kill-and-restart idempotence for the watermarked stream-stream
+    join: run to completion into a parquet sink, restart on the same
+    checkpoint with no new input — row set unchanged (no re-emitted
+    pairs from replayed state)."""
+    from vertica_hadoop_integration__spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    out_dir = str(tmp_path / "attr_out")
+    ckpt = str(tmp_path / "attr_ckpt")
+
+    def _run_once():
+        src = _stream_source(spark, events_stream_dir, events_batch)
+        joined = attribute_purchases(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+            window="30 minutes",
+            watermark="10 minutes",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_once()
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "click_id", "purchase_id")
+        .collect()
+    )
+    assert first
+
+    _run_once()
+    second = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "click_id", "purchase_id")
+        .collect()
+    )
+    assert second == first
+
+
 def test_stream_stream_attribution_matches_batch(
     spark, events_batch, events_stream_dir, tmp_path
 ):
