@@ -96,10 +96,15 @@ def read_partitioned(
     partition_column: str | None = None,
     num_partitions: int = 8,
     predicates: list[str] | None = None,
+    lower_bound: int = 0,
+    upper_bound: int | None = None,
 ) -> DataFrame:
     """Partitioned JDBC read. ``predicates`` (mutually exclusive with
     range partitioning) maps each predicate to one task — used for the
-    mod-bucket strategy."""
+    mod-bucket strategy. For range partitioning, pass the REAL key range
+    as ``lower_bound``/``upper_bound`` (the reference ran a boundary
+    query for exactly this, sqoop_json.py:31); the [0, num_partitions)
+    default only suits dense rowId salts."""
     reader = spark.read.format("jdbc")
     if predicates:
         opts = partition_read_options(src)
@@ -118,7 +123,7 @@ def read_partitioned(
             },
         )
     for k, v in partition_read_options(
-        src, partition_column, num_partitions
+        src, partition_column, num_partitions, lower_bound, upper_bound
     ).items():
         reader = reader.option(k, v)
     return reader.load()
