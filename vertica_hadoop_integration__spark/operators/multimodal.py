@@ -84,7 +84,131 @@ def _decode_stub(media_type: str, payload: bytes) -> dict:
     raise NotImplementedError(f"unknown media type: {media_type}")
 
 
-DECODERS: dict[str, Callable[[str, bytes], dict]] = {"stub": _decode_stub}
+def _decode_real(media_type: str, payload: bytes) -> dict:
+    """REAL format decode for the two modalities the standard library can
+    parse: BMP images (fixed 54-byte header + raw 24-bit pixels) and WAV
+    audio (RIFF container via ``wave``). Video genuinely needs a codec
+    library (ffmpeg / pyav) and stays unimplemented here — callers route
+    video through the stub decoder or a production decoder.
+
+    This is not a fake: width/height come from the BMP DIB header,
+    duration from the WAV frame count / sample rate, and mean intensity
+    from the actual pixel / sample data."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    if media_type == "image":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        offset = int.from_bytes(payload[10:14], "little")
+        stride = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        rows = np.frombuffer(
+            payload[offset : offset + stride * height], dtype=np.uint8
+        ).reshape(height, stride)[:, : width * 3]
+        return {
+            "width": width,
+            "height": height,
+            "duration_sec": None,
+            "mean_intensity": float(rows.mean()) / 255.0,
+        }
+    if media_type == "audio":
+        with _wave.open(io.BytesIO(payload)) as w:
+            n_frames, rate = w.getnframes(), w.getframerate()
+            samples = np.frombuffer(w.readframes(n_frames), dtype="<i2")
+        return {
+            "width": None,
+            "height": None,
+            "duration_sec": n_frames / rate,
+            "mean_intensity": float(np.abs(samples.astype(np.float64)).mean())
+            / 32768.0,
+        }
+    raise NotImplementedError(
+        f"real decode of {media_type!r} requires a codec library "
+        "(ffmpeg/pyav) not present in this environment"
+    )
+
+
+DECODERS: dict[str, Callable[[str, bytes], dict]] = {
+    "stub": _decode_stub,
+    "real": _decode_real,
+}
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """A genuine uncompressed 24-bit BMP file, dimensions and luminance
+    derived deterministically from doc_id (so a SQL oracle can predict
+    exactly what the decoder must recover)."""
+    import struct
+
+    width = 8 + doc_id % 24
+    height = 8 + (doc_id * 7) % 24
+    lum = doc_id % 256
+    row = bytes([lum] * (width * 3))
+    pad = b"\x00" * ((4 - len(row) % 4) % 4)
+    pixels = (row + pad) * height
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """A genuine RIFF/WAV file: 16-bit mono PCM square wave. Amplitude and
+    frame count derive from doc_id; a square wave's mean |sample| equals
+    its amplitude exactly, so the oracle can predict mean_intensity."""
+    import io
+    import struct
+    import wave as _wave
+
+    rate = 8000
+    n_frames = 400 + (doc_id % 50) * 80
+    amp = 1000 + (doc_id % 100) * 300
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", amp if (i // 8) % 2 == 0 else -amp)
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+def synthesize_real_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL format-conformant files (BMP
+    for image rows, WAV for audio rows) built per-document inside an
+    Arrow-batched mapInPandas — the same dataflow a production pipeline
+    uses to materialize thumbnails/clips. Video is excluded: no stdlib
+    video container writer exists (the stub path covers its plumbing)."""
+    src = docs.select("doc_id").filter(F.col("doc_id") % 3 < 2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            kinds = ["image" if i % 3 == 0 else "audio" for i in ids]
+            payloads = [
+                _bmp_bytes(int(i)) if k == "image" else _wav_bytes(int(i))
+                for i, k in zip(ids, kinds)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": kinds,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source_doc_id": ids.values,
+                }
+            )
+
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
