@@ -1641,3 +1641,169 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# -- C4-style global chunk dedup with document reassembly -------------------
+@register(
+    "corpus_paragraph_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 20.0) AS BIGINT) AS n_chunks_total,
+                 unnest(generate_series(
+                     0, CAST(ceil(len(toks) / 20.0) AS BIGINT) - 1)) AS chunk_idx
+          FROM d),
+    s AS (SELECT doc_id, n_chunks_total, chunk_idx,
+                 array_to_string(
+                     list_slice(toks, chunk_idx * 20 + 1, chunk_idx * 20 + 20),
+                     ' ') AS chunk
+          FROM c),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+          FROM s)
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text,
+           CAST(count(*) AS BIGINT) AS n_chunks_kept,
+           CAST(min(n_chunks_total) AS BIGINT) AS n_chunks_total
+    FROM r WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph-level dedup (the C4/RefinedWeb line-dedup
+    recipe, on 20-token chunks since the fixture text has no newlines):
+    every repeated chunk keeps only its FIRST occurrence corpus-wide
+    (ordered by doc_id, then position), and each document is reassembled
+    from its surviving chunks in original order. Docs reduced to zero
+    chunks drop out.
+
+    Scale shape: one explode (docs x chunks), ONE global shuffle on the
+    chunk text for the first-occurrence window, then a doc_id shuffle to
+    reassemble. No joins, no driver state; the chunk-hash partitioning
+    is the same layout a 100 TB C4 pass uses."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(20.0)).cast("long")
+    chunks = d.select(
+        "doc_id",
+        n_chunks.alias("n_chunks_total"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+        "toks",
+    ).select(
+        "doc_id",
+        "n_chunks_total",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("toks", (F.col("chunk_idx") * 20 + 1).cast("int"), 20)
+        ).alias("chunk"),
+    )
+    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = chunks.withColumn(
+        "rn", F.row_number().over(first_wins)
+    ).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.min("n_chunks_total").alias("n_chunks_total"),
+    )
+
+
+# -- per-domain document cap -------------------------------------------------
+@register(
+    "corpus_domain_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents)
+    WHERE rnk <= 50
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most 50 documents per source, preferring
+    longer ones (n_chars DESC, doc_id tiebreak) — the standard guard
+    against a single crawled domain dominating the training mixture.
+    One window shuffle on source; no joins."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+# -- temperature-scaled domain rebalancing ----------------------------------
+@register(
+    "corpus_temperature_sample",
+    oracle="""
+    WITH t AS (SELECT source,
+                      greatest(1, CAST(floor(sqrt(count(*) * 4)) AS BIGINT))
+                          AS target
+               FROM documents GROUP BY source),
+    r AS (SELECT d.doc_id, d.source, t.target,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                             d.doc_id) AS rnk
+          FROM documents d JOIN t USING (source))
+    SELECT doc_id, source FROM r WHERE rnk <= target
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature domain rebalancing with exponent 0.5 (the sqrt
+    smoothing used for multilingual/domain sampling schedules): each
+    domain's keep target is floor(sqrt(4 * n_domain)) = 2 * sqrt(n),
+    min 1 — sublinear, so small domains keep everything while dominant
+    ones are cut hard (a 1M-doc domain keeps 2k). Selection within a
+    domain is a deterministic hash order (md5 of doc_id), so reruns pick
+    the same sample with no RNG state.
+
+    sqrt of an exact integer is one correctly-rounded IEEE op in both
+    engines — no cross-domain normalization sum whose accumulation order
+    could flip a floor() at scale.
+
+    Scale shape: one agg shuffle for the per-domain counts (tiny result,
+    broadcast back) + one window shuffle on source."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    targets = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.sqrt(F.col("n_docs") * 4)).cast("long"),
+            ).alias("target"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rnk"))
+        .join(F.broadcast(targets), on="source")
+        .filter(F.col("rnk") <= F.col("target"))
+        .select("doc_id", "source")
+    )
