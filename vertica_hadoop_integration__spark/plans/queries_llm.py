@@ -168,8 +168,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_exact(e, min_cosine=0.4)
 
 
-# -- embedding near-dup: LSH-bucketed (the 100 TB path; rows-only) ---------
-@register("dedup_embedding_lsh")
+def _embedding_lsh_oracle(
+    min_cosine: float = 0.4,
+    num_planes: int = 2,
+    num_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """SQL replay of embedding_near_dup_pairs: unit-normalize, bucket by
+    the sign pattern of the seeded plane literals per table (seeds
+    seed + 1000*t, drawn planes-outer dims-inner — identical to
+    operators/similarity.py::_planes_df), pair same-bucket vectors,
+    dedup across tables, exact-verify with the bitwise-matching
+    sequential-fold dot."""
+    import random
+
+    unions = []
+    for t in range(num_tables):
+        rng = random.Random(seed + 1000 * t)
+        planes = [
+            "[" + ", ".join(repr(rng.uniform(-1.0, 1.0)) for _ in range(dim)) + "]"
+            for _ in range(num_planes)
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(u, {p}) >= 0"
+            f" THEN {1 << (num_planes - 1 - i)} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        unions.append(
+            f"SELECT vec_id, u, {t} AS tbl, {bucket} AS bucket FROM n"
+        )
+    all_tables = " UNION ALL ".join(unions)
+    return f"""
+    WITH n AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS u
+        FROM embeddings),
+    b AS ({all_tables}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, a.u AS ua,
+                        x.vec_id AS id_b, x.u AS ub
+        FROM b a JOIN b x ON a.tbl = x.tbl AND a.bucket = x.bucket
+                         AND a.vec_id < x.vec_id)
+    SELECT id_a, id_b, list_dot_product(ua, ub) AS cos_sim
+    FROM cand WHERE list_dot_product(ua, ub) >= {min_cosine}
+    """
+
+
+# -- embedding near-dup: LSH-bucketed (the 100 TB path; oracle-checked) -----
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH buckets -> in-bucket pair expansion ->
     exact cosine verify (operators/dedup.py::embedding_near_dup_pairs).
@@ -177,8 +226,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in rows (each vector lands in exactly one bucket per table), the
     quadratic step is confined to capped buckets, and precision is exact
     (every emitted pair is verified). Recall vs the exact path is
-    pytest-asserted (tests/test_llm_ops.py); non-SQL-expressible ->
-    rows-only check.
+    pytest-asserted (tests/test_llm_ops.py); the seeded plane literals
+    also make the whole pipeline SQL-replayable -> oracle-checked.
 
     Parameters are tuned to the fixture's pair distribution (cosine 0.4
     threshold -> per-table collision p~0.40 at 2 planes, 8 tables ->
@@ -221,16 +270,112 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window; the exact primary above is the family's oracle-checked row)
 
 
-# -- ANN: IVF approximate top-k (scale path; rows-only + pytest recall) ----
-@register("ann_ivf_topk")
+# -- ANN: IVF approximate top-k (scale path; oracle-checked) ----------------
+# The whole IVF pipeline is deterministic given every-Nth centroids, so the
+# oracle replays it end-to-end in SQL: centroid set (vec_id % 50 = 0),
+# nearest-centroid assignment (argmax cosine, smaller centroid_id on ties),
+# nprobe=3 probe selection, in-bucket candidates, exact top-5 re-rank. The
+# assignment argmax tolerates the last-ulp difference between the JVM
+# normalized-dot and DuckDB's list_cosine_similarity because random
+# embeddings never tie centroids to within an ulp; the FINAL cos_sim uses
+# the sequential-fold cosine that is bitwise-equal to DuckDB's.
+@register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM q, cent)
+        WHERE rn <= 3),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qc.v, nc.v) AS cos_sim
+        FROM cand
+        JOIN c qc ON qc.vec_id = cand.query_id
+        JOIN c nc ON nc.vec_id = cand.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return S.ivf_topk(e, q, k=5, every_nth=50, nprobe=3)
 
 
-# -- ANN: LSH-bucketed top-k (scale path; rows-only + pytest recall) -------
-@register("ann_lsh_topk")
+def _lsh_planes_sql(num_planes: int = 6, seed: int = 42, dim: int = 64) -> list[str]:
+    """The exact hyperplane literals lsh_bucket_signature derives from the
+    seed (operators/similarity.py::_planes_df draws planes outer, dims
+    inner from random.Random(seed)), rendered as DuckDB list literals.
+    repr() round-trips every double exactly through DuckDB's parser."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        "[" + ", ".join(repr(rng.uniform(-1.0, 1.0)) for _ in range(dim)) + "]"
+        for _ in range(num_planes)
+    ]
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes_sql()
+    # sig = fold(sig*2 + bit): plane i carries weight 2^(P-1-i)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    cand AS (
+        SELECT q.query_id, q.qv, b.vec_id AS neighbor_id, b.v AS nv
+        FROM q JOIN b USING (bucket)
+        WHERE b.vec_id <> q.query_id),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(qv, nv) AS cos_sim
+        FROM cand),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+# -- ANN: LSH-bucketed top-k (scale path; oracle-checked) -------------------
+# Deterministic seeded hyperplanes make the whole bucketing replayable in
+# SQL: the oracle embeds the identical plane literals and recomputes the
+# sign-pattern bucket, the same-bucket candidate join, and the exact
+# re-rank. A sign flip would need |dot| within one ulp of zero — random
+# vectors never land there.
+@register("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)

@@ -39,14 +39,57 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- Arrow-batched feature extraction (rows-only; decode is stubbed) -------
-@register("multimodal_features")
+# -- Arrow-batched feature extraction (oracle-checked) ----------------------
+# The stub decoder derives pseudo-metadata from sha256 bytes of the payload
+# (operators/multimodal.py::_decode_stub), and DuckDB has sha256 + hex-byte
+# extraction — so even the stub path is exactly SQL-replayable: the oracle
+# recomputes width/height from the same hash bytes the UDF reads.
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+                          AS media_type,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                      sha256(text) AS content_hash
+               FROM documents),
+    h AS (SELECT *,
+                 ('0x' || substr(content_hash, 1, 2))::INT AS b0,
+                 ('0x' || substr(content_hash, 3, 2))::INT AS b1
+          FROM m)
+    SELECT media_id, media_type, n_bytes, content_hash,
+           CASE WHEN media_type = 'image' THEN CAST(64 + b0 % 192 AS INT)
+                WHEN media_type = 'video' THEN CAST(320 + b0 % 320 AS INT)
+           END AS width,
+           CASE WHEN media_type = 'image' THEN CAST(64 + b1 % 192 AS INT)
+                WHEN media_type = 'video' THEN CAST(240 + b1 % 240 AS INT)
+           END AS height
+    FROM h
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(_media(spark, sf_dir)).drop("mean_intensity", "duration_sec")
 
 
-# -- video frame-sampling plan (rows-only) ---------------------------------
-@register("multimodal_frame_sample")
+# -- video frame-sampling plan (oracle-checked) ------------------------------
+# Stub video duration is 1.0 + (sha256_byte[3] % 600)/10 seconds; the frame
+# explode (frame every 10s, zero-frame media dropped) is plain SQL.
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (SELECT doc_id AS media_id, sha256(text) AS ch
+               FROM documents WHERE doc_id % 3 = 2),
+    d AS (SELECT media_id,
+                 1.0 + (('0x' || substr(ch, 7, 2))::INT % 600) / 10.0 AS dur
+          FROM v),
+    f AS (SELECT media_id, CAST(floor(dur / 10.0) AS INT) AS n_frames
+          FROM d)
+    SELECT media_id, CAST(t.u AS INT) AS frame_idx,
+           CAST(t.u AS DOUBLE) * 10.0 AS frame_ts_sec
+    FROM f, unnest(generate_series(0, n_frames - 1)) AS t(u)
+    WHERE n_frames >= 1
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(_media(spark, sf_dir), every_sec=10.0)
 
