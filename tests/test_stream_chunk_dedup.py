@@ -1,0 +1,96 @@
+"""Streaming C4-style chunk dedup (streaming/dedup.py::
+stream_chunk_dedup_load): streamed in doc_id-ordered batches it must
+produce EXACTLY the batch corpus_paragraph_dedup result, cross-batch
+repeated chunks must die via the persisted hash index, and a checkpoint
+restart must not double-ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.operators.corpus import (
+    chunk_fixed,
+    reassemble_chunks,
+)
+from vertica_hadoop_integration__spark.sources import load_table
+from vertica_hadoop_integration__spark.streaming.dedup import (
+    stream_chunk_dedup_load,
+)
+
+
+@pytest.fixture()
+def staged(spark, sf_dir, tmp_path):
+    """Two source files split by doc_id so batch order equals global
+    first-occurrence order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+    src = tmp_path / "src"
+    lo.coalesce(1).write.parquet(str(src), mode="append")
+    hi.coalesce(1).write.parquet(str(src), mode="append")
+    return str(src), docs
+
+
+def _batch_expected(docs):
+    chunks = chunk_fixed(docs, chunk_size=20)
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return reassemble_chunks(kept)
+
+
+def _run(spark, src, schema, tmp_path):
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    led = str(tmp_path / "led")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_chunk_dedup_load(
+        stream, index_dir=idx, dest_dir=out, ledger_path=led,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+    return out, idx, led, ckpt
+
+
+def _canon(df):
+    return sorted(
+        (r.doc_id, r.dedup_text, r.n_chunks_kept, r.n_chunks_total)
+        for r in df.collect()
+    )
+
+
+def test_stream_chunk_dedup_matches_batch_and_restart(spark, staged, tmp_path):
+    src, docs = staged
+    out, idx, led, ckpt = _run(spark, src, docs.schema, tmp_path)
+
+    got = spark.read.orc(out + "/batch=*")
+    want = _batch_expected(docs)
+    assert _canon(got) == _canon(want)
+
+    # the persisted index holds exactly the distinct surviving hashes
+    n_idx = spark.read.parquet(idx + "/chunk_hashes").count()
+    n_kept = want.agg(F.sum("n_chunks_kept")).first()[0]
+    assert n_idx == n_kept
+
+    # restart on the same checkpoint, no new input: nothing re-lands
+    before = _canon(spark.read.orc(out + "/batch=*"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_chunk_dedup_load(
+        stream, index_dir=idx, dest_dir=out, ledger_path=led,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    assert _canon(spark.read.orc(out + "/batch=*")) == before
+    assert spark.read.parquet(idx + "/chunk_hashes").count() == n_idx

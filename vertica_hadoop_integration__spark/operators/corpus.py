@@ -449,3 +449,55 @@ def contamination_score(
             / F.count(F.lit(1)).cast("double")
         ).alias("contamination"),
     )
+
+
+def chunk_fixed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 20,
+) -> DataFrame:
+    """Non-overlapping fixed-size token chunks — the C4-style paragraph
+    unit when the corpus has no newline structure. One row per chunk:
+    (id, chunk_idx, chunk, n_chunks_total). Map-only (split + sequence
+    explode + slice; no shuffle)."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_size))).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks_total"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        "n_chunks_total",
+        "chunk_idx",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "_toks",
+                (F.col("chunk_idx") * chunk_size + 1).cast("int"),
+                chunk_size,
+            ),
+        ).alias("chunk"),
+    )
+
+
+def reassemble_chunks(
+    kept: DataFrame, id_col: str = "doc_id", out_col: str = "dedup_text"
+) -> DataFrame:
+    """Rebuild documents from surviving chunks in original order; docs
+    with zero surviving chunks drop out. One id shuffle."""
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_chunks_kept"),
+        F.min("n_chunks_total").alias("n_chunks_total"),
+    )

@@ -1683,40 +1683,16 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same layout a 100 TB C4 pass uses."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    n_chunks = F.ceil(F.size("toks") / F.lit(20.0)).cast("long")
-    chunks = d.select(
-        "doc_id",
-        n_chunks.alias("n_chunks_total"),
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
-            "chunk_idx"
-        ),
-        "toks",
-    ).select(
-        "doc_id",
-        "n_chunks_total",
-        "chunk_idx",
-        F.concat_ws(
-            " ", F.slice("toks", (F.col("chunk_idx") * 20 + 1).cast("int"), 20)
-        ).alias("chunk"),
+    from ..operators.corpus import chunk_fixed, reassemble_chunks
+
+    chunks = chunk_fixed(
+        load_table(spark, sf_dir, "documents"), chunk_size=20
     )
     first_wins = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
     kept = chunks.withColumn(
         "rn", F.row_number().over(first_wins)
     ).filter(F.col("rn") == 1)
-    return kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                lambda s: s.chunk,
-            ),
-        ).alias("dedup_text"),
-        F.count(F.lit(1)).alias("n_chunks_kept"),
-        F.min("n_chunks_total").alias("n_chunks_total"),
-    )
+    return reassemble_chunks(kept)
 
 
 # -- per-domain document cap -------------------------------------------------

@@ -129,3 +129,67 @@ def stream_dedup_load(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_chunk_dedup_load(
+    docs,
+    index_dir: str,
+    dest_dir: str,
+    ledger_path: str,
+    table_name: str = "chunks_stream",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 20,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming C4-style paragraph dedup: each batch's docs are chunked
+    (operators/corpus.py::chunk_fixed), chunks already seen — in the
+    persisted index OR earlier in this batch (by doc_id, chunk_idx) —
+    are dropped, survivors are reassembled into documents and landed,
+    and the surviving chunk hashes append to the index so later batches
+    dedup against them. Matches the batch corpus_paragraph_dedup exactly
+    when batches arrive in doc_id order.
+
+    The index stores md5 hashes only (16 bytes/chunk), never chunk text
+    — at 100 TB the index is ~1% of corpus size and the probe is a hash
+    equi-join. Same ledger exactly-once contract as stream_dedup_load."""
+    from ..operators.corpus import chunk_fixed, reassemble_chunks
+
+    hash_path = os.path.join(index_dir, "chunk_hashes")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = Ledger(spark, ledger_path)
+        key = str(batch_id)
+        ledger.enqueue_whole_table(f"{table_name}#{key}", "stream", 1)
+        if not ledger.pending_exists(f"{table_name}#{key}"):
+            return  # replayed batch, already landed
+        chunks = chunk_fixed(
+            batch_df, text_col=text_col, id_col=id_col, chunk_size=chunk_size
+        ).withColumn("_h", F.md5(F.col("chunk")))
+        # in-batch first-occurrence wins (global order = doc, position)
+        w = Window.partitionBy("_h").orderBy(id_col, "chunk_idx")
+        kept = chunks.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        # drop chunks whose hash is already in the persisted index
+        if os.path.exists(hash_path) and any(
+            f.endswith(".parquet") for f in os.listdir(hash_path)
+        ):
+            seen = spark.read.parquet(hash_path)
+            kept = kept.join(seen, kept._h == seen.chunk_hash, "left_anti")
+        kept = kept.localCheckpoint()  # pin: lands in output AND index
+        out = reassemble_chunks(kept, id_col=id_col)
+        write_atomic(out, os.path.join(dest_dir, f"batch={key}"))
+        kept.select(F.col("_h").alias("chunk_hash")).write.mode(
+            "append"
+        ).parquet(hash_path)
+        ledger.mark_complete(f"{table_name}#{key}", None)
+
+    writer = docs.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
