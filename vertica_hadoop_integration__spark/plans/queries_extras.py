@@ -1783,3 +1783,101 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("target"))
         .select("doc_id", "source")
     )
+
+
+# -- corpus snapshot diff (incremental change detection) ---------------------
+# The reference's entire job is detecting which partitions changed between
+# snapshots and moving only those (sqoop_etl.py's high-water-mark loop); at
+# document granularity the same primitive is a content-hash diff between
+# two corpus versions. Snapshots are synthesized deterministically from the
+# fixture (old drops doc_id % 11 == 0, new drops % 13 == 0 and rewrites
+# % 7 == 0), so the oracle replays both sides exactly.
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+    new AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                       AS text
+            FROM documents WHERE doc_id % 13 <> 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE old.doc_id IS NULL OR new.doc_id IS NULL
+          OR md5(old.text) <> md5(new.text)
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash diff of two corpus snapshots: added / removed /
+    changed doc ids (unchanged rows excluded — at 100 TB the diff output
+    is the small side). One full-outer sort-merge join on the id; the
+    md5 comparison runs on 16-byte digests, never full text, so the
+    shuffle carries (id, hash) only."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h_old")
+    )
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h_new"),
+    )
+    j = old.join(new, on="doc_id", how="full_outer")
+    return (
+        j.filter(
+            F.col("h_old").isNull()
+            | F.col("h_new").isNull()
+            | (F.col("h_old") != F.col("h_new"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
+
+
+# -- reason-coded quality gate ------------------------------------------------
+@register(
+    "corpus_quality_reasons",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      length(text) AS n_chars,
+                      len(string_split_regex(trim(text), '\s+')) AS n_tokens
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_tokens < 20 THEN 'too_few_tokens'
+                WHEN CAST(n_chars AS DOUBLE) / n_tokens > 12.0
+                    THEN 'tokens_too_long'
+                ELSE 'pass' END AS gate_reason
+    FROM t
+    """,
+)
+def corpus_quality_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason-coded quality gate: every document labeled with the FIRST
+    failing rule (priority-ordered CASE), 'pass' otherwise — the
+    classification production cleaning runs emit so drop funnels are
+    attributable per rule, not just a boolean keep flag. Map-only; the
+    rules reuse text_quality_score's thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.when(n_chars < 100, F.lit("too_short"))
+        .when(n_tokens < 20, F.lit("too_few_tokens"))
+        .when(
+            n_chars.cast("double") / n_tokens.cast("double") > 12.0,
+            F.lit("tokens_too_long"),
+        )
+        .otherwise(F.lit("pass"))
+        .alias("gate_reason"),
+    )
