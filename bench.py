@@ -47,6 +47,13 @@ HEADLINE = [
     "events_retention_cohorts",
     "corpus_chunk_documents",
     "q7_volume_shipping",
+    # round-3 additions (additive — earlier per-query numbers stay
+    # comparable): C4 chunk dedup, real media decode, IVF probe path,
+    # snapshot hash diff
+    "corpus_paragraph_dedup",
+    "multimodal_decode_real",
+    "ann_ivf_topk",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -138,11 +138,15 @@ def assign_to_centroids(
         units.append((int(r["centroid_id"]), [x / n for x in v]))
     units.sort()  # ascending cid -> numpy argmax tie-break = smallest id
 
-    # Above ~64 centroids the literal-unroll plan bloats (C columns of
-    # D literals each) and interpreted HOF dot cost scales with C; the
+    # The literal-unroll path pays the interpreted-HOF cliff PER CENTROID
+    # (each dot column re-substitutes the normalize fold after project
+    # collapse): measured 3.7s vs 0.3s for the Arrow matmul at C=40,
+    # corpus 2000x64, sf0.1 — the crossover is a handful of centroids,
+    # not ~64 as first assumed. Keep the JVM path only for tiny centroid
+    # sets where a python worker round-trip isn't worth starting; the
     # Arrow path does one numpy matmul per batch against the centroid
     # matrix shipped in the UDF closure. Both are map-only.
-    if len(units) > 64:
+    if len(units) > 4:
         return _assign_arrow(corpus, units, id_col, vec_col)
 
     staged = corpus.select(
