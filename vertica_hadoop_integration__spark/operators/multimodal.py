@@ -228,11 +228,25 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the input arrives in
+    fewer partitions — a small parquet source scans as ONE partition and
+    would serialize the per-row python decode onto one core. At real
+    scale the scan already exceeds defaultParallelism and this is a
+    no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas (iterator of batches — one worker handles many batches
-    without python-call-per-row)."""
+    without python-call-per-row). Input is spread to cluster parallelism
+    first: decode is the per-row CPU cost, so parallelism = partitions."""
     decode = DECODERS[decoder]
+    media = _spread(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
