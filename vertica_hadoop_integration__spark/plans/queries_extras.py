@@ -915,8 +915,12 @@ def dedup_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import fuzzy_match_pairs
 
     d = load_table(spark, sf_dir, "documents")
+    # q=5: the fixture's tiny word vocabulary makes 3-grams near-useless
+    # as blocks (375 distinct trigrams over the corpus -> 53% of all
+    # pairs became candidates); 5-grams discriminate ~2.4x better at the
+    # same lossless floor ((3+1)*5-1 = 19 < the 30-char prefix).
     return fuzzy_match_pairs(
-        d, max_edit=3, q=3, prefix_len=30
+        d, max_edit=3, q=5, prefix_len=30
     ).select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
 
 
