@@ -163,11 +163,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- embedding near-dup: exact threshold (oracle-checked) ------------------
 @register(
     "dedup_embedding_cosine",
+    # normalized-dot form, matching the engine's normalize-once-then-dot
+    # pipeline bitwise (same sequential folds both sides)
     oracle="""
+    WITH n AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[])))
+                          AS u
+               FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+           list_dot_product(a.u, b.u) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
