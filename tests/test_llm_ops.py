@@ -286,3 +286,88 @@ def test_kmeans_ivf_recall_not_worse_than_every_nth(spark, sf_dir):
     r1 = {(r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(e, q, k=5, nprobe=5, index=idx1).collect()}
     assert len(exact & r1) >= len(exact & r0) - 2  # refined >= seeded (slack for ties)
     assert len(exact & r1) / len(exact) >= 0.3
+
+
+def test_minhash_portable_finds_exact_dups_and_is_sound(spark, sf_dir):
+    """Portable-md5 MinHash: every emitted pair really has shingle-Jaccard
+    >= threshold (verify step is exact), and planted exact duplicates are
+    always recovered (identical docs share every band)."""
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        minhash_dedup_portable,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    planted = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    pairs = minhash_dedup_portable(
+        d.unionByName(planted), min_jaccard=0.5
+    ).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs}
+    assert all(j >= 0.5 for j in got.values())
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in d.filter(F.col("doc_id") % 25 == 0).collect()
+    }
+    missing = expected - set(got)
+    assert not missing, f"planted exact dups missed: {missing}"
+    for p in expected:
+        assert got[p] == 1.0
+
+
+def test_semantic_dedup_subset_of_exact_and_catches_planted(spark, sf_dir):
+    """SemDeDup pairs are a SUBSET of the exact all-pairs result at the
+    same threshold (cluster-local recall trade), and planted exact
+    duplicates are always found (identical vectors share a centroid)."""
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        embedding_near_dup_exact,
+        semantic_dedup_pairs,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # +100001 keeps planted ids OFF the centroid grid (id % 20 == 1): a
+    # planted copy that is itself a centroid would tie its source's
+    # argmax at exactly cos=1 to two identical centroids, and BLAS's
+    # per-column blocking makes an exact-ulp tie unstable. Real corpora
+    # don't hand the centroid picker duplicate vectors; the test
+    # shouldn't either.
+    planted = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100001
+    )
+    corpus = e.unionByName(planted)
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(corpus, min_cosine=0.3, every_nth=20).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_exact(corpus, min_cosine=0.3).collect()
+    }
+    assert sem <= exact
+    expected = {
+        (r["vec_id"], r["vec_id"] + 100001)
+        for r in e.filter(F.col("vec_id") % 20 == 0).collect()
+    }
+    assert expected <= sem
+
+
+def test_search_all_terms_conjunctive(spark, sf_dir):
+    """Inverted-index AND search returns exactly the docs whose token set
+    contains every query term, scored by summed term frequency."""
+    from vertica_hadoop_integration__spark.operators.text import search_all_terms
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["data", "scan"]
+    got = {r["doc_id"]: r["score"] for r in search_all_terms(d, terms).collect()}
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    ).collect()
+    for row in toks:
+        tl = list(row["t"])
+        should = all(q in tl for q in terms)
+        assert (row["doc_id"] in got) == should
+        if should:
+            assert got[row["doc_id"]] == sum(tl.count(q) for q in terms)

@@ -130,3 +130,28 @@ def test_refresh_rollup_incremental_matches_full(spark, tmp_path):
     other_full = full.filter(F.col("part_day") != F.lit(d0)).count()
     other_incr = incr.filter(F.col("part_day") != F.lit(d0)).count()
     assert other_full == other_incr
+
+
+def test_kmv_portable_matches_family_bounds(spark):
+    """Portable md5-KMV: same estimator contract as the xxhash64 path —
+    exact below k, bounded relative error above it."""
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    est = {
+        r["o_orderstatus"]: r["distinct_est"]
+        for r in K.kmv_distinct_portable(
+            o, "o_custkey", ("o_orderstatus",), k=64
+        ).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.5, f"{k}: est {est[k]} vs exact {n}"
+
+    small = spark.createDataFrame([(i % 10,) for i in range(100)], ["v"])
+    [row] = K.kmv_distinct_portable(small, "v", (), k=64).collect()
+    assert row["distinct_est"] == 10.0

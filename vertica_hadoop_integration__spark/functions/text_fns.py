@@ -66,6 +66,20 @@ def hash64(col: Column, seed: int = 0) -> Column:
     return F.xxhash64(col, F.lit(seed))
 
 
+def md5_hash60(col: Column, seed: int | None = None) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, parsed base-16.
+    Bit-identical in DuckDB as ``CAST(('0x'||substr(md5(x),1,15)) AS
+    BIGINT)`` (verified), so operators built on it — the ``*_portable``
+    variants — can replay their ENTIRE pipeline in an oracle SQL string
+    instead of registering rows-only. 15 hex digits = 60 bits < 2^63, so
+    the long cast never overflows under ANSI mode. ``seed`` prefixes the
+    input as "seed:value", giving independent hash functions for MinHash
+    signature rows. xxhash64 (``hash64``) stays the production default:
+    one JVM op versus a digest + substring + base conversion."""
+    base = col if seed is None else F.concat_ws(":", F.lit(seed), col)
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized token
     stream (cross-engine stable — md5 hex matches DuckDB)."""

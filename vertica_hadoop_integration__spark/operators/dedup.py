@@ -256,6 +256,81 @@ def minhash_dedup(
     )
 
 
+def minhash_dedup_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """``minhash_dedup`` with every hash swapped for the portable md5
+    60-bit hash (functions/text_fns.py::md5_hash60), which makes the
+    END-TO-END pipeline — shingling, seeded signature mins, banding,
+    in-bucket candidate generation, exact-Jaccard verify — replayable in
+    DuckDB SQL. The matching oracle checks the LSH *logic* itself
+    (candidate set AND verified pairs), not just row counts; the
+    xxhash64 variants stay the production default (md5 costs a digest
+    per shingle per signature row).
+
+    Two structural differences from the production path, both in service
+    of oracle parity: bands key on the raw signature-value tuple (no
+    band re-hash — grouping on the tuple is the same equivalence
+    relation), and verification intersects raw shingle-string sets
+    (exact Jaccard, no 64-bit-collision caveat). Same plan shape
+    otherwise: one text scan, persist-shared signatures, no self-join,
+    merge-hinted verify sides."""
+    from ..functions.text_fns import md5_hash60
+
+    rpb = num_hashes // bands
+    staged = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    )
+    aggs = [
+        F.min(md5_hash60(F.col("_sh"), seed=j)).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ] + [F.collect_set(F.col("_sh")).alias("sh")]
+    sigs = staged.groupBy(id_col).agg(*aggs).persist()
+    xcols = [f"x{r}" for r in range(rpb)]
+    stacked = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    *[F.col(f"mh_{b * rpb + r}").alias(xcols[r]) for r in range(rpb)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", *[f"band.{x}" for x in xcols])
+    cands = (
+        _in_bucket_pairs(stacked, ["band_idx", *xcols], F.col(id_col), max_bucket_size)
+        .select(F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"))
+        .distinct()
+    )
+    v = sigs.select(F.col(id_col), F.col("sh")).hint("merge")
+    joined = (
+        cands.join(
+            v.withColumnRenamed(id_col, "doc_id_a").withColumnRenamed("sh", "sh_a"),
+            on="doc_id_a",
+        ).join(
+            v.withColumnRenamed(id_col, "doc_id_b").withColumnRenamed("sh", "sh_b"),
+            on="doc_id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
 # -- incremental MinHash: persisted index + probe ---------------------------
 #
 # The production dedup shape: a 100 TB corpus is deduped ONCE, its LSH
@@ -778,6 +853,57 @@ def embedding_near_dup_pairs(
             dot(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    min_cosine: float = 0.35,
+    every_nth: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dedup: cluster the corpus by
+    nearest-centroid assignment, then verify exact cosine only WITHIN
+    each cluster — the standard trick that turns the quadratic
+    all-pairs check into per-cluster work (Abbas et al. 2023,
+    "SemDeDup"; same family as the reference-free curation passes used
+    on web-scale pretraining corpora).
+
+    Scale shape: centroid pick is a filter (every-Nth by id — k-means
+    refinement drops in unchanged via similarity.py::kmeans_centroids);
+    assignment is the map-only broadcast-centroid Arrow kernel IVF uses
+    (zero shuffle); the one wide exchange groups by centroid_id, inside
+    which pairs expand via the collect_list combinator (no self-join).
+    A cluster is corpus_size/k on average, so per-cluster expansion is
+    (n/k)^2 — tune ``every_nth`` so clusters stay bounded, and
+    ``max_cluster_size`` hard-caps the quadratic corner. Recall is
+    cluster-local by design: a cross-cluster near-dup pair is missed —
+    that is the documented SemDeDup trade (they sit near a centroid
+    boundary), bought for the ~k-fold cost reduction.
+
+    Deterministic end to end (every-Nth centroids, argmax-cosine with
+    smaller-id tie-break, sequential-fold verify dot), so the full
+    pipeline is SQL-replayable -> oracle-checked."""
+    from .similarity import assign_to_centroids, pick_centroids
+
+    cents = pick_centroids(emb, every_nth, id_col=id_col, vec_col=vec_col)
+    assigned = assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+    unit = assigned.select(
+        F.col("centroid_id"),
+        F.struct(
+            F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("v")
+        ).alias("p"),
+    )
+    pairs = _in_bucket_pairs(unit, ["centroid_id"], F.col("p"), max_cluster_size)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= min_cosine)
     )
 

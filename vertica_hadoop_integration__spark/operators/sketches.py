@@ -66,6 +66,50 @@ def kmv_distinct(
     )
 
 
+def kmv_distinct_portable(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct estimate with the portable md5 60-bit hash
+    (functions/text_fns.py::md5_hash60) instead of xxhash64, which makes
+    the WHOLE estimator — hash, top-k selection, estimate arithmetic —
+    replayable in DuckDB SQL, so the driver's oracle verifies the sketch
+    logic exactly rather than rows-only. Same plan shape and O(k)
+    per-group state as ``kmv_distinct``; the estimate is returned as the
+    raw DOUBLE (no rounding) so both engines emit the identical IEEE
+    value: u = (h+1)/2^60 in (0,1], n_hat = (k-1)/u_k, exact fallback to
+    the observed count below k. xxhash64 ``kmv_distinct`` remains the
+    production default (cheaper hash)."""
+    from ..functions.text_fns import md5_hash60
+
+    gcols = [F.col(g) for g in group_cols]
+    hashed = df.select(
+        *gcols, md5_hash60(F.col(col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.col("_h").asc())
+    # 60-bit hash -> (0, 1]: (h + 1) / 2^60, associated exactly as the
+    # oracle writes it so the doubles match bitwise
+    u = (F.col("_h").cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    topk = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_u", u)
+    )
+    agg = topk.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_u").alias("_hk"),
+    )
+    est = F.when(F.col("_m") < k, F.col("_m").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("_hk")
+    )
+    return agg.select(
+        *[F.col(g) for g in group_cols],
+        est.alias("distinct_est"),
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     col: str,

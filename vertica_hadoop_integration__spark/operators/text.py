@@ -314,3 +314,47 @@ def unigram_logprob(
         avg_nll.alias("avg_nll"),
         F.exp(avg_nll).alias("ppl_proxy"),
     )
+
+
+# -- inverted-index full-text search ---------------------------------------
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting lists: (term, doc_id, tf). THE retrieval layout — write it
+    bucketed/sorted by term and every term-lookup join becomes a pruned,
+    co-located probe (the parquet/bucketing analogue of an inverted
+    index's seek). One explode + one groupBy; the shuffle carries
+    (term, doc, count) triples after map-side combine."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) term search over the corpus: documents containing
+    EVERY query term, scored by total query-term frequency. Plan: build
+    posting rows, semi-restrict to the broadcast query-term list, then a
+    count(DISTINCT-free) groupBy — a doc qualifies when it matched all
+    ``len(terms)`` terms (posting rows are per-(term, doc), so the match
+    count per doc IS the distinct-term count). At scale the posting-list
+    table is precomputed (``inverted_index``) and this becomes a probe
+    of len(terms) term partitions instead of a corpus scan."""
+    post = inverted_index(df, text_col, id_col)
+    q = F.array(*[F.lit(t) for t in terms])
+    hits = post.filter(F.array_contains(q, F.col("term")))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select(id_col, F.col("score"))
+    )

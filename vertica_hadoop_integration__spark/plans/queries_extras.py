@@ -1885,3 +1885,175 @@ def corpus_quality_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("pass"))
         .alias("gate_reason"),
     )
+
+
+# -- portable-hash variants + new retrieval/curation ops (round 3) ----------
+#
+# Each query below replays its ENTIRE pipeline in the oracle — md5-based
+# 60-bit hashes (functions/text_fns.py::md5_hash60) are bit-identical in
+# DuckDB, so what were rows-only families (MinHash LSH, KMV sketches)
+# gain an oracle-checked representative that verifies the pipeline LOGIC,
+# not just row counts. Production defaults stay on xxhash64.
+
+_H60 = "CAST(('0x'||substr(md5({x}),1,15)) AS BIGINT)"
+
+
+@register(
+    "sketch_kmv_portable",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT o_orderstatus,
+             {_H60.format(x="CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders),
+    ranked AS (
+      SELECT o_orderstatus, h,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+      FROM hashed),
+    agg AS (
+      SELECT o_orderstatus, count(*) AS m,
+             max((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0) AS hk
+      FROM ranked WHERE rn <= 64 GROUP BY 1)
+    SELECT o_orderstatus,
+           CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE 63.0 / hk END
+               AS distinct_est
+    FROM agg
+    """,
+)
+def sketch_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch through the portable md5 hash — the
+    sketch family's oracle-checked row: DuckDB recomputes hash, top-k
+    selection, and the (k-1)/u_k estimate bit-for-bit
+    (operators/sketches.py::kmv_distinct_portable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return K.kmv_distinct_portable(o, "o_custkey", ("o_orderstatus",), k=64)
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.5
+) -> str:
+    """SQL replay of minhash_dedup_portable: word-3-gram shingles, eight
+    seeded md5-60 signature mins, 4x2 banding on raw signature tuples,
+    distinct in-bucket candidates, exact shingle-set Jaccard verify."""
+    rpb = num_hashes // bands
+    sig_cols = ",\n           ".join(
+        "list_min(list_transform(shs, s -> "
+        + _H60.format(x=f"'{j}:'||s")
+        + f")) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"mh{b * rpb + r} AS x{r}" for r in range(rpb))
+        + " FROM sig"
+        for b in range(bands)
+    )
+    on = " AND ".join(f"a.x{r} = b.x{r}" for r in range(rpb))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t)-2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shs
+      FROM toks),
+    sig AS (SELECT doc_id, shs, {sig_cols} FROM sh),
+    bands AS ({band_sel}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND {on} AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.doc_id_a, c.doc_id_b,
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+             CAST(len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id_a
+                  JOIN sig sb ON sb.doc_id = c.doc_id_b)
+    SELECT doc_id_a, doc_id_b, jaccard FROM ver WHERE jaccard >= {min_jaccard}
+    """
+
+
+@register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup through the portable md5 hash — the MinHash
+    family's oracle-checked row: the DuckDB oracle replays shingling,
+    signatures, banding, candidate generation, and the exact-Jaccard
+    verify end to end (operators/dedup.py::minhash_dedup_portable), so
+    the LSH logic itself is driver-verified. The xxhash64 pipeline
+    (dedup_minhash_lsh) stays the production default."""
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_portable(
+        d, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
+    )
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM c),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                          cent.centroid_id) AS rn
+        FROM c, cent) WHERE rn = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(na.u, nb.u) AS cos_sim
+    FROM assign a JOIN assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+    WHERE list_dot_product(na.u, nb.u) >= 0.35
+    """,
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dedup: nearest-centroid clustering
+    confines the quadratic cosine check to within-cluster pairs
+    (operators/dedup.py::semantic_dedup_pairs). Deterministic end to end
+    (every-Nth centroids, smaller-id argmax tie-break, sequential-fold
+    dot), so the oracle replays assignment AND verify exactly; the
+    assignment argmax tolerates DuckDB's last-ulp cosine difference for
+    the same reason ann_ivf_topk's does (random embeddings never tie
+    centroids within an ulp)."""
+    from ..operators import dedup as D
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup_pairs(e, min_cosine=0.35, every_nth=50)
+
+
+@register(
+    "text_search_inverted",
+    oracle=r"""
+    WITH post AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents) GROUP BY 1, 2),
+    q(term) AS (VALUES ('data'), ('scan'), ('join')),
+    hits AS (
+      SELECT doc_id, count(*) AS n_terms, SUM(tf) AS score
+      FROM post JOIN q USING (term) GROUP BY doc_id)
+    SELECT doc_id, CAST(score AS BIGINT) AS score
+    FROM hits WHERE n_terms = 3
+    """,
+)
+def text_search_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive full-text search over posting lists: documents
+    containing ALL of {data, scan, join}, scored by total query-term
+    frequency (operators/text.py::search_all_terms). At scale the
+    posting-list table is the precomputed artifact (inverted_index,
+    written bucketed by term) and each query probes len(terms)
+    term partitions instead of scanning the corpus."""
+    from ..operators.text import search_all_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return search_all_terms(d, ["data", "scan", "join"])
