@@ -371,3 +371,31 @@ def test_search_all_terms_conjunctive(spark, sf_dir):
         assert (row["doc_id"] in got) == should
         if should:
             assert got[row["doc_id"]] == sum(tl.count(q) for q in terms)
+
+
+def test_simhash_portable_finds_planted_dups(spark, sf_dir):
+    """Portable-md5 SimHash: planted exact duplicates come back at
+    hamming 0 (identical token multiset -> identical signature ->
+    co-bucketed in every band), and every returned pair respects the
+    threshold."""
+    from vertica_hadoop_integration__spark.functions.text_fns import md5_hash60
+    from vertica_hadoop_integration__spark.operators.dedup import simhash_near_pairs
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(150)
+    planted = d.filter(F.col("doc_id") % 30 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    pairs = simhash_near_pairs(
+        d.unionByName(planted), max_hamming=3, bands=4,
+        hasher=md5_hash60, width=60,
+    ).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs}
+    assert all(h <= 3 for h in got.values())
+    expected = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in d.filter(F.col("doc_id") % 30 == 0).collect()
+    }
+    assert expected <= set(got)
+    for p in expected:
+        assert got[p] == 0

@@ -450,30 +450,39 @@ def minhash_probe(
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over tokens: for each bit position, sum +-1 weighted
-    by each token's hash bit; sign of the sum is the output bit
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher=None,
+    width: int = 64,
+) -> DataFrame:
+    """``width``-bit SimHash over tokens: for each bit position, sum +-1
+    weighted by each token's hash bit; sign of the sum is the output bit
     (bit = 1 iff 2*count_of_ones - n > 0, matching the former
     sum(2*bit-1) > 0 formulation exactly).
 
-    Token hashes stay JVM-side (xxhash64); the 64 per-bit tallies run in
-    one Arrow kernel over each doc's collected hash list. The previous
-    built-in-only form aggregated 64 separate SUM(shift/mask) expressions
-    per token row — ~100M expression evaluations at sf0.1 (measured
-    7.2s); the numpy unpack-and-sum does the same tallies in ~0.1s. The
-    shuffle shape is unchanged in spirit (one groupBy carrying the doc's
-    token hashes; at 100 TB the per-doc list is bounded by doc length,
-    the same rows the 64-agg form shuffled as partial sums)."""
+    Token hashes stay JVM-side (default xxhash64; ``hasher`` swaps in
+    e.g. the portable md5-60 hash, with ``width`` matching its bit
+    count); the per-bit tallies run in one Arrow kernel over each doc's
+    collected hash list. The previous built-in-only form aggregated 64
+    separate SUM(shift/mask) expressions per token row — ~100M
+    expression evaluations at sf0.1 (measured 7.2s); the numpy
+    unpack-and-sum does the same tallies in ~0.1s. The shuffle shape is
+    unchanged in spirit (one groupBy carrying the doc's token hashes; at
+    100 TB the per-doc list is bounded by doc length, the same rows the
+    64-agg form shuffled as partial sums)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    hash_fn = hasher or F.xxhash64
     tok = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
+    ).select(F.col(id_col), hash_fn(F.col("tok")).alias("h"))
     per_doc = tok.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
 
-    _shifts = np.arange(64, dtype=np.uint64)
+    _shifts = np.arange(width, dtype=np.uint64)
 
     def _sim(hs):
         out = np.empty(len(hs), dtype=np.int64)
@@ -502,11 +511,15 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     bands: int = 4,
     max_bucket_size: int = 10000,
+    hasher=None,
+    width: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into ``bands``
-    contiguous chunks; group on (band_idx, chunk), expand pairs
+    """Near-dup pairs by SimHash: band the ``width``-bit signature into
+    ``bands`` contiguous chunks; group on (band_idx, chunk), expand pairs
     in-bucket, verify exact hamming distance. Returns
-    (doc_id_a, doc_id_b, hamming).
+    (doc_id_a, doc_id_b, hamming). ``hasher``/``width`` swap the token
+    hash (default xxhash64/64; md5_hash60/60 gives the SQL-replayable
+    portable variant).
 
     Completeness (pigeonhole): a pair at hamming distance d has all its
     differing bits spread over at most d bands, so it is guaranteed to
@@ -520,9 +533,9 @@ def simhash_near_pairs(
         bands = max_hamming + 1
     # persist: the self-join below reads the signature table twice, and
     # recomputing it would re-run the token explode + Arrow tally per side
-    sig = simhash64(df, text_col, id_col).persist()
-    # band b covers bits [64*b//bands, 64*(b+1)//bands) — full coverage
-    bounds = [(64 * b) // bands for b in range(bands + 1)]
+    sig = simhash64(df, text_col, id_col, hasher=hasher, width=width).persist()
+    # band b covers bits [width*b//bands, width*(b+1)//bands) — full coverage
+    bounds = [(width * b) // bands for b in range(bands + 1)]
     stacked = sig.select(
         F.col(id_col),
         F.col("simhash"),

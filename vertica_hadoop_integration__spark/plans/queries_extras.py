@@ -2057,3 +2057,57 @@ def text_search_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return search_all_terms(d, ["data", "scan", "join"])
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, r.range AS b,
+             SUM(CAST((h >> CAST(r.range AS INT)) & 1 AS BIGINT)) AS ones,
+             count(*) AS n
+      FROM h CROSS JOIN range(60) r GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN 2*ones - n > 0
+                      THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                      ELSE 0 END) AS s
+      FROM bits GROUP BY 1),
+    bands AS (
+      SELECT doc_id, r.range AS band,
+             (s >> CAST(15*r.range AS INT)) & 32767 AS chunk
+      FROM sig CROSS JOIN range(4) r),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+                               AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.doc_id_a, c.doc_id_b,
+             CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id_a
+                  JOIN sig sb ON sb.doc_id = c.doc_id_b)
+    SELECT doc_id_a, doc_id_b, hamming FROM ver WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup through the portable md5-60 token hash — the
+    SimHash family's oracle-checked row: DuckDB recomputes per-bit
+    majority tallies, the 60-bit signature, 4x15-bit banding, candidate
+    generation, and the exact hamming verify, so the whole bit-sliced
+    pipeline is driver-verified (operators/dedup.py::simhash_near_pairs
+    with hasher=md5_hash60, width=60). Pigeonhole completeness is exact
+    at this point (3 differing bits cannot touch all 4 bands). The
+    xxhash64/64-bit pipeline (dedup_simhash) stays the production
+    default."""
+    from ..functions.text_fns import md5_hash60
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        d, max_hamming=3, bands=4, hasher=md5_hash60, width=60
+    )
