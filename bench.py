@@ -54,6 +54,11 @@ HEADLINE = [
     "multimodal_decode_real",
     "ann_ivf_topk",
     "corpus_snapshot_diff",
+    # round-3 late additions (additive): SemDeDup clustering, portable
+    # MinHash (oracle-checked LSH logic), posting-list AND search
+    "dedup_semantic_clustered",
+    "dedup_minhash_portable",
+    "text_search_inverted",
 ]
 
 

@@ -2111,3 +2111,38 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(
         d, max_hamming=3, bands=4, hasher=md5_hash60, width=60
     )
+
+
+@register(
+    "dedup_clusters_portable",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_portable_oracle()}),
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    labels AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY 1)
+    SELECT l.node AS doc_id, l.component AS canonical_id, s.cluster_size
+    FROM labels l JOIN sizes s USING (component)
+    """,
+)
+def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component duplicate clusters over the portable MinHash
+    pair set — the clustering family's oracle-checked row: the oracle
+    replays the full pair pipeline (portable md5 MinHash) and then
+    min-label transitive closure via a recursive CTE, verifying the
+    iterative label-propagation operator (operators/graph.py::
+    dedup_clusters) against a declarative fixpoint. Chain semantics
+    included: A~B, B~C land in ONE cluster even when A,C never pair."""
+    from ..operators import dedup as D
+    from ..operators import graph as G
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_portable(
+        d, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
+    )
+    return G.dedup_clusters(pairs)
