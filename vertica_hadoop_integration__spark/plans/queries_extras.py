@@ -2146,3 +2146,56 @@ def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
     )
     return G.dedup_clusters(pairs)
+
+
+@register(
+    "embedding_kmeans_step",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                          cent.centroid_id) AS rn
+        FROM c, cent) WHERE rn = 1),
+    px AS (
+      SELECT a.centroid_id, r.range AS dim,
+             c.v[CAST(r.range + 1 AS INT)] AS x
+      FROM assign a JOIN c ON c.vec_id = a.vec_id
+      CROSS JOIN range(64) r)
+    SELECT centroid_id, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+               AS mean_value
+    FROM px GROUP BY 1, 2
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means iteration, oracle-checked — the clustering
+    family's driver-verified row: every-Nth centroid init (the same
+    SQL-reproducible set IVF uses), map-only argmax-cosine assignment,
+    then per-(centroid, dim) means with DECIMAL(30,15) accumulation so
+    the float sum is partial-agg-order-free and bit-identical to the
+    oracle. Output is the exploded (centroid_id, dim, mean_value)
+    representation — top-level doubles, which the harness normalizes —
+    i.e. the refined centroid matrix a full kmeans loop
+    (operators/similarity.py::kmeans_centroids) iterates on. The
+    iterative multi-step operator stays registered as embedding_kmeans
+    (rows-only: per-iteration float means are association-dependent by
+    design there; this query pins the per-step math exactly)."""
+    from ..operators.similarity import assign_to_centroids, pick_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = pick_centroids(e, 50)
+    assigned = assign_to_centroids(e, cents)
+    pos = assigned.select(
+        "centroid_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    return pos.groupBy("centroid_id", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value")
+    )
