@@ -899,24 +899,42 @@ def semantic_dedup_pairs(
 
     Deterministic end to end (every-Nth centroids, argmax-cosine with
     smaller-id tie-break, sequential-fold verify dot), so the full
-    pipeline is SQL-replayable -> oracle-checked."""
+    pipeline is SQL-replayable -> oracle-checked.
+
+    Pair expansion is a codegen'd equi-self-join on centroid_id, not
+    the collect_list array combinator: clusters run ~corpus/k members —
+    far larger than LSH buckets — and the interpreted HOF slice
+    expansion measured 4x slower than the join at sf0.1 (median 1.31s
+    vs 0.33s, identical pair sets; the same crossover simhash_near_pairs
+    hit). The normalized frame is persisted so the fold computes once,
+    and both sides are merge-hinted (broadcasting an array-carrying
+    side is the known OOM shape). Oversized clusters (above
+    ``max_cluster_size``) are dropped, as in every LSH path — at real
+    scale such a cluster means the centroid set is too small."""
     from .similarity import assign_to_centroids, pick_centroids
 
     cents = pick_centroids(emb, every_nth, id_col=id_col, vec_col=vec_col)
     assigned = assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
     unit = assigned.select(
-        F.col("centroid_id"),
-        F.struct(
-            F.col(id_col).alias("id"), normalize(F.col(vec_col)).alias("v")
-        ).alias("p"),
+        F.col("centroid_id"), F.col(id_col), normalize(F.col(vec_col)).alias("_u")
+    ).persist()
+    sizes = unit.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_n"))
+    eligible = unit.join(
+        sizes.filter((F.col("_n") > 1) & (F.col("_n") <= max_cluster_size)).select(
+            "centroid_id"
+        ),
+        on="centroid_id",
     )
-    pairs = _in_bucket_pairs(unit, ["centroid_id"], F.col("p"), max_cluster_size)
+    a = eligible.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col("_u").alias("ua")
+    ).hint("merge")
+    b = eligible.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col("_u").alias("ub")
+    ).hint("merge")
     return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            dot(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
-        )
+        a.join(b, on="centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot(F.col("ua"), F.col("ub")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
 
