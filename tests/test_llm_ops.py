@@ -399,3 +399,37 @@ def test_simhash_portable_finds_planted_dups(spark, sf_dir):
     assert expected <= set(got)
     for p in expected:
         assert got[p] == 0
+
+
+def test_substring_spans_finds_planted_repeat(spark):
+    """A 12-token run shared by two documents must be reported as a
+    duplicated span in BOTH docs, covering every window of the run;
+    per-doc spans never overlap and stay inside the doc."""
+    shared = " ".join(f"tok{i}" for i in range(12))
+    a = "alpha beta " + shared + " gamma delta epsilon zeta eta"
+    b = "one two three four five " + shared + " six seven"
+    c = "totally unrelated words nine ten eleven twelve thirteen fourteen fifteen"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    rows = duplicate_substring_spans(df, window_tokens=10, min_count=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    assert 3 not in by_doc  # unique doc emits nothing
+    # doc 1: shared run occupies tokens [2, 14) -> windows 2..4 merge to [2, 14)
+    assert by_doc[1] == [(2, 14, 3)]
+    # doc 2: shared run occupies tokens [5, 17) -> windows 5..7 merge to [5, 17)
+    assert by_doc[2] == [(5, 17, 3)]
+    # spans within doc bounds and sorted non-overlapping
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1, _), (s2, _, _) in zip(spans, spans[1:]):
+            assert s2 > e1 - 10  # islands merged: no two spans share a window
+        assert all(s >= 0 and e > s for s, e, _ in spans)

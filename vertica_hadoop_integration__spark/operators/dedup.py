@@ -939,6 +939,81 @@ def semantic_dedup_pairs(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication spans (the suffix-array dedup family,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", re-expressed for Spark): slide a ``window_tokens``-token
+    window over every document, hash each window, find windows whose
+    exact token sequence appears >= ``min_count`` times ANYWHERE in the
+    corpus (across or within documents), and merge each document's
+    overlapping duplicated windows into maximal spans — the byte ranges
+    a substring-dedup pass would cut.
+
+    Returns (doc_id, span_start, span_end, n_windows): token offsets
+    [span_start, span_end) and how many duplicated windows merged into
+    the span. Documents shorter than the window emit nothing.
+
+    Scale shape, in place of the sequential suffix array: one explode
+    (corpus tokens -> stride-1 windows, map-only), one map-combined
+    groupBy on the 60-bit window hash (the only corpus-wide exchange —
+    carries (hash, count) pairs), a shuffle semi-join back to positions,
+    and a per-doc window function for the gaps-and-islands merge
+    (partitioned by doc — no global sort, unlike a suffix array). The
+    portable md5 hash makes the whole pipeline SQL-replayable ->
+    oracle-checked; 60-bit collisions over-mark a window as duplicated
+    with probability ~n/2^60, the standard hashed-dedup trade."""
+    from ..functions.text_fns import md5_hash60
+
+    k = window_tokens
+    toks = _spread(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    starts = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)
+    ).otherwise(F.array())
+    win = toks.select(
+        F.col(id_col), F.col("_t"), F.explode(starts).alias("pos")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        md5_hash60(F.concat_ws(" ", F.slice(F.col("_t"), F.col("pos") + 1, k))).alias(
+            "_h"
+        ),
+    )
+    dup = (
+        win.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    marked = win.join(dup, on="_h", how="leftsemi")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    island = (
+        marked.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k - 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_island", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    return island.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
 # -- fuzzy string matching: q-gram blocked edit-distance join ---------------
 def fuzzy_match_pairs(
     df: DataFrame,

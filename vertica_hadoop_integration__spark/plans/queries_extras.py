@@ -2199,3 +2199,50 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_value")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    win AS (
+      SELECT doc_id, w['pos'] AS pos, w['h'] AS h FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, greatest(len(t) - 9, 0)),
+          i -> {'pos': CAST(i - 1 AS INT),
+                'h': CAST(('0x'||substr(md5(array_to_string(t[i:i+9], ' ')),1,15))
+                          AS BIGINT)}
+        )) AS w
+        FROM toks) u),
+    dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 9
+                  THEN 1 ELSE 0 END AS newi
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 10 AS INT) AS span_end,
+           count(*) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans — the suffix-array dedup family
+    (Lee et al. 2022) re-expressed as distributed rolling-window
+    hashing + gaps-and-islands span merge
+    (operators/dedup.py::duplicate_substring_spans). Oracle replays
+    windowing, global duplicate detection, and the maximal-span merge
+    end to end; all outputs are integers, so parity is exact."""
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_substring_spans(d, window_tokens=10, min_count=2)
