@@ -63,6 +63,12 @@ HEADLINE = [
     "dedup_semantic_clustered",
     "dedup_minhash_portable",
     "text_search_inverted",
+    # round-3 final additions (additive): Bloom-bitmap decontamination,
+    # count-min heavy hitters, JL sign projection, logistic quality gate
+    "corpus_bloom_decontaminate",
+    "sketch_countmin_topk",
+    "embedding_random_projection",
+    "text_quality_logreg",
 ]
 
 

@@ -335,3 +335,51 @@ def test_bpe_estimate_tracks_whitespace_tokens(docs):
     # BPE-ish count splits punctuation out, so it is >= whitespace count
     assert stats["bpe"] >= stats["ws"]
     assert stats["bpe"] <= stats["ws"] * 3  # and not absurdly larger
+
+
+# -- Bloom-bitmap decontamination ------------------------------------------
+
+
+def test_bloom_decontaminate_exact_vs_plain(spark, docs):
+    """Bloom pre-filter + exact verify must produce the SAME contamination
+    flags as the plain broadcast semi-join (no false negatives)."""
+    ev = C.eval_shingle_set(docs.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    plain = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in C.decontaminate(docs, ev, shingle_n=5, mode="flag").collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["is_contaminated"], r["bloom_candidate"])
+        for r in C.bloom_decontaminate(docs, ev, shingle_n=5).collect()
+    }
+    assert plain.keys() == bloom.keys()
+    for doc_id, exact_flag in plain.items():
+        flag, cand = bloom[doc_id]
+        assert flag == exact_flag, f"doc {doc_id}: bloom flag diverged"
+        # no false negatives: every contaminated doc is a candidate
+        if exact_flag == 1:
+            assert cand == 1, f"doc {doc_id}: contaminated but not a candidate"
+
+
+def test_bloom_bitmap_bounded(spark, docs):
+    """The bitmap never exceeds m rows — the broadcastability guarantee."""
+    ev = C.eval_shingle_set(docs.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    m = 512
+    bits = C.bloom_bitmap(ev, m=m)
+    assert bits.count() <= m
+    assert bits.agg(F.min("pos"), F.max("pos")).collect()[0][1] < m
+
+
+def test_bloom_small_m_still_exact(spark, docs):
+    """Shrinking m floods the filter with false positives but the final
+    flag must stay exact (verify step catches every FP)."""
+    ev = C.eval_shingle_set(docs.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    exact = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in C.decontaminate(docs, ev, shingle_n=5, mode="flag").collect()
+    }
+    tiny = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in C.bloom_decontaminate(docs, ev, shingle_n=5, m=64).collect()
+    }
+    assert tiny == exact

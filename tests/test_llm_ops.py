@@ -433,3 +433,67 @@ def test_substring_spans_finds_planted_repeat(spark):
         for (s1, e1, _), (s2, _, _) in zip(spans, spans[1:]):
             assert s2 > e1 - 10  # islands merged: no two spans share a window
         assert all(s >= 0 and e > s for s, e, _ in spans)
+
+
+# -- random projection -----------------------------------------------------
+
+
+def test_random_projection_arrow_parity(spark):
+    """The Arrow BLAS path must match the exact DECIMAL long form within
+    float-accumulation-order tolerance."""
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r["vec_id"], r["dim"]): r["proj_val"]
+        for r in S.random_projection(e, out_dims=16).collect()
+    }
+    arrow = S.random_projection_arrow(e, in_dims=64, out_dims=16)
+    rows = arrow.select("vec_id", F.posexplode("proj").alias("dim", "v")).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        ref = exact[(r["vec_id"], r["dim"])]
+        assert abs(r["v"] - ref) <= 1e-9 * max(1.0, abs(ref)), (
+            f"vec {r['vec_id']} dim {r['dim']}: {r['v']} vs {ref}"
+        )
+
+
+def test_random_projection_preserves_distance_order(spark):
+    """JL sanity: for a planted near-identical pair vs a far pair, the
+    projected distance must keep the order."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=64)
+    near = a + rng.normal(scale=0.01, size=64)
+    far = rng.normal(size=64)
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in a]), (1, [float(x) for x in near]),
+         (2, [float(x) for x in far])],
+        ["vec_id", "embedding"],
+    )
+    proj = S.random_projection(df, out_dims=16).collect()
+    vecs = {}
+    for r in proj:
+        vecs.setdefault(r["vec_id"], [0.0] * 16)[r["dim"]] = r["proj_val"]
+    import math
+
+    def dist(u, v):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
+
+    assert dist(vecs[0], vecs[1]) < dist(vecs[0], vecs[2])
+
+
+# -- logistic quality classifier -------------------------------------------
+
+
+def test_quality_logreg_monotone_in_stopwords(spark):
+    """More stopword mass (other features equal) must raise the score,
+    and keep == (prob >= 0.5) by construction."""
+    from vertica_hadoop_integration__spark.operators.text import quality_logreg
+
+    low = "zzz " * 40
+    high = "the and of to a the and of to a " * 4
+    df = spark.createDataFrame([(1, low.strip()), (2, high.strip())], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in quality_logreg(df).collect()}
+    assert rows[2]["quality_prob"] > rows[1]["quality_prob"]
+    for r in rows.values():
+        assert r["keep"] == (1 if r["quality_prob"] >= 0.5 else 0)

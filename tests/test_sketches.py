@@ -155,3 +155,51 @@ def test_kmv_portable_matches_family_bounds(spark):
     small = spark.createDataFrame([(i % 10,) for i in range(100)], ["v"])
     [row] = K.kmv_distinct_portable(small, "v", (), k=64).collect()
     assert row["distinct_est"] == 10.0
+
+
+# -- count-min sketch ------------------------------------------------------
+
+
+def test_countmin_never_underestimates(spark):
+    """The count-min guarantee: est >= true for every probed value."""
+    d = load_table(spark, SF_DIR, "documents")
+    from vertica_hadoop_integration__spark.functions.text_fns import tokens
+
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    cells = K.countmin_cells(tok, "term", depth=4, width=1024)
+    est = K.countmin_estimate(cells, tc.select("term"), "term", depth=4, width=1024)
+    bad = (
+        tc.join(est, on="term")
+        .filter(F.col("est_cnt") < F.col("true_cnt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_countmin_cells_bounded(spark):
+    """Sketch state is capped at depth*width regardless of vocab size."""
+    d = load_table(spark, SF_DIR, "documents")
+    from vertica_hadoop_integration__spark.functions.text_fns import tokens
+
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    cells = K.countmin_cells(tok, "term", depth=4, width=64)
+    assert cells.count() <= 4 * 64
+    # total mass per seed row equals the stream length
+    n = tok.count()
+    per_seed = cells.groupBy("seed").agg(F.sum("cell").alias("m")).collect()
+    assert len(per_seed) == 4
+    assert all(r["m"] == n for r in per_seed)
+
+
+def test_countmin_tight_for_unique_stream(spark):
+    """With distinct values <= width and depth rows, heavy hitters in a
+    skewed stream stay close to truth (collisions only add the tail)."""
+    rows = [("hot",)] * 500 + [(f"v{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["t"])
+    cells = K.countmin_cells(df, "t", depth=4, width=1024)
+    est = K.countmin_estimate(
+        cells, spark.createDataFrame([("hot",)], ["t"]), "t", depth=4, width=1024
+    )
+    [row] = est.collect()
+    assert 500 <= row["est_cnt"] <= 550

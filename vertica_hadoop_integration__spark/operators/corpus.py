@@ -501,3 +501,100 @@ def reassemble_chunks(
         F.count(F.lit(1)).alias("n_chunks_kept"),
         F.min("n_chunks_total").alias("n_chunks_total"),
     )
+
+
+# -- Bloom-filter decontamination: bitmap pre-filter + exact verify --------
+
+
+def bloom_bitmap(
+    shingle_df: DataFrame,
+    m: int = 65536,
+    seeds: tuple[int, ...] = (101, 102, 103),
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """The set bit positions of a Bloom filter over ``shingle_df``: each
+    shingle sets ``len(seeds)`` positions (portable md5-60 hash mod
+    ``m``); the bitmap is the distinct union, <= m rows of one int.
+
+    This is the broadcastable form of an eval-suite membership set when
+    the suite itself is too big to broadcast as strings: m bits is fixed
+    (8 KiB at m=65536) no matter how many shingles the benchmark has."""
+    from ..functions.text_fns import md5_hash60
+
+    pos = F.array(
+        *[
+            F.pmod(md5_hash60(F.col(shingle_col), seed=s), F.lit(m))
+            for s in seeds
+        ]
+    )
+    return shingle_df.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    eval_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    m: int = 65536,
+    seeds: tuple[int, ...] = (101, 102, 103),
+) -> DataFrame:
+    """Two-phase decontamination: a Bloom-bitmap pre-filter finds
+    candidate docs map-side, then only candidates pay the exact
+    shingle semi-join.
+
+    A shingle "passes" the filter iff ALL ``len(seeds)`` of its bit
+    positions are set in the eval bitmap; a doc is a candidate iff any
+    of its shingles passes. Bloom filters have no false negatives, so
+    verifying only candidates yields the EXACT contamination flag —
+    false positives cost a little verify work, never correctness.
+
+    Returns (id, bloom_candidate, is_contaminated) for every doc; rows
+    with bloom_candidate=1, is_contaminated=0 are the filter's false
+    positives (rate ~ (1 - e^(-k*n/m))^k).
+
+    Plan shape: the bitmap (<= m single-int rows) broadcasts to
+    ``len(seeds)`` map-side hash joins over the exploded corpus
+    shingles — the corpus never shuffles for the probe; the only wide
+    exchanges group narrow (id, flag) rows. At 100 TB this replaces
+    :func:`decontaminate`'s broadcast of the full eval shingle-string
+    set (potentially GBs) with a fixed-size bitmap."""
+    from ..functions.text_fns import md5_hash60, shingles
+
+    bits = bloom_bitmap(eval_shingles, m=m, seeds=seeds)
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    probe = doc_sh
+    passes = F.lit(True)
+    for idx, s in enumerate(seeds):
+        probe = probe.withColumn(
+            f"_p{idx}", F.pmod(md5_hash60(F.col("shingle"), seed=s), F.lit(m))
+        )
+        probe = probe.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"_b{idx}")),
+            probe[f"_p{idx}"] == F.col(f"_b{idx}"),
+            "left",
+        )
+        passes = passes & F.col(f"_b{idx}").isNotNull()
+    cand = probe.groupBy(id_col).agg(
+        F.max(F.when(passes, 1).otherwise(0)).alias("bloom_candidate")
+    )
+    cand_ids = cand.filter(F.col("bloom_candidate") == 1).select(id_col)
+    hits = (
+        doc_sh.join(cand_ids, on=id_col, how="left_semi")
+        .join(F.broadcast(eval_shingles), on="shingle", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        cand.join(hits.withColumn("_hit", F.lit(1)), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("bloom_candidate"),
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("is_contaminated"),
+        )
+    )

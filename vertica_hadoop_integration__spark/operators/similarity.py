@@ -430,3 +430,96 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# -- random projection (Johnson-Lindenstrauss sign matrix) -----------------
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings to ``out_dims`` with a deterministic ±1 sign
+    matrix: sign(i, j) = +1 iff md5-60("i,j") is even. JL-style
+    dimensionality reduction ahead of LSH bucketing / coarse clustering
+    — distances are preserved within ~1/sqrt(out_dims).
+
+    This is the EXACT-arithmetic long form, built so the whole transform
+    replays in DuckDB: posexplode the vector, generate the ``out_dims``
+    output slots map-side (a generator, not a join), derive the sign
+    from the portable hash inline, and accumulate the sum in
+    DECIMAL(30,15) so it is order-free across partial aggregations.
+    Output is long-format (id, dim, proj_val) — one row per output
+    component.
+
+    Plan shape: one scan, map-side expansion (in_dims * out_dims rows
+    per vector, all narrow), one hash-agg shuffle keyed on (id, dim).
+    At 100 TB prefer :func:`random_projection_arrow`: same sign matrix
+    applied as a single BLAS matmul per Arrow batch — O(1) row
+    expansion — with this form as its correctness oracle."""
+    from ..functions.text_fns import md5_hash60
+
+    x = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "v")
+    ).select(
+        F.col(id_col),
+        F.col("i"),
+        F.col("v").cast("double").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(out_dims - 1))).alias("dim"),
+    )
+    sign = F.when(
+        F.pmod(
+            md5_hash60(F.concat_ws(",", F.col("i"), F.col("dim"))), F.lit(2)
+        )
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        x.withColumn("_t", (F.col("v") * sign).cast("decimal(30,15)"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("_t").alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("_s").cast("double").alias("proj_val"),
+        )
+    )
+
+
+def random_projection_arrow(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production form of :func:`random_projection`: the same ±1 sign
+    matrix (md5 parity of "i,j") materialized once per executor as a
+    numpy array and applied as one BLAS matmul per Arrow batch — no row
+    expansion, no shuffle at all (pure map). Float sums differ from the
+    exact DECIMAL path only by accumulation order (~1e-9 relative);
+    parity is pytest-asserted (tests/test_llm_ops.py)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sign(i: int, j: int) -> int:
+        h = int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    mat = np.array(
+        [[_sign(i, j) for j in range(out_dims)] for i in range(in_dims)],
+        dtype=np.float64,
+    )
+
+    def _project(s):
+        v = np.vstack(s.to_numpy())
+        return pd.Series(list(v @ mat))
+
+    _project.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_project, "array<double>")
+    return df.select(F.col(id_col), udf(F.col(vec_col).cast("array<double>")).alias("proj"))

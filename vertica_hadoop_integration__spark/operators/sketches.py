@@ -143,3 +143,79 @@ def approx_quantiles(
             for i, p in enumerate(probabilities)
         ],
     )
+
+
+def countmin_cells(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch cells for the value stream in ``df[col]``:
+    one row per (seed, pos) with the summed hit count, ``depth`` rows of
+    ``width`` counters each.
+
+    The sketch answers "how often does value X occur?" with bounded
+    overestimate (eps ~ e/width, prob 1 - e^-depth) using fixed
+    depth*width state — at 100 TB the exact per-value count table can be
+    billions of rows (unbroadcastable), while these <= depth*width cells
+    are a few KB, broadcastable to every probe site, and mergeable
+    across corpus shards by cell-wise addition.
+
+    Plan shape: one scan, map-side expansion to ``depth`` (seed, pos)
+    pairs per row (a generator, not a join), then a single partial-agg
+    shuffle that carries at most depth*width cells per map task.
+    Positions use the portable md5-60 hash (functions/text_fns.py::
+    md5_hash60) so the whole sketch replays in DuckDB SQL."""
+    from ..functions.text_fns import md5_hash60
+
+    v = F.col(col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(md5_hash60(v, seed=s), F.lit(width)).alias("pos"),
+            )
+            for s in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("_sp"))
+        .select(F.col("_sp.seed").alias("seed"), F.col("_sp.pos").alias("pos"))
+        .groupBy("seed", "pos")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+
+def countmin_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated occurrence count for each probe value: the minimum over
+    the ``depth`` sketch cells the value hashes to. Never underestimates;
+    collisions only inflate. ``cells`` is structurally small (<=
+    depth*width rows) and is broadcast, so probing is map-side — no
+    shuffle of the probe stream beyond the final per-value min, which
+    groups on the probe's own key."""
+    from ..functions.text_fns import md5_hash60
+
+    v = F.col(col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.pmod(md5_hash60(v, seed=s), F.lit(width)).alias("pos"),
+            )
+            for s in range(depth)
+        ]
+    )
+    exploded = probes.select(F.col(col), F.explode(pairs).alias("_sp")).select(
+        F.col(col), F.col("_sp.seed").alias("seed"), F.col("_sp.pos").alias("pos")
+    )
+    joined = exploded.join(F.broadcast(cells), on=["seed", "pos"], how="left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est_cnt")
+    )

@@ -358,3 +358,47 @@ def search_all_terms(
         .filter(F.col("n_terms") == len(terms))
         .select(id_col, F.col("score"))
     )
+
+
+def quality_logreg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality score: a fixed-weight logistic regression over
+    the :func:`quality_features` signals (the fasttext-style quality
+    classifier of a training-data pipeline, with hand-set weights in
+    place of learned ones — swapping in trained coefficients changes
+    nothing structurally).
+
+        z = -1.5 + 0.6*ln(n_tokens) + 8*stopword_ratio
+            - 12*punct_ratio - 0.35*avg_token_len
+        prob = 1 / (1 + e^-z),  keep = prob >= 0.5
+
+    Pure projection — scores inside the scan stage at any scale, no
+    shuffle, no UDF. ln/exp are bitwise-identical between Spark and
+    DuckDB (round-2 verification), and every ratio reuses
+    quality_features' exact cast shapes, so the probability is
+    oracle-comparable to the last ulp."""
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    n_punct = punct_count(text)
+    sw = stopword_hits(text, LANG_MARKERS["en"])
+    avg_token_len = n_chars.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    stopword_ratio = sw.cast("double") / n_tok.cast("double")
+    # association mirrors the oracle SQL exactly: left-to-right adds
+    z = (
+        F.lit(-1.5)
+        + F.lit(0.6) * F.log(n_tok.cast("double"))
+        + F.lit(8.0) * stopword_ratio
+        - F.lit(12.0) * punct_ratio
+        - F.lit(0.35) * avg_token_len
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        F.col(id_col),
+        prob.alias("quality_prob"),
+        F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
+    )

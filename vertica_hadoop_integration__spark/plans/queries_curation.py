@@ -631,3 +631,53 @@ def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFra
         d, min_chars=20, min_tokens=5, min_jaccard=0.7,
         dedup_strategy="clusters",
     )
+
+
+# -- Bloom-bitmap decontamination (fixed-size filter + exact verify) -------
+_BLOOM_POS = "(CAST(('0x'||substr(md5('{s}:'||{x}),1,15)) AS BIGINT) % 65536)"
+
+
+@register(
+    "corpus_bloom_decontaminate",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 1)),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS shs
+        FROM t),
+    cs AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+    ev AS (SELECT DISTINCT sh FROM cs WHERE doc_id % 97 = 0),
+    bits AS (
+        SELECT DISTINCT {_BLOOM_POS.format(s="'||s.seed||'", x='ev.sh')} AS pos
+        FROM ev CROSS JOIN (VALUES (101), (102), (103)) s(seed)),
+    probe AS (
+        SELECT doc_id,
+               CASE WHEN {_BLOOM_POS.format(s='101', x='sh')} IN (SELECT pos FROM bits)
+                     AND {_BLOOM_POS.format(s='102', x='sh')} IN (SELECT pos FROM bits)
+                     AND {_BLOOM_POS.format(s='103', x='sh')} IN (SELECT pos FROM bits)
+                    THEN 1 ELSE 0 END AS pass
+        FROM cs),
+    cand AS (SELECT doc_id, max(pass) AS bloom_candidate FROM probe GROUP BY 1),
+    hit AS (SELECT DISTINCT cs.doc_id FROM cs JOIN ev USING (sh))
+    SELECT c.doc_id, c.bloom_candidate,
+           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS is_contaminated
+    FROM cand c LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a Bloom bitmap (operators/corpus.py::
+    bloom_decontaminate): the eval suite's 5-gram set is compressed to a
+    fixed 65536-bit filter (3 md5-60 hash functions), candidates are
+    found map-side against the broadcast bitmap, and only candidates pay
+    the exact shingle semi-join — no false negatives, so the final flag
+    is exact. The answer adds a bloom_candidate column so the filter's
+    false-positive behavior is itself oracle-verified. At 100 TB this
+    replaces broadcasting a multi-GB eval shingle-string set with a KB
+    bitmap; same eval split as corpus_decontaminate (doc_id % 97)."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = C.eval_shingle_set(d.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    return C.bloom_decontaminate(d, ev, shingle_n=5, m=65536, seeds=(101, 102, 103))

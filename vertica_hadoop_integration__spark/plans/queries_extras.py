@@ -2246,3 +2246,98 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return D.duplicate_substring_spans(d, window_tokens=10, min_count=2)
+
+
+# -- count-min sketch: heavy-hitter estimates vs truth ---------------------
+_CM_POS = "(CAST(('0x'||substr(md5({s}||':'||{x}),1,15)) AS BIGINT) % 1024)"
+
+
+@register(
+    "sketch_countmin_topk",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tc AS (SELECT term, count(*) AS true_cnt FROM tok GROUP BY 1),
+    top AS (
+        SELECT term, true_cnt FROM (
+            SELECT term, true_cnt,
+                   row_number() OVER (ORDER BY true_cnt DESC, term) AS rn
+            FROM tc) WHERE rn <= 20),
+    cells AS (
+        SELECT s.seed, {_CM_POS.format(s='s.seed', x='term')} AS pos,
+               count(*) AS cell
+        FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) s(seed)
+        GROUP BY 1, 2),
+    est AS (
+        SELECT t.term, min(c.cell) AS est_cnt
+        FROM top t
+        CROSS JOIN (VALUES (0), (1), (2), (3)) s(seed)
+        JOIN cells c
+          ON c.seed = s.seed AND c.pos = {_CM_POS.format(s='s.seed', x='t.term')}
+        GROUP BY 1)
+    SELECT t.term, t.true_cnt, e.est_cnt
+    FROM top t JOIN est e USING (term)
+    """,
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 1024, portable md5-60 positions)
+    over the corpus token stream, probed for the 20 highest-frequency
+    terms and reported against their exact counts (operators/sketches.py
+    ::countmin_cells / countmin_estimate). The oracle replays sketch
+    construction AND probing, so the driver verifies the estimator's
+    overestimate behavior exactly — at 100 TB the 4096-cell sketch
+    replaces an unbroadcastable billions-row term-count table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text_fns import tokens
+
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = (
+        tc.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(F.col("true_cnt").desc(), F.col("term"))
+            ),
+        )
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    cells = K.countmin_cells(tok, "term", depth=4, width=1024)
+    est = K.countmin_estimate(cells, top.select("term"), "term", depth=4, width=1024)
+    return top.join(est, on="term").select("term", "true_cnt", "est_cnt")
+
+
+# -- JL sign random projection (exact long form, oracle-replayed) ----------
+@register(
+    "embedding_random_projection",
+    oracle=r"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (
+        SELECT vec_id, t.i AS i, v[CAST(t.i AS INT) + 1] AS val
+        FROM e CROSS JOIN range(64) t(i)),
+    p AS (
+        SELECT vec_id, q.j AS dim,
+               SUM(CAST(val * (CASE WHEN CAST(('0x'||substr(
+                         md5(CAST(i AS VARCHAR)||','||CAST(q.j AS VARCHAR)),
+                         1,15)) AS BIGINT) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) AS DECIMAL(30,15))) AS s
+        FROM x CROSS JOIN range(16) q(j)
+        GROUP BY 1, 2)
+    SELECT vec_id, CAST(dim AS INT) AS dim, CAST(s AS DOUBLE) AS proj_val
+    FROM p
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims with a
+    deterministic md5-parity ±1 matrix (operators/similarity.py::
+    random_projection), in the exact-arithmetic long form whose
+    DECIMAL(30,15) accumulation the oracle replays bit-for-bit. The
+    production path is random_projection_arrow (same matrix as one BLAS
+    matmul per Arrow batch, zero row expansion); its float-order
+    deviation from this form is pytest-bounded
+    (tests/test_llm_ops.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.random_projection(e, out_dims=16)

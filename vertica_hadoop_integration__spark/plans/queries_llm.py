@@ -513,3 +513,39 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.7)
     return dedup_clusters(pairs)
+
+
+# -- logistic quality classifier (fixed weights, oracle-exact) -------------
+@register(
+    "text_quality_logreg",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    z AS (
+        SELECT doc_id,
+               -1.5 + 0.6 * ln(CAST(n_tok AS DOUBLE))
+                    + 8.0 * (CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                    - 12.0 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                    - 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS z
+        FROM t)
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-z)) AS quality_prob,
+           CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM z
+    """,
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier over the quality_features
+    signals (operators/text.py::quality_logreg) — the model-based doc
+    filter of a training-data pipeline, structurally identical to
+    scoring with learned coefficients. Pure scan-stage projection;
+    ln/exp and every ratio mirror the oracle's association exactly, so
+    the probability itself is hash-compared."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.quality_logreg(d)
