@@ -497,3 +497,61 @@ def test_quality_logreg_monotone_in_stopwords(spark):
     assert rows[2]["quality_prob"] > rows[1]["quality_prob"]
     for r in rows.values():
         assert r["keep"] == (1 if r["quality_prob"] >= 0.5 else 0)
+
+
+# -- containment near-dup --------------------------------------------------
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A small doc fully contained in a 10x larger one: Jaccard ~0.1
+    (below any sane threshold) but containment = 1.0 — the asymmetric
+    detector must flag it."""
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i} w{i+1} w{i+2}" for i in range(0, 300, 3))
+    big = filler + " " + small + " " + filler
+    other = "completely different content about streaming rollups and ledgers"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], ["doc_id", "text"]
+    )
+    pairs = D.containment_pairs_portable(df, min_containment=0.8).collect()
+    found = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    assert (1, 2) in found
+    [row] = [r for r in pairs if (r["doc_id_a"], r["doc_id_b"]) == (1, 2)]
+    assert row["containment"] == pytest.approx(1.0)
+    # jaccard on the same pair would be far below 0.5
+    jac = D.minhash_dedup_portable(df, min_jaccard=0.5).collect()
+    assert (1, 2) not in {(r["doc_id_a"], r["doc_id_b"]) for r in jac}
+
+
+def test_containment_recall_vs_exhaustive(spark):
+    """On the fixture corpus, prefix-filter candidates must recover
+    EVERY pair an exhaustive containment scan finds at the threshold —
+    the losslessness guarantee of the rarest-prefix probe."""
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from vertica_hadoop_integration__spark.functions.text_fns import shingles as sh_fn
+
+    sh = d.select(
+        F.col("doc_id"),
+        F.array_distinct(sh_fn(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    exhaustive = {
+        (r["ida"], r["idb"])
+        for r in a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            (inter.cast("double")
+             / F.least(F.size("sha"), F.size("shb")).cast("double")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    banded = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.containment_pairs_portable(d, min_containment=0.8).collect()
+    }
+    assert banded <= exhaustive  # precision: verify step guarantees it
+    missed = exhaustive - banded
+    assert not missed, f"banding missed containment pairs: {missed}"

@@ -84,3 +84,56 @@ def test_stream_rollup_matches_batch_and_restart_is_stable(
     )
     q.awaitTermination(120)
     assert _canon(spark.read.parquet(roll)) == before
+
+
+# -- streaming trending top-k (streaming/trending.py) ----------------------
+
+
+def _trending_canon(df):
+    return sorted(
+        (str(r.window_start), r.event_type, r.n_events, r.rank)
+        for r in df.select("window_start", "event_type", "n_events", "rank").collect()
+    )
+
+
+def test_stream_trending_matches_batch_and_restart_is_stable(
+    spark, staged, tmp_path
+):
+    from vertica_hadoop_integration__spark.streaming.trending import (
+        stream_trending_load,
+        trending_topk,
+        window_counts,
+    )
+
+    src, events = staged[0], staged[1]
+    deltas = str(tmp_path / "deltas")
+    trend = str(tmp_path / "trend")
+    led = str(tmp_path / "tled")
+    ckpt = str(tmp_path / "tckpt")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_trending_load(
+            stream, deltas_dir=deltas, trending_dir=trend,
+            ledger_path=led, window="1 hour", k=3, checkpoint_dir=ckpt,
+        )
+
+    q = _start()
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(trend)
+    want = trending_topk(window_counts(events, window="1 hour"), k=3)
+    assert _trending_canon(got) == _trending_canon(want)
+    # top-k bound per window actually holds
+    per_win = got.groupBy("window_start").count().agg(F.max("count")).first()[0]
+    assert per_win <= 3
+
+    # restart on the same checkpoint: no new files -> table unchanged
+    before = _trending_canon(spark.read.parquet(trend))
+    q2 = _start()
+    q2.awaitTermination(180)
+    assert _trending_canon(spark.read.parquet(trend)) == before

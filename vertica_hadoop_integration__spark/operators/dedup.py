@@ -331,6 +331,87 @@ def minhash_dedup_portable(
     ).filter(F.col("jaccard") >= min_jaccard)
 
 
+def containment_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_containment: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment
+    C = |A ∩ B| / min(|A|, |B|) flags a SMALL document embedded in a
+    larger one (quoted posts, boilerplate-wrapped articles, excerpt
+    spam) that symmetric Jaccard misses — at C=1.0 with a 10x size gap,
+    Jaccard is only ~0.1, and MinHash banding fires with probability
+    ~J, so LSH is the WRONG candidate generator here.
+
+    Candidates come from prefix filtering (the SSJoin family), which is
+    provably lossless: if |A∩B| >= ceil(t*|A|), then A's
+    (|A| - ceil(t*|A|) + 1) rarest shingles (global doc-frequency
+    order, shingle as tie-break) must include at least one shared
+    shingle — so probing each doc's rarest-prefix against the full
+    shingle posting list finds every qualifying pair. Rarest-first
+    ordering keeps the probed posting lists short (the prefix avoids
+    stopword-like shingles), which is what bounds the candidate
+    explosion at corpus scale.
+
+    Plan shape: one text scan -> exploded (doc, shingle) persisted;
+    one groupBy for global shingle frequency; one window per doc for
+    the prefix; the probe join shuffles on shingle; verify joins the
+    persisted per-doc shingle sets and divides by the SMALLER set.
+    Every step is deterministic md5-free SQL — the DuckDB oracle
+    replays the whole pipeline."""
+    staged = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"),
+    ).persist()
+    sets = staged.groupBy(id_col).agg(
+        F.collect_set("_sh").alias("sh"), F.count(F.lit(1)).alias("n")
+    ).persist()
+    freq = staged.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        staged.join(freq, on="_sh")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("_sh"))
+            ),
+        )
+        .join(sets.select(id_col, "n"), on=id_col)
+        .filter(
+            F.col("_rn")
+            <= F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1
+        )
+        .select(F.col(id_col).alias("_probe_id"), "_sh")
+    )
+    cands = (
+        ranked.join(staged.withColumnRenamed(id_col, "_idx_id"), on="_sh")
+        .filter(F.col("_probe_id") != F.col("_idx_id"))
+        .select(
+            F.least("_probe_id", "_idx_id").alias("doc_id_a"),
+            F.greatest("_probe_id", "_idx_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    v = sets.select(F.col(id_col), F.col("sh")).hint("merge")
+    joined = (
+        cands.join(
+            v.withColumnRenamed(id_col, "doc_id_a").withColumnRenamed("sh", "sh_a"),
+            on="doc_id_a",
+        ).join(
+            v.withColumnRenamed(id_col, "doc_id_b").withColumnRenamed("sh", "sh_b"),
+            on="doc_id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    smaller = F.least(F.size(F.col("sh_a")), F.size(F.col("sh_b")))
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        (inter.cast("double") / smaller.cast("double")).alias("containment"),
+    ).filter(F.col("containment") >= min_containment)
+
+
 # -- incremental MinHash: persisted index + probe ---------------------------
 #
 # The production dedup shape: a 100 TB corpus is deduped ONCE, its LSH

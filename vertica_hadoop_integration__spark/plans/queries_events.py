@@ -189,3 +189,33 @@ def events_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# -- trending top-k per hour window (serving-table shape; oracle-checked) --
+@register(
+    "events_trending_topk",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, rank FROM (
+        SELECT window_start, event_type, n_events,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n_events DESC, event_type) AS rank
+        FROM c)
+    WHERE rank <= 5
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch form of the streaming trending serving table
+    (streaming/trending.py::trending_topk over window_counts): top-5
+    event types per tumbling hour, deterministically tie-broken. The
+    streaming pipeline maintaining this incrementally (delta landing +
+    touched-day re-rank, exactly-once) is restart-tested in
+    tests/test_stream_rollup.py."""
+    from ..streaming.trending import trending_topk, window_counts
+
+    e = load_table(spark, sf_dir, "events")
+    out = trending_topk(window_counts(e, window="1 hour"), k=5)
+    return out.withColumn("n_events", F.col("n_events").cast("long"))

@@ -2341,3 +2341,65 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_ops.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.random_projection(e, out_dims=16)
+
+
+# -- containment near-dup (small-doc-inside-big-doc; oracle-replayed) ------
+def _containment_oracle(min_containment: float = 0.8) -> str:
+    """SQL replay of containment_pairs_portable: word-3-gram shingles,
+    global shingle doc-frequency, per-doc rarest-prefix of size
+    n - ceil(t*n) + 1, posting-list probe candidates, exact containment
+    |A∩B|/min(|A|,|B|) verify."""
+    t = min_containment
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk)-2, 1)),
+               i -> array_to_string(tk[i:i+2], ' '))) AS shs
+      FROM toks),
+    cs AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+    freq AS (SELECT s, count(*) AS df FROM cs GROUP BY 1),
+    ranked AS (
+      SELECT cs.doc_id, cs.s, sz.n,
+             row_number() OVER (PARTITION BY cs.doc_id
+                                ORDER BY f.df, cs.s) AS rn
+      FROM cs JOIN freq f USING (s) JOIN sz USING (doc_id)),
+    prefix AS (
+      SELECT doc_id AS probe_id, s FROM ranked
+      WHERE rn <= n - CAST(ceil({t} * n) AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT least(p.probe_id, c.doc_id) AS doc_id_a,
+                      greatest(p.probe_id, c.doc_id) AS doc_id_b
+      FROM prefix p JOIN cs c USING (s)
+      WHERE p.probe_id <> c.doc_id),
+    ver AS (
+      SELECT c.doc_id_a, c.doc_id_b,
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+             CAST(least(len(sa.shs), len(sb.shs)) AS DOUBLE) AS containment
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a
+                  JOIN sh sb ON sb.doc_id = c.doc_id_b)
+    SELECT doc_id_a, doc_id_b, containment FROM ver
+    WHERE containment >= {t}
+    """
+
+
+@register("dedup_containment_prefix", oracle=_containment_oracle())
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B|/min(|A|,|B|) catches a
+    small doc embedded in a big one where Jaccard stays tiny and
+    MinHash banding (hit probability ~ Jaccard) misses
+    (operators/dedup.py::containment_pairs_portable). Candidates come
+    from lossless prefix filtering — each doc's rarest
+    (n - ceil(t*n) + 1) shingles probe the global posting list — and
+    the oracle replays frequency ranking, prefix, candidates, and the
+    containment verify end to end."""
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs_portable(
+        d, min_containment=0.8, shingle_n=3
+    )
