@@ -555,3 +555,25 @@ def test_containment_recall_vs_exhaustive(spark):
     assert banded <= exhaustive  # precision: verify step guarantees it
     missed = exhaustive - banded
     assert not missed, f"banding missed containment pairs: {missed}"
+
+
+# -- BM25 ranked search ----------------------------------------------------
+
+
+def test_bm25_ranks_denser_match_higher(spark):
+    """A short doc saturated with query terms must outrank a long doc
+    that mentions one term once; non-matching docs never appear."""
+    from vertica_hadoop_integration__spark.operators.text import bm25_search
+
+    dense = "data scan join data scan join data"
+    sparse = ("filler " * 200) + "data"
+    none = "completely unrelated words here"
+    df = spark.createDataFrame(
+        [(1, dense), (2, sparse), (3, none)], ["doc_id", "text"]
+    )
+    rows = bm25_search(df, ["data", "scan", "join"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids
+    assert ids[0] == 1
+    scores = {r["doc_id"]: r["bm25"] for r in rows}
+    assert scores[1] > scores[2] > 0

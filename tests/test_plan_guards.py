@@ -41,6 +41,8 @@ SCALAR_BROADCAST_OK = {
     "q11_important_stock",          # 1-row value-total scalar
     "q15_top_supplier",             # 1-row max-revenue scalar
     "q22_waiting_customers",        # 1-row average-balance scalar
+    "corpus_quality_cut_quantile",  # 1-row global-percentile threshold
+    "text_search_bm25",             # 1-row (N, avgdl) corpus scalars
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

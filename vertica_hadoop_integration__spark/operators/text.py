@@ -402,3 +402,83 @@ def quality_logreg(
         prob.alias("quality_prob"),
         F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-ranked term search (Lucene-style idf), the ranked upgrade of
+    :func:`search_all_terms`: any-term match, scored
+
+        idf_t  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d,t) = idf_t * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    and summed per doc through DECIMAL(30,15) so partial-agg order
+    cannot move the last ulp — the whole ranking replays in DuckDB SQL.
+
+    Plan shape: posting rows restricted to the broadcast query-term
+    list (an IN predicate, pushed into the scan stage), doc lengths
+    from the same token explode, two 1-row scalars (N, avgdl)
+    broadcast back, per-term df from a len(terms)-row aggregate, final
+    top-k via orderBy+limit (TakeOrderedAndProject — no global sort
+    materialization). At scale the posting lists come precomputed
+    (``inverted_index`` written bucketed by term) and the corpus scan
+    drops out."""
+    post = inverted_index(df, text_col, id_col)
+    q = F.array(*[F.lit(t) for t in terms])
+    dl = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dl"))
+    )
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        F.col("n_docs"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    hits = post.filter(F.array_contains(q, F.col("term")))
+    dft = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        hits.join(F.broadcast(dft), on="term")
+        .join(dl, on=id_col)
+        .join(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+            / (F.col("df_t").cast("double") + F.lit(0.5))
+        )
+    )
+    tf = F.col("tf").cast("double")
+    s = (
+        idf
+        * (tf * F.lit(k1 + 1.0))
+        / (
+            tf
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    per_doc = (
+        scored.withColumn("_s", s.cast("decimal(30,15)"))
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+    )
+    return (
+        per_doc.orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.col("_score").cast("double").alias("bm25"))
+    )

@@ -681,3 +681,51 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ev = C.eval_shingle_set(d.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
     return C.bloom_decontaminate(d, ev, shingle_n=5, m=65536, seeds=(101, 102, 103))
+
+
+# -- global-quantile quality cut (two-pass threshold; oracle-exact) --------
+@register(
+    "corpus_quality_cut_quantile",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x)))
+                    AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+                   AS stopword_ratio
+        FROM documents),
+    thr AS (SELECT quantile_cont(stopword_ratio, 0.25) AS q25 FROM t)
+    SELECT t.doc_id, t.stopword_ratio,
+           CASE WHEN t.stopword_ratio >= thr.q25 THEN 1 ELSE 0 END AS keep
+    FROM t, thr
+    """,
+)
+def corpus_quality_cut_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-relative quality gate: drop the worst quartile by
+    stopword ratio, wherever that quartile falls for THIS corpus — the
+    distribution-aware form of a fixed-threshold cut (used when corpus
+    quality drifts snapshot to snapshot). Two passes: an exact global
+    percentile reduced to one row (percentile = DuckDB quantile_cont
+    bit-for-bit), broadcast back over the scan as a scalar — the
+    standard global-threshold pattern at 100 TB (the production
+    variant swaps in percentile_approx for the first pass; exactness
+    here makes the oracle comparable)."""
+    from ..operators.text import LANG_MARKERS
+    from ..functions.text_fns import stopword_hits, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    t = d.select(
+        F.col("doc_id"),
+        (
+            stopword_hits(text, LANG_MARKERS["en"]).cast("double")
+            / token_count(text).cast("double")
+        ).alias("stopword_ratio"),
+    )
+    thr = t.agg(F.expr("percentile(stopword_ratio, 0.25)").alias("q25"))
+    return t.join(F.broadcast(thr)).select(
+        "doc_id",
+        "stopword_ratio",
+        F.when(F.col("stopword_ratio") >= F.col("q25"), 1).otherwise(0).alias("keep"),
+    )

@@ -549,3 +549,47 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probability itself is hash-compared."""
     d = load_table(spark, sf_dir, "documents")
     return T.quality_logreg(d)
+
+
+# -- BM25-ranked search over posting lists (oracle-exact) ------------------
+@register(
+    "text_search_bm25",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    sc AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl),
+    hits AS (SELECT * FROM post WHERE term IN ('data', 'scan', 'join')),
+    dft AS (SELECT term, count(*) AS df_t FROM hits GROUP BY 1),
+    s AS (
+        SELECT h.doc_id,
+               CAST(
+                 ln(1.0 + ((CAST(sc.n_docs AS DOUBLE) - CAST(d.df_t AS DOUBLE) + 0.5)
+                           / (CAST(d.df_t AS DOUBLE) + 0.5)))
+                 * (CAST(h.tf AS DOUBLE) * 2.2)
+                 / (CAST(h.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / sc.avgdl)))
+                 AS DECIMAL(30,15)) AS s
+        FROM hits h JOIN dft d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN sc),
+    pd AS (SELECT doc_id, SUM(s) AS score FROM s GROUP BY 1)
+    SELECT doc_id, CAST(score AS DOUBLE) AS bm25
+    FROM pd ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval for {data, scan, join} — any-term match,
+    Lucene-style idf, length-normalized tf, top-20 by score
+    (operators/text.py::bm25_search). Per-doc score sums go through
+    DECIMAL(30,15) so partial-agg order is irrelevant and the ENTIRE
+    ranking — idf, normalization, top-k tie-break — replays in the
+    DuckDB oracle. Top-k runs as orderBy+limit
+    (TakeOrderedAndProject), never a global sort materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.bm25_search(d, ["data", "scan", "join"], k=20)
