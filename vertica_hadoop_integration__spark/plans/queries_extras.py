@@ -2345,43 +2345,51 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- containment near-dup (small-doc-inside-big-doc; oracle-replayed) ------
 def _containment_oracle(min_containment: float = 0.8) -> str:
-    """SQL replay of containment_pairs_portable: word-3-gram shingles,
-    global shingle doc-frequency, per-doc rarest-prefix of size
-    n - ceil(t*n) + 1, posting-list probe candidates, exact containment
-    |A∩B|/min(|A|,|B|) verify."""
+    """SQL replay of containment_pairs_portable: word-3-gram shingles
+    narrowed to the portable md5-60 hash, global hash doc-frequency,
+    per-doc rarest-prefix of size n - ceil(t*n) + 1, direction-aware
+    posting-list probe (smaller side probes larger), exact containment
+    |A∩B|/min(|A|,|B|) verify over the hashed sets."""
     t = min_containment
+    h60 = _H60.format(x="s")
     return rf"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
       FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(1, greatest(len(tk)-2, 1)),
                i -> array_to_string(tk[i:i+2], ' '))) AS shs
       FROM toks),
-    cs AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-    sz AS (SELECT doc_id, len(shs) AS n FROM sh),
-    freq AS (SELECT s, count(*) AS df FROM cs GROUP BY 1),
+    cs AS (
+      SELECT DISTINCT doc_id, {h60} AS h
+      FROM (SELECT doc_id, unnest(shs) AS s FROM sh0)),
+    sz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+    freq AS (SELECT h, count(*) AS df FROM cs GROUP BY 1),
     ranked AS (
-      SELECT cs.doc_id, cs.s, sz.n,
+      SELECT cs.doc_id, cs.h, sz.n,
              row_number() OVER (PARTITION BY cs.doc_id
-                                ORDER BY f.df, cs.s) AS rn
-      FROM cs JOIN freq f USING (s) JOIN sz USING (doc_id)),
+                                ORDER BY f.df, cs.h) AS rn
+      FROM cs JOIN freq f USING (h) JOIN sz USING (doc_id)),
     prefix AS (
-      SELECT doc_id AS probe_id, s FROM ranked
+      SELECT doc_id AS p, n AS np, h FROM ranked
       WHERE rn <= n - CAST(ceil({t} * n) AS BIGINT) + 1),
+    idx AS (
+      SELECT cs.doc_id AS i, sz.n AS ni, cs.h
+      FROM cs JOIN sz USING (doc_id)),
     cand AS (
-      SELECT DISTINCT least(p.probe_id, c.doc_id) AS doc_id_a,
-                      greatest(p.probe_id, c.doc_id) AS doc_id_b
-      FROM prefix p JOIN cs c USING (s)
-      WHERE p.probe_id <> c.doc_id),
+      SELECT DISTINCT least(pr.p, x.i) AS doc_id_a,
+                      greatest(pr.p, x.i) AS doc_id_b
+      FROM prefix pr JOIN idx x USING (h)
+      WHERE x.ni > pr.np OR (x.ni = pr.np AND x.i > pr.p)),
+    hs AS (SELECT doc_id, list(h) AS hset FROM cs GROUP BY 1),
     ver AS (
       SELECT c.doc_id_a, c.doc_id_b,
-             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
-             CAST(least(len(sa.shs), len(sb.shs)) AS DOUBLE) AS containment
-      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a
-                  JOIN sh sb ON sb.doc_id = c.doc_id_b)
+             CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE) /
+             CAST(least(len(sa.hset), len(sb.hset)) AS DOUBLE) AS containment
+      FROM cand c JOIN hs sa ON sa.doc_id = c.doc_id_a
+                  JOIN hs sb ON sb.doc_id = c.doc_id_b)
     SELECT doc_id_a, doc_id_b, containment FROM ver
     WHERE containment >= {t}
     """
