@@ -2411,3 +2411,57 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs_portable(
         d, min_containment=0.8, shingle_n=3
     )
+
+
+# -- robust (MAD) outlier scoring (oracle-exact percentile parity) ---------
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+    d AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN m USING (event_type)),
+    md AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM d GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value,
+           CASE WHEN md.mad > 0.0
+                THEN 0.6745 * (d.value - d.med) / md.mad END AS robust_z,
+           CASE WHEN md.mad > 0.0
+                     AND abs(0.6745 * (d.value - d.med) / md.mad) > 3.5
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM d JOIN md USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring per event_type: the Iglewicz-Hoaglin
+    modified z-score 0.6745*(v - median)/MAD with the |z| > 3.5 cut —
+    unlike events_anomaly_zscore's mean/stddev, a fat-tailed value
+    distribution cannot drag its own baseline. Exact medians (Spark
+    percentile = DuckDB quantile_cont bit-for-bit) reduce per type and
+    broadcast back over the scan twice — at 100 TB swap in
+    percentile_approx; structure unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = e.join(F.broadcast(m), on="event_type").select(
+        "event_id", "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    md = d.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return d.join(F.broadcast(md), on="event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("mad") > 0.0, rz).alias("robust_z"),
+        F.when((F.col("mad") > 0.0) & (F.abs(rz) > 3.5), 1)
+        .otherwise(0)
+        .alias("is_outlier"),
+    )
