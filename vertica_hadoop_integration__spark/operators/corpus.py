@@ -598,3 +598,62 @@ def bloom_decontaminate(
             F.coalesce(F.col("_hit"), F.lit(0)).alias("is_contaminated"),
         )
     )
+
+
+def clean_corpus_portable(
+    df: DataFrame,
+    eval_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_prob: float = 0.5,
+    decon_shingle_n: int = 5,
+    min_containment: float = 0.8,
+    containment_shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end corpus cleaning where EVERY stage is SQL-replayable —
+    the oracle-checked counterpart of :func:`clean_corpus` (whose
+    xxhash64 MinHash internals force a rows-only check):
+
+    1. model gate: logistic quality probability >= ``min_prob``
+       (text.quality_logreg — scan-stage projection);
+    2. decontamination: drop docs sharing any ``decon_shingle_n``-gram
+       with the eval suite (at scale via the Bloom bitmap; exact-flag
+       equivalence is pytest-proven, so the oracle uses the plain
+       semi-join);
+    3. exact dedup: smallest id per normalized-text md5 wins;
+    4. containment near-dedup: prefix-filter pairs at
+       >= ``min_containment`` (dedup.containment_pairs_portable), drop
+       the higher-id member of each verified pair.
+
+    Returns the surviving (id) rows. Stage order matters and is part of
+    the contract: gates cut volume before any pair generation."""
+    from .dedup import containment_pairs_portable
+    from .text import quality_logreg
+
+    kept = df.join(
+        quality_logreg(df, text_col, id_col)
+        .filter(F.col("quality_prob") >= min_prob)
+        .select(id_col),
+        on=id_col,
+        how="left_semi",
+    )
+    decon = decontaminate(
+        kept, eval_shingles, text_col, id_col, shingle_n=decon_shingle_n,
+        mode="drop",
+    )
+    canon = (
+        decon.select(
+            F.col(id_col),
+            F.md5(F.lower(F.trim(F.col(text_col)))).alias("_th"),
+        )
+        .groupBy("_th")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact = decon.join(canon, on=id_col, how="left_semi")
+    pairs = containment_pairs_portable(
+        exact, text_col, id_col,
+        min_containment=min_containment, shingle_n=containment_shingle_n,
+    )
+    dropped = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    return exact.join(dropped, on=id_col, how="left_anti").select(id_col)

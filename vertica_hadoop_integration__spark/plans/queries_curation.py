@@ -729,3 +729,108 @@ def corpus_quality_cut_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_ratio",
         F.when(F.col("stopword_ratio") >= F.col("q25"), 1).otherwise(0).alias("keep"),
     )
+
+
+# -- end-to-end cleaning, fully oracle-replayed ----------------------------
+_H60C = "CAST(('0x'||substr(md5({x}),1,15)) AS BIGINT)"
+
+
+@register(
+    "pipeline_clean_corpus_portable",
+    oracle=rf"""
+    WITH feat AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{{}}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    z AS (
+        SELECT doc_id,
+               -1.5 + 0.6 * ln(CAST(n_tok AS DOUBLE))
+                    + 8.0 * (CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                    - 12.0 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                    - 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS z
+        FROM feat),
+    kept AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN z USING (doc_id)
+        WHERE 1.0 / (1.0 + exp(-z.z)) >= 0.25),
+    tko AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+    g5 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 4, 1)),
+                   i -> array_to_string(tk[i:i+4], ' '))) AS shs
+        FROM tko),
+    evs AS (SELECT DISTINCT unnest(shs) AS sh FROM g5 WHERE doc_id % 97 = 0),
+    kg AS (SELECT k.doc_id, unnest(g.shs) AS sh
+           FROM kept k JOIN g5 g USING (doc_id)),
+    contaminated AS (SELECT DISTINCT doc_id FROM kg JOIN evs USING (sh)),
+    decon AS (
+        SELECT k.doc_id, k.text FROM kept k
+        LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL),
+    canon AS (
+        SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id, md5(lower(trim(text))) AS th FROM decon)
+        GROUP BY th),
+    exact AS (SELECT d.doc_id, d.text FROM decon d JOIN canon USING (doc_id)),
+    tk3 AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM exact),
+    g3 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+        FROM tk3),
+    cs AS (
+        SELECT DISTINCT doc_id, {_H60C.format(x='s')} AS h
+        FROM (SELECT doc_id, unnest(shs) AS s FROM g3)),
+    sz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+    freq AS (SELECT h, count(*) AS df FROM cs GROUP BY 1),
+    ranked AS (
+        SELECT cs.doc_id, cs.h, sz.n,
+               row_number() OVER (PARTITION BY cs.doc_id
+                                  ORDER BY f.df, cs.h) AS rn
+        FROM cs JOIN freq f USING (h) JOIN sz USING (doc_id)),
+    prefix AS (
+        SELECT doc_id AS p, n AS np, h FROM ranked
+        WHERE rn <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1),
+    idx AS (SELECT cs.doc_id AS i, sz.n AS ni, cs.h
+            FROM cs JOIN sz USING (doc_id)),
+    cand AS (
+        SELECT DISTINCT least(pr.p, x.i) AS doc_id_a,
+                        greatest(pr.p, x.i) AS doc_id_b
+        FROM prefix pr JOIN idx x USING (h)
+        WHERE x.ni > pr.np OR (x.ni = pr.np AND x.i > pr.p)),
+    hs AS (SELECT doc_id, list(h) AS hset FROM cs GROUP BY 1),
+    ver AS (
+        SELECT c.doc_id_a, c.doc_id_b,
+               CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE) /
+               CAST(least(len(sa.hset), len(sb.hset)) AS DOUBLE) AS containment
+        FROM cand c JOIN hs sa ON sa.doc_id = c.doc_id_a
+                    JOIN hs sb ON sb.doc_id = c.doc_id_b),
+    dropped AS (
+        SELECT DISTINCT doc_id_b AS doc_id FROM ver WHERE containment >= 0.8)
+    SELECT e.doc_id FROM exact e
+    LEFT JOIN dropped dr USING (doc_id) WHERE dr.doc_id IS NULL
+    """,
+)
+def pipeline_clean_corpus_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning with EVERY stage oracle-replayed
+    (operators/corpus.py::clean_corpus_portable): logistic quality gate
+    -> eval-suite decontamination -> exact dedup -> prefix-filter
+    containment dedup (drop the higher id of each verified pair). The
+    xxhash64 pipeline (pipeline_clean_corpus) stays the production
+    default; this is the driver-verifiable twin — the whole composition,
+    including the dedup candidate generation, is checked value-for-value
+    by DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = C.eval_shingle_set(d.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    # 0.25 is the gate's operating point for this corpus (keeps ~85%;
+    # the classifier's raw 0.5 cut is shown standalone in
+    # text_quality_logreg)
+    return C.clean_corpus_portable(d, ev, min_prob=0.25)
