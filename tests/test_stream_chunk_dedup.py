@@ -94,3 +94,62 @@ def test_stream_chunk_dedup_matches_batch_and_restart(spark, staged, tmp_path):
     q.awaitTermination(120)
     assert _canon(spark.read.orc(out + "/batch=*")) == before
     assert spark.read.parquet(idx + "/chunk_hashes").count() == n_idx
+
+
+# -- streaming inverted-index maintenance (streaming/indexing.py) ----------
+
+
+def test_stream_index_matches_batch_and_replay_safe(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.text import inverted_index
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.streaming.indexing import (
+        compact_index,
+        read_index,
+        stream_index_load,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "docsrc"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    deltas = str(tmp_path / "idx_deltas")
+    led = str(tmp_path / "idx_led")
+    ckpt = str(tmp_path / "idx_ckpt")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return stream_index_load(
+            stream, deltas_dir=deltas, ledger_path=led, checkpoint_dir=ckpt
+        )
+
+    q = _start()
+    q.awaitTermination(180)
+
+    def _canon(df):
+        return sorted((r.term, r.doc_id, r.tf) for r in df.collect())
+
+    got = _canon(read_index(spark, deltas))
+    want = _canon(inverted_index(docs))
+    assert got == want
+
+    # restart on same checkpoint: no new files -> index unchanged
+    q2 = _start()
+    q2.awaitTermination(180)
+    assert _canon(read_index(spark, deltas)) == want
+
+    # compaction preserves content and produces a bucketed catalog table
+    compact_index(spark, deltas, "idx_base_test", buckets=4)
+    try:
+        assert _canon(spark.table("idx_base_test")) == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS idx_base_test")

@@ -2465,3 +2465,63 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     )
+
+
+# -- Bloom runtime-filter join (semi-join reduction; oracle = exact join) --
+@register(
+    "join_bloom_filtered",
+    oracle="""
+    SELECT count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of line items on urgent orders, computed through an
+    explicit Bloom runtime filter: the filtered orders' keys compress to
+    a 65536-bit bitmap (operators/corpus.py::bloom_bitmap — 3 md5-60
+    hashes) that pre-filters the big fact side MAP-SIDE before the
+    exact join, so the join's shuffle carries only probable matches.
+    False positives are removed by the exact join, so the result —
+    and the oracle — are the plain join's, bit for bit. This is the
+    portable form of AQE's runtime row-level filtering: at 100 TB it
+    cuts the fact-side exchange by the filter's selectivity without
+    relying on planner support."""
+    from ..operators.corpus import bloom_bitmap
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    from ..functions.text_fns import md5_hash60
+
+    m, seeds = 65536, (101, 102, 103)
+    bits = bloom_bitmap(
+        o.select(F.col("o_orderkey").cast("string").alias("shingle")),
+        m=m, seeds=seeds,
+    )
+    probe = li
+    passes = F.lit(True)
+    for idx, s in enumerate(seeds):
+        probe = probe.withColumn(
+            f"_p{idx}",
+            F.pmod(md5_hash60(F.col("l_orderkey").cast("string"), seed=s), F.lit(m)),
+        ).join(
+            F.broadcast(bits.withColumnRenamed("pos", f"_b{idx}")),
+            F.col(f"_p{idx}") == F.col(f"_b{idx}"),
+            "left",
+        )
+        passes = passes & F.col(f"_b{idx}").isNotNull()
+    reduced = probe.filter(passes).select(li.columns)
+    return reduced.join(o, reduced.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
