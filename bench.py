@@ -69,6 +69,19 @@ HEADLINE = [
     "sketch_countmin_topk",
     "embedding_random_projection",
     "text_quality_logreg",
+    # round-3 closing additions (additive): prefix-filter containment,
+    # BM25 ranking, trending serving table, MAD outliers, quantile cut,
+    # Bloom runtime-filter join, oracle-replayed cleaning pipeline,
+    # weighted sampling, time-decayed rollup
+    "dedup_containment_prefix",
+    "text_search_bm25",
+    "events_trending_topk",
+    "events_anomaly_mad",
+    "corpus_quality_cut_quantile",
+    "join_bloom_filtered",
+    "pipeline_clean_corpus_portable",
+    "corpus_weighted_sample",
+    "events_decayed_value",
 ]
 
 

@@ -43,6 +43,7 @@ SCALAR_BROADCAST_OK = {
     "q22_waiting_customers",        # 1-row average-balance scalar
     "corpus_quality_cut_quantile",  # 1-row global-percentile threshold
     "text_search_bm25",             # 1-row (N, avgdl) corpus scalars
+    "events_decayed_value",         # 1-row max-timestamp anchor scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

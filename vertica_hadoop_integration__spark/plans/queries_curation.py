@@ -834,3 +834,56 @@ def pipeline_clean_corpus_portable(spark: SparkSession, sf_dir: str) -> DataFram
     # the classifier's raw 0.5 cut is shown standalone in
     # text_quality_logreg)
     return C.clean_corpus_portable(d, ev, min_prob=0.25)
+
+
+# -- deterministic weighted sampling (Efraimidis-Spirakis; oracle-exact) ---
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS DOUBLE) AS w,
+               (CAST(('0x'||substr(md5('ws:'||doc_id), 1, 15)) AS BIGINT) + 1)
+                   / 1152921504606846976.0 AS u
+        FROM documents),
+    k AS (SELECT doc_id, w, ln(u) / w AS key FROM t)
+    SELECT doc_id, w AS weight FROM (
+        SELECT doc_id, w, row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+        FROM k) WHERE rn <= 100
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each doc draws u in (0,1] from the portable md5-60 hash of
+    its id and is ranked by ln(u)/w with w = token count — the top-100
+    keys ARE a weighted sample (longer docs proportionally likelier),
+    and reruns pick the identical set (hash-derived u, no RNG state).
+    Map-only scoring + one top-k (TakeOrderedAndProject via the rank
+    window at scale sub in orderBy+limit); the mergeable top-k makes
+    this a single pass at 100 TB. Oracle replays hash, key, and
+    tie-break exactly."""
+    from ..functions.text_fns import md5_hash60, token_count
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_hash60(F.concat_ws(":", F.lit("ws"), F.col("doc_id"))).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(1152921504606846976.0)
+    t = d.select(
+        F.col("doc_id"),
+        token_count(F.col("text")).cast("double").alias("w"),
+        u.alias("u"),
+    )
+    k = t.select("doc_id", "w", (F.log("u") / F.col("w")).alias("key"))
+    return (
+        k.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", F.col("w").alias("weight"))
+    )

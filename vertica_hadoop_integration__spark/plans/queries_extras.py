@@ -2525,3 +2525,49 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# -- time-decayed aggregate (recency-weighted rollup; oracle-exact) --------
+@register(
+    "events_decayed_value",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mu FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(
+               value * exp(-(ln(2) / 86400.0)
+                           * (CAST(mx.mu - epoch_us(CAST(ts AS TIMESTAMP))
+                                   AS DOUBLE) / 1000000.0))
+               AS DECIMAL(30,15))) AS DOUBLE) AS decayed_value
+    FROM events, mx
+    GROUP BY event_type
+    """,
+)
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value per event_type: exponential decay with a
+    24h half-life anchored at the corpus max timestamp — the
+    \"freshness-weighted\" rollup a monitoring/ranking pipeline keeps.
+    One 1-row max-ts scalar broadcast over the scan, decay computed in
+    exact integer micros -> double seconds, and the per-type sum goes
+    through DECIMAL(30,15) so partial-agg order is irrelevant; ln/exp
+    parity makes the decayed sums hash-comparable. At scale this is a
+    single pass (the anchor can be the window close instead of a
+    computed max, removing the extra reduce)."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros(F.col("ts"))).alias("mu"))
+    lam = F.log(F.lit(2.0)) / F.lit(86400.0)
+    age_s = (
+        (F.col("mu") - F.unix_micros(F.col("ts"))).cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        e.join(F.broadcast(mx))
+        .withColumn(
+            "_d", (F.col("value") * F.exp(-lam * age_s)).cast("decimal(30,15)")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_d").cast("double").alias("decayed_value"),
+        )
+    )
