@@ -383,3 +383,25 @@ def test_bloom_small_m_still_exact(spark, docs):
         for r in C.bloom_decontaminate(docs, ev, shingle_n=5, m=64).collect()
     }
     assert tiny == exact
+
+
+def test_clean_corpus_portable_invariants(spark, docs):
+    """Survivors contain no exact dups, no contaminated docs, and no
+    higher-id member of a containment pair."""
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        clean_corpus_portable,
+        decontaminate,
+        eval_shingle_set,
+    )
+
+    ev = eval_shingle_set(docs.filter(F.col("doc_id") % 97 == 0), shingle_n=5)
+    out = clean_corpus_portable(docs, ev, min_prob=0.25)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids  # pipeline keeps something
+    kept_docs = docs.filter(F.col("doc_id").isin(list(ids)))
+    # no surviving exact duplicates
+    n_texts = kept_docs.select(F.md5(F.lower(F.trim("text")))).distinct().count()
+    assert n_texts == len(ids)
+    # no contaminated survivors
+    flags = decontaminate(kept_docs, ev, mode="flag")
+    assert flags.filter("is_contaminated = 1").count() == 0

@@ -650,7 +650,11 @@ def clean_corpus_portable(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    exact = decon.join(canon, on=id_col, how="left_semi")
+    # the survivor frame feeds three consumers (containment's shingle
+    # stage, its per-doc sets, and the final anti-join) — persist so the
+    # gate/decon/exact lineage (two doc scans + a 5-gram explode) runs
+    # once, not per consumer
+    exact = decon.join(canon, on=id_col, how="left_semi").persist()
     pairs = containment_pairs_portable(
         exact, text_col, id_col,
         min_containment=min_containment, shingle_n=containment_shingle_n,
