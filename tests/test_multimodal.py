@@ -105,3 +105,72 @@ def test_real_media_features_distributed(spark, sf_dir):
             assert r["width"] == 8 + mid % 24
         else:
             assert r["duration_sec"] == (400 + (mid % 50) * 80) / 8000
+
+
+# -- perceptual-hash dedup -------------------------------------------------
+
+
+def test_phash_identical_classes_and_planted_near_miss(spark):
+    """Docs in the same fixture class share a phash (hamming 0); an image
+    with a few perturbed pixels lands within the hamming threshold; a
+    different class's pattern is NOT paired."""
+    from vertica_hadoop_integration__spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _ahash64_from_bmp,
+        _bmp_gradient_bytes,
+        phash_dedup,
+    )
+
+    base = _bmp_gradient_bytes(7)
+    # flip a couple of pixel bytes well inside the pixel array
+    near = bytearray(base)
+    near[60] = (near[60] + 96) % 256
+    near[63] = (near[63] + 96) % 256
+    other = _bmp_gradient_bytes(8)
+    rows = [
+        (1, "image", bytes(base), len(base), 1),
+        (2, "image", bytes(near), len(near), 2),
+        (3, "image", other, len(other), 3),
+        (4, "image", _bmp_gradient_bytes(57), len(_bmp_gradient_bytes(57)), 4),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in phash_dedup(media, max_hamming=3).collect()}
+    assert (1, 2) in pairs           # perturbed copy found
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # same class (7 and 57)
+    assert (1, 3) not in pairs       # different pattern not paired
+    # determinism: python-side hash equals itself across calls
+    assert _ahash64_from_bmp(base) == _ahash64_from_bmp(bytes(bytearray(base)))
+
+
+def test_phash_banding_lossless_at_threshold(spark):
+    """Banded candidates recover every pair an exhaustive scan finds at
+    hamming <= 3 (pigeonhole over 4x16-bit bands)."""
+    from vertica_hadoop_integration__spark.operators.multimodal import (
+        perceptual_hash,
+        phash_dedup,
+        synthesize_textured_media,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = synthesize_textured_media(d)
+    sig = perceptual_hash(media)
+    a = sig.select(F.col("media_id").alias("ida"), F.col("phash").alias("pa"))
+    b = sig.select(F.col("media_id").alias("idb"), F.col("phash").alias("pb"))
+    exhaustive = {
+        (r.ida, r.idb)
+        for r in a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r.media_id_a, r.media_id_b)
+        for r in phash_dedup(media, max_hamming=3).collect()
+    }
+    assert banded == exhaustive

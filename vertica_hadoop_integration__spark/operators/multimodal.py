@@ -288,3 +288,161 @@ def frame_sample_plan(media: DataFrame, every_sec: float = 1.0) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") * F.lit(every_sec)).alias("frame_ts_sec"),
     )
+
+
+# -- perceptual hashing: near-duplicate images without pixel joins ---------
+
+
+def _bmp_gradient_bytes(doc_id: int) -> bytes:
+    """A genuine 24-bit BMP with a per-pixel gradient pattern whose
+    parameters recur every 50 doc_ids — the multimodal fixture's stand-in
+    for web corpora where the same thumbnail/banner repeats across many
+    pages. (The flat-luminance `_bmp_bytes` fixture is useless for
+    perceptual hashing: uniform images all pool to the all-zero hash.)"""
+    import struct
+
+    cls = doc_id % 50
+    width = 8 + (cls % 10)
+    height = 8 + ((cls * 3) % 10)
+    base = (cls * 5) % 256
+    # per-class gradient direction/frequency: patterns from different
+    # classes pool to genuinely different 8x8 bit masks (a shared global
+    # gradient would make every image a near-dup of every other)
+    fx = 11 + 29 * (cls % 7)
+    fy = 17 + 31 * (cls % 5)
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            lum = (base + fx * x + fy * y) % 256
+            row += bytes((lum, lum, lum))
+        row += b"\x00" * ((4 - len(row) % 4) % 4)
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def synthesize_textured_media(docs: DataFrame) -> DataFrame:
+    """Image-only media table with gradient payloads (see
+    `_bmp_gradient_bytes`); every 50th doc shares an identical image."""
+    src = docs.select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [_bmp_gradient_bytes(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": ["image"] * len(ids),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source_doc_id": ids.values,
+                }
+            )
+
+    return _spread(src).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _ahash64_from_bmp(payload: bytes) -> int:
+    """Average-hash: decode BMP -> grayscale -> 8x8 block means -> one
+    bit per block (above/below the global mean) -> signed 64-bit int."""
+    import numpy as np
+
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    offset = int.from_bytes(payload[10:14], "little")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload[offset : offset + stride * height], dtype=np.uint8
+    ).reshape(height, stride)[:, : width * 3]
+    gray = rows.reshape(height, width, 3).mean(axis=2)
+    pooled = np.array(
+        [
+            [blk.mean() for blk in np.array_split(r, 8, axis=1)]
+            for r in np.array_split(gray, 8, axis=0)
+        ]
+    )
+    bits = (pooled > pooled.mean()).astype(np.uint8).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # to signed 64-bit (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """(media_id, phash): aHash per image row, computed in one Arrow
+    mapInPandas pass — the only Python step; everything downstream
+    (banding, pairing, Hamming verify) is JVM-side."""
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").values,
+                    "phash": [
+                        _ahash64_from_bmp(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return _spread(imgs).mapInPandas(run, schema="media_id long, phash long")
+
+
+def phash_dedup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate images via perceptual-hash banding: split the
+    64-bit aHash into 4 x 16-bit bands — by pigeonhole, any pair within
+    Hamming distance 3 agrees on at least one band — generate in-bucket
+    candidate pairs without a self-join, verify with
+    popcount(xor) <= max_hamming. The pixel data never joins anything:
+    one Arrow pass reduces each image to 8 bytes, and the pair space is
+    cut by band buckets exactly like MinHash-LSH cuts shingle space."""
+    from .dedup import _in_bucket_pairs
+
+    sig = perceptual_hash(media).persist()
+    stacked = sig.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.chunk")
+    cands = (
+        _in_bucket_pairs(stacked, ["band_idx", "chunk"], F.col("media_id"), 10000)
+        .select(F.col("a").alias("media_id_a"), F.col("b").alias("media_id_b"))
+        .distinct()
+    )
+    v = sig.hint("merge")
+    joined = cands.join(
+        v.withColumnRenamed("media_id", "media_id_a").withColumnRenamed(
+            "phash", "ph_a"
+        ),
+        on="media_id_a",
+    ).join(
+        v.withColumnRenamed("media_id", "media_id_b").withColumnRenamed(
+            "phash", "ph_b"
+        ),
+        on="media_id_b",
+    )
+    return joined.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

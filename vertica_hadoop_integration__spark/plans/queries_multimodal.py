@@ -136,3 +136,22 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return M.extract_features(media, decoder="real").drop("content_hash")
+
+
+# -- perceptual-hash near-dup images (rows-only; pytest-verified) ----------
+@register("multimodal_phash_dedup")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection without pixel joins: one Arrow
+    pass reduces each (real, decoded) BMP to a 64-bit average-hash,
+    then 4x16-bit banding generates candidate pairs (pigeonhole: any
+    pair within Hamming 3 shares a band) and popcount(xor) verifies
+    (operators/multimodal.py::phash_dedup). Gradient fixture payloads
+    recur every 50 doc_ids, standing in for repeated web thumbnails.
+    Rows-only: the pixel decode is not SQL-expressible; hash
+    determinism, planted near-miss recall, and banding losslessness at
+    the threshold are pytest-asserted (tests/test_multimodal.py)."""
+    from ..operators.multimodal import phash_dedup, synthesize_textured_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_textured_media(d)
+    return phash_dedup(media, max_hamming=3)
