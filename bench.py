@@ -82,6 +82,7 @@ HEADLINE = [
     "pipeline_clean_corpus_portable",
     "corpus_weighted_sample",
     "events_decayed_value",
+    "multimodal_phash_dedup",
 ]
 
 

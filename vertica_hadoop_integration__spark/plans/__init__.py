@@ -31,19 +31,20 @@ from .registry import ORACLES, QUERIES
 # logistic quality gate, curation batch) in the driver's verification window.
 WINDOW = [
     # reference surface (§2A)
-    "s1_next_pending", "s3_pending_exists", "s4_count_filter",
-    "s8_skip_latest", "s9_anti_join", "s10_pending_pipeline",
-    "s12_salt_round_robin", "s15_delete_semantics", "s16_truncate_semantics",
-    "s17_concat_expr", "s20_peek_one",
+    "s1_next_pending", "s10_pending_pipeline",
+    "s12_salt_round_robin", "s16_truncate_semantics", "s20_peek_one",
     # dedup / ANN / text
     "dedup_exact", "text_token_count", "doc_fingerprint",
     "text_quality_score", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "ann_cosine_topk", "ann_ivf_topk",
     "text_language_id", "text_quality_features", "dedup_fuzzy_match",
     "dedup_minhash_portable", "dedup_simhash_portable",
-    "dedup_clusters_portable", "text_quality_logreg",
+    "dedup_clusters_portable", "text_quality_logreg", "text_search_bm25",
+    "dedup_containment_prefix",
     # sketches
     "sketch_kmv_portable", "sketch_countmin_topk",
+    # composed pipeline + scale-tactic join
+    "pipeline_clean_corpus_portable", "join_bloom_filtered",
     # embeddings
     "dedup_semantic_clustered", "embedding_kmeans_step",
     "embedding_random_projection", "text_search_inverted",
@@ -53,14 +54,16 @@ WINDOW = [
     "asof_join_purchase_click", "range_join_price_bands",
     "hypertable_rollup_events",
     # event windows
-    "events_json_extract", "events_tumbling_hourly", "events_sessionize",
+    "events_tumbling_hourly", "events_sessionize", "events_trending_topk",
+    "events_anomaly_mad", "events_decayed_value",
     # multimodal
-    "multimodal_metadata", "multimodal_decode_real",
+    "multimodal_decode_real",
     # corpus curation
     "corpus_mixture_report", "corpus_decontaminate",
     "corpus_bloom_decontaminate", "corpus_paragraph_dedup",
     "corpus_temperature_sample", "corpus_snapshot_diff",
-    "corpus_quality_reasons", "corpus_domain_cap",
+    "corpus_quality_reasons", "corpus_weighted_sample",
+    "corpus_quality_cut_quantile",
 ]
 assert len(WINDOW) == 50 and len(set(WINDOW)) == 50
 _missing = [n for n in WINDOW if n not in QUERIES]
