@@ -568,22 +568,29 @@ def bloom_decontaminate(
             "shingle"
         ),
     )
+    # inner-join cascade: a shingle passes only if ALL positions are set,
+    # so the first (broadcast, map-side) membership check discards the
+    # vast majority of shingles before positions 2..k are even computed —
+    # the conjunctive filter runs cheapest-first instead of carrying
+    # every shingle through k left joins
     probe = doc_sh
-    passes = F.lit(True)
     for idx, s in enumerate(seeds):
         probe = probe.withColumn(
             f"_p{idx}", F.pmod(md5_hash60(F.col("shingle"), seed=s), F.lit(m))
-        )
-        probe = probe.join(
+        ).join(
             F.broadcast(bits.withColumnRenamed("pos", f"_b{idx}")),
-            probe[f"_p{idx}"] == F.col(f"_b{idx}"),
-            "left",
+            F.col(f"_p{idx}") == F.col(f"_b{idx}"),
+            "inner",
         )
-        passes = passes & F.col(f"_b{idx}").isNotNull()
-    cand = probe.groupBy(id_col).agg(
-        F.max(F.when(passes, 1).otherwise(0)).alias("bloom_candidate")
+    cand_ids = probe.select(id_col).distinct()
+    cand = (
+        df.select(id_col)
+        .join(cand_ids.withColumn("_c", F.lit(1)), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_c"), F.lit(0)).alias("bloom_candidate"),
+        )
     )
-    cand_ids = cand.filter(F.col("bloom_candidate") == 1).select(id_col)
     hits = (
         doc_sh.join(cand_ids, on=id_col, how="left_semi")
         .join(F.broadcast(eval_shingles), on="shingle", how="left_semi")
