@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "events_decayed_value",
     "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
 ]
 
 

@@ -174,3 +174,80 @@ def test_phash_banding_lossless_at_threshold(spark):
         for r in phash_dedup(media, max_hamming=3).collect()
     }
     assert banded == exhaustive
+
+
+def test_audio_fingerprint_classes_and_planted_near_miss(spark):
+    """Same-class clips share a fingerprint; a clip with a perturbed
+    window stays within the hamming threshold; a different envelope
+    shape is not paired. Gain invariance: the same clip at double
+    volume fingerprints identically."""
+    import struct
+    import wave as _wave
+    import io
+
+    from vertica_hadoop_integration__spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _envhash64_from_wav,
+        _wav_am_bytes,
+        audio_fingerprint_dedup,
+    )
+
+    base = _wav_am_bytes(3)
+    # double the volume: scale every sample 2x (re-encode PCM)
+    with _wave.open(io.BytesIO(base)) as w:
+        params, frames = w.getparams(), w.readframes(w.getnframes())
+    doubled = io.BytesIO()
+    with _wave.open(doubled, "wb") as w:
+        w.setparams(params)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", max(-32768, min(32767, 2 * v[0])))
+                for v in struct.iter_unpack("<h", frames)
+            )
+        )
+    louder = doubled.getvalue()
+    other = _wav_am_bytes(4)
+    rows = [
+        (1, "audio", base, len(base), 1),
+        (2, "audio", louder, len(louder), 2),
+        (3, "audio", other, len(other), 3),
+        (4, "audio", _wav_am_bytes(43), len(_wav_am_bytes(43)), 4),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in audio_fingerprint_dedup(media, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # gain-invariant
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # same class (3 and 43)
+    assert (1, 3) not in pairs                     # different shape
+    assert _envhash64_from_wav(base) == _envhash64_from_wav(bytes(bytearray(base)))
+
+
+def test_audio_banding_lossless_at_threshold(spark):
+    from vertica_hadoop_integration__spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_dedup,
+        synthesize_am_audio_media,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = synthesize_am_audio_media(d)
+    sig = audio_fingerprint(media)
+    a = sig.select(F.col("media_id").alias("ida"), F.col("afp").alias("pa"))
+    b = sig.select(F.col("media_id").alias("idb"), F.col("afp").alias("pb"))
+    exhaustive = {
+        (r.ida, r.idb)
+        for r in a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r.media_id_a, r.media_id_b)
+        for r in audio_fingerprint_dedup(media, max_hamming=3).collect()
+    }
+    assert banded == exhaustive

@@ -446,3 +446,154 @@ def phash_dedup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         "media_id_b",
         F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# -- audio fingerprinting: near-duplicate clips via envelope hash ----------
+
+
+def _wav_am_bytes(doc_id: int) -> bytes:
+    """A genuine WAV whose amplitude ENVELOPE is modulated per class
+    (recurring every 40 doc_ids) — the audio analogue of
+    `_bmp_gradient_bytes`: a constant-amplitude square wave pools to a
+    degenerate all-equal envelope, so the fingerprint fixture modulates
+    amplitude with a class-specific pattern (repeated jingles/clips)."""
+    import io
+    import math
+    import struct
+    import wave as _wave
+
+    cls = doc_id % 40
+    rate = 8000
+    n_frames = 1600 + (cls % 5) * 320
+    base = 4000 + (cls % 8) * 1500
+    # two envelope harmonics + phase, all class-dependent: the hash is
+    # deliberately gain/duration-invariant, so classes must differ in
+    # envelope SHAPE (7*11*13 shape combos >> 40 classes) or they'd
+    # correctly fingerprint as the same clip at different volume/length
+    fm = 2 + (cls % 7)
+    f2 = 3 + (cls * 3) % 11
+    ph = (cls % 13) / 13.0
+    buf = io.BytesIO()
+    frames = bytearray()
+    for i in range(n_frames):
+        t = i / n_frames
+        env = 0.55 + 0.3 * math.sin(2 * math.pi * fm * t)                    + 0.15 * math.sin(2 * math.pi * (f2 * t + ph))
+        amp = int(base * env)
+        frames += struct.pack("<h", amp if (i // 8) % 2 == 0 else -amp)
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def synthesize_am_audio_media(docs: DataFrame) -> DataFrame:
+    """Audio-only media table with amplitude-modulated payloads; every
+    40th doc shares an identical clip."""
+    src = docs.select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [_wav_am_bytes(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": ["audio"] * len(ids),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source_doc_id": ids.values,
+                }
+            )
+
+    return _spread(src).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _envhash64_from_wav(payload: bytes) -> int:
+    """Envelope hash: 64 equal time windows -> mean |sample| each ->
+    one bit per window (above/below the clip mean) -> signed 64-bit.
+    Duration-invariant (windows scale with the clip), robust to gain
+    changes (threshold is the clip's own mean)."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    with _wave.open(io.BytesIO(payload)) as w:
+        samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    mag = np.abs(samples.astype(np.float64))
+    pooled = np.array([c.mean() for c in np.array_split(mag, 64)])
+    bits = (pooled > pooled.mean()).astype(np.uint8)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """(media_id, afp): envelope hash per audio row — one Arrow pass,
+    same dataflow as :func:`perceptual_hash`."""
+    clips = media.filter(F.col("media_type") == "audio").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").values,
+                    "afp": [
+                        _envhash64_from_wav(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return _spread(clips).mapInPandas(run, schema="media_id long, afp long")
+
+
+def audio_fingerprint_dedup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio via envelope-hash banding — identical
+    candidate/verify machinery to :func:`phash_dedup` (4 x 16-bit
+    bands, pigeonhole-lossless at Hamming <= 3, popcount verify)."""
+    from .dedup import _in_bucket_pairs
+
+    sig = audio_fingerprint(media).persist()
+    stacked = sig.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("afp"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.chunk")
+    cands = (
+        _in_bucket_pairs(stacked, ["band_idx", "chunk"], F.col("media_id"), 10000)
+        .select(F.col("a").alias("media_id_a"), F.col("b").alias("media_id_b"))
+        .distinct()
+    )
+    v = sig.hint("merge")
+    joined = cands.join(
+        v.withColumnRenamed("media_id", "media_id_a").withColumnRenamed(
+            "afp", "fp_a"
+        ),
+        on="media_id_a",
+    ).join(
+        v.withColumnRenamed("media_id", "media_id_b").withColumnRenamed(
+            "afp", "fp_b"
+        ),
+        on="media_id_b",
+    )
+    return joined.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -155,3 +155,22 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_textured_media(d)
     return phash_dedup(media, max_hamming=3)
+
+
+# -- audio near-dup via envelope fingerprint (rows-only; pytest-verified) --
+@register("multimodal_audio_dedup")
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio detection: one Arrow pass reduces each
+    (real, decoded) WAV to a 64-bit envelope hash (64 time windows ->
+    above/below-mean bits; duration- and gain-invariant), then the same
+    4x16-bit Hamming banding + popcount verify as the image path
+    (operators/multimodal.py::audio_fingerprint_dedup). The fixture's
+    amplitude-modulated clips recur every 40 doc_ids (repeated
+    jingles). Rows-only: the PCM decode is not SQL-expressible;
+    determinism, planted near-miss recall, and banding losslessness are
+    pytest-asserted (tests/test_multimodal.py)."""
+    from ..operators.multimodal import audio_fingerprint_dedup, synthesize_am_audio_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_am_audio_media(d)
+    return audio_fingerprint_dedup(media, max_hamming=3)
