@@ -887,3 +887,41 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("doc_id", F.col("w").alias("weight"))
     )
+
+
+# -- attribution-windowed funnel (stage k within 30 min of k-1) ------------
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view'
+           GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+           JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+                  AND e.ts <= s0.t + INTERVAL 30 MINUTE
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                  AND e.ts <= s1.t + INTERVAL 30 MINUTE
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with an attribution window: stage k counts only when
+    it happens within 30 minutes of the user's stage-(k-1) frontier —
+    the form marketing attribution actually uses (an unconstrained
+    funnel credits a purchase to a view from weeks earlier). Same
+    cascaded user-key min-aggregation plan as events_funnel
+    (operators/temporal.py::funnel max_lag arm); conversion counts drop
+    sharply vs the unconstrained funnel, which the oracle verifies
+    stage by stage."""
+    from ..operators.temporal import funnel
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel(e, stages=("view", "click", "purchase"), max_lag="30 minutes")
