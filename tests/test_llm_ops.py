@@ -577,3 +577,27 @@ def test_bm25_ranks_denser_match_higher(spark):
     assert ids[0] == 1
     scores = {r["doc_id"]: r["bm25"] for r in rows}
     assert scores[1] > scores[2] > 0
+
+
+# -- PageRank --------------------------------------------------------------
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    """A star graph's hub must take the top rank, and ranks sum to ~1
+    (symmetric co-order edges leave no dangling mass)."""
+    from vertica_hadoop_integration__spark.operators.graph import (
+        cooccurrence_pagerank,
+    )
+
+    # orders: hub part 1 co-ordered with each leaf once; leaves never
+    # co-ordered together
+    rows = []
+    for o, leaf in enumerate([2, 3, 4, 5]):
+        rows += [(o, 1), (o, leaf)]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    out = cooccurrence_pagerank(li, iters=5, top_k=10).collect()
+    assert out[0]["l_partkey"] == 1
+    total = sum(r["pagerank"] for r in out)
+    assert abs(total - 1.0) < 1e-9
+    leaf_ranks = {r["l_partkey"]: r["pagerank"] for r in out if r["l_partkey"] != 1}
+    assert len(set(round(v, 12) for v in leaf_ranks.values())) == 1  # symmetric leaves tie

@@ -44,6 +44,7 @@ SCALAR_BROADCAST_OK = {
     "corpus_quality_cut_quantile",  # 1-row global-percentile threshold
     "text_search_bm25",             # 1-row (N, avgdl) corpus scalars
     "events_decayed_value",         # 1-row max-timestamp anchor scalar
+    "graph_pagerank_parts",         # 1-row node-count scalar per iteration
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

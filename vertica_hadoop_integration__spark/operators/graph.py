@@ -105,3 +105,79 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def cooccurrence_pagerank(
+    lineitem: DataFrame,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    iters: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """PageRank over the part co-order graph: parts appearing in the
+    same order are linked (weight = co-occurrence count), and ``iters``
+    power iterations rank "hub" parts — the graph-analytics member of
+    the operator family (connected components is the other), useful for
+    importance-weighting items in recommendation/curation pipelines.
+
+    Exactness contract (the oracle replays every iteration):
+
+    * ``teleport`` is passed as its OWN literal — ``1 - 0.85`` differs
+      from ``0.15`` by one ulp, so deriving it would break parity;
+    * each per-edge contribution ``(rank * w) / outw`` is deterministic
+      double math; the per-node SUM goes through DECIMAL(30,15), so
+      partial-agg order cannot move an ulp between iterations;
+    * co-order edges are symmetric, so every node has out-weight (no
+      dangling-mass redistribution needed) and in-edges (no null
+      coalesce ambiguity).
+
+    Plan shape: the pair expansion is bounded per order (orders hold a
+    handful of lineitems — never a corpus-scale quadratic), one groupBy
+    builds the weighted edge list, and each iteration is one
+    edges-sized join + one node-keyed aggregation; the rank frontier is
+    node-cardinality-sized. Top-k via orderBy+limit."""
+    e = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    pairs = (
+        e.join(e.withColumnRenamed("p", "q"), on="o")
+        .filter(F.col("p") != F.col("q"))
+    )
+    edges = (
+        pairs.groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("p").agg(F.sum("w").alias("outw"))
+    edges_n = edges.join(outw, on="p").persist()
+    nodes = outw.select("p").persist()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    rank = nodes.join(F.broadcast(n_df)).select(
+        "p", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+    )
+    for _ in range(iters):
+        contrib = edges_n.join(rank, on="p").select(
+            F.col("q"),
+            (
+                (F.col("r") * F.col("w").cast("double"))
+                / F.col("outw").cast("double")
+            ).cast("decimal(30,15)").alias("_c"),
+        )
+        summed = contrib.groupBy("q").agg(
+            F.sum("_c").cast("double").alias("_s")
+        )
+        rank = (
+            nodes.join(F.broadcast(n_df))
+            .join(summed.withColumnRenamed("q", "p"), on="p", how="left")
+            .select(
+                "p",
+                (
+                    F.lit(teleport) / F.col("n").cast("double")
+                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        rank.orderBy(F.col("r").desc(), F.col("p"))
+        .limit(top_k)
+        .select(F.col("p").alias("l_partkey"), F.col("r").alias("pagerank"))
+    )

@@ -2571,3 +2571,57 @@ def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_d").cast("double").alias("decayed_value"),
         )
     )
+
+
+# -- PageRank over the part co-order graph (unrolled exact oracle) ---------
+def _pagerank_oracle(iters: int = 3, top_k: int = 20) -> str:
+    """SQL replay of cooccurrence_pagerank: weighted symmetric edge
+    list, then ``iters`` power iterations unrolled as CTEs with the
+    same literal constants and DECIMAL(30,15) contribution sums."""
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT en.q,
+             CAST(({prev}.r * CAST(en.w AS DOUBLE)) / CAST(en.outw AS DOUBLE)
+                  AS DECIMAL(30,15)) AS c
+      FROM en JOIN {prev} ON {prev}.p = en.p),
+    s{i} AS (SELECT q, CAST(SUM(c) AS DOUBLE) AS s FROM c{i} GROUP BY 1),
+    r{i} AS (
+      SELECT nodes.p,
+             CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+               + CAST(0.85 AS DOUBLE) * COALESCE(s{i}.s, CAST(0.0 AS DOUBLE)) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.q = nodes.p)""")
+        prev = f"r{i}"
+    return f"""
+    WITH e AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT a.p AS p, b.p AS q FROM e a JOIN e b ON a.o = b.o AND a.p <> b.p),
+    edges AS (SELECT p, q, count(*) AS w FROM pairs GROUP BY 1, 2),
+    outw AS (SELECT p, SUM(w) AS outw FROM edges GROUP BY 1),
+    en AS (SELECT edges.p, edges.q, edges.w, outw.outw
+           FROM edges JOIN outw USING (p)),
+    nodes AS (SELECT p FROM outw),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT p, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS r
+           FROM nodes CROSS JOIN nn),{",".join(its)}
+    SELECT p AS l_partkey, r AS pagerank FROM {prev}
+    ORDER BY r DESC, p LIMIT {top_k}
+    """
+
+
+@register("graph_pagerank_parts", oracle=_pagerank_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over parts co-ordered in the same order — the
+    graph-analytics family's oracle-checked row alongside connected
+    components (operators/graph.py::cooccurrence_pagerank). Three power
+    iterations replayed exactly by the oracle: teleport passed as its
+    own literal (1 - 0.85 differs from 0.15 by an ulp), per-edge
+    contributions in deterministic double math, per-node sums through
+    DECIMAL(30,15). Pair expansion is bounded per order; each iteration
+    is one edges-sized join + a node-keyed aggregation."""
+    from ..operators.graph import cooccurrence_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_pagerank(li, iters=3, top_k=20)
