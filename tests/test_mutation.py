@@ -68,3 +68,26 @@ def test_scd2_apply_close_and_append(spark):
         if vt is None:
             open_per_key[k] = open_per_key.get(k, 0) + 1
     assert open_per_key == {1: 1, 2: 1}
+
+
+# -- CDC apply -------------------------------------------------------------
+
+
+def test_cdc_apply_semantics(spark):
+    """Max-seq wins; D removes; I inserts; untouched rows pass through."""
+    from vertica_hadoop_integration__spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    log = spark.createDataFrame(
+        [
+            ("U", 1, 1, "a2"),   # update k=1
+            ("D", 2, 1, None),   # ...then delete it (higher seq wins)
+            ("U", 1, 2, "b2"),   # update k=2
+            ("I", 1, 9, "new"),  # insert k=9
+        ],
+        ["op", "seq", "k", "v"],
+    )
+    got = {(r.k, r.v) for r in cdc_apply(base, log, key_cols=["k"]).collect()}
+    assert got == {(2, "b2"), (3, "c"), (9, "new")}

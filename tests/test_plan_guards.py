@@ -45,6 +45,7 @@ SCALAR_BROADCAST_OK = {
     "text_search_bm25",             # 1-row (N, avgdl) corpus scalars
     "events_decayed_value",         # 1-row max-timestamp anchor scalar
     "graph_pagerank_parts",         # 1-row node-count scalar per iteration
+    "dq_referential_integrity",     # 1-row orphan-count x 1-row total join
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -53,3 +53,56 @@ def profile_table(
         for c in names
     ])
     return one.select(F.inline(rows))
+
+
+def dq_rule_report(
+    df: DataFrame,
+    rules: list[tuple[str, "Column"]],
+) -> DataFrame:
+    """Rule-based data-quality report (the dbt-test / Deequ shape): each
+    rule is (name, violation-predicate Column); the report is one row
+    per rule with its violation count and the checked total — all rules
+    evaluated in a SINGLE aggregation scan (conditional sums), not one
+    scan per rule. At 100 TB that is the difference between one pass
+    and len(rules) passes."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(pred, 1).otherwise(0)).alias(name) for name, pred in rules
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{name}', {name}" for name, _ in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack_expr}) as (rule, n_violations)",
+        "n_rows",
+    ).select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relationship: str,
+) -> DataFrame:
+    """Orphan check for one FK relationship: child rows whose key has no
+    parent. One anti-join (the parent side carries only its key column,
+    so the exchange is key-narrow; broadcast when dimension-sized).
+    Returns a single (relationship, n_orphans, n_child_rows) row —
+    union several calls for a full-constellation report."""
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+    return (
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        .join(child.agg(F.count(F.lit(1)).alias("n_child_rows")))
+        .select(
+            F.lit(relationship).alias("relationship"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.col("n_child_rows").cast("long").alias("n_child_rows"),
+        )
+    )

@@ -279,3 +279,36 @@ def scd2_apply(
         )
     )
     return kept.unionByName(closed).unionByName(opened)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture log to a base snapshot: per key, the
+    HIGHEST-sequence changelog entry wins — 'D' removes the key,
+    'I'/'U' replace-or-insert that entry's values; untouched keys keep
+    their base row. The Debezium/Kafka-compaction semantics that turn
+    the reference's whole-table reloads into incremental maintenance.
+
+    Plan shape: one window (row_number by key, seq desc) reduces the
+    log to its frontier — log-sized, typically tiny vs base; one
+    anti-join removes superseded/deleted base rows; one union appends
+    the surviving upserts. Base is never shuffled except on the key
+    anti-join; at 100 TB pair with bucketed base layout so the
+    anti-join co-locates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*key_cols)
+    survivors = base.join(touched, on=key_cols, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    return survivors.unionByName(upserts)

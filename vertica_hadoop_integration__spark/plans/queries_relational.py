@@ -807,3 +807,156 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_dec("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
     )
+
+
+# -- data-quality rule report (single-scan conditional sums) ---------------
+@register(
+    "dq_rules_orders",
+    oracle="""
+    WITH w AS (
+        SELECT count(*) AS n_rows,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+               SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+                         OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS date_out_of_range,
+               SUM(CASE WHEN length(o_orderpriority) = 0 THEN 1 ELSE 0 END) AS empty_priority
+        FROM orders)
+    SELECT r.rule, r.n_violations, w.n_rows FROM w,
+    LATERAL (VALUES ('nonpositive_price', nonpositive_price),
+                    ('bad_status', bad_status),
+                    ('null_custkey', null_custkey),
+                    ('date_out_of_range', date_out_of_range),
+                    ('empty_priority', empty_priority)) r(rule, n_violations)
+    """,
+)
+def dq_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-quality gate over orders: five declarative
+    violation rules evaluated in ONE aggregation scan (conditional
+    sums), reported one row per rule (operators/profile.py::
+    dq_rule_report). At 100 TB: one pass, not one per rule; the fixed
+    date bounds keep the check deterministic vs the oracle (never
+    current_date in an oracle-compared rule)."""
+    from ..operators.profile import dq_rule_report
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        ("nonpositive_price", F.col("o_totalprice") <= 0),
+        ("bad_status", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ("null_custkey", F.col("o_custkey").isNull()),
+        (
+            "date_out_of_range",
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+        ),
+        ("empty_priority", F.length("o_orderpriority") == 0),
+    ]
+    return dq_rule_report(o, rules)
+
+
+# -- referential-integrity report across the star schema -------------------
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT count(*) FROM lineitem) AS n_child_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT count(*) FROM customer)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan report across the star schema: one anti-join
+    per relationship, parent side reduced to its distinct key before
+    the exchange (operators/profile.py::referential_integrity), results
+    unioned into a single constellation report — the load-validation
+    step of the reference's Vertica->Hadoop migration
+    (sqoop_table.py:55's count-parity check, upgraded to key-level)."""
+    from ..operators.profile import referential_integrity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        referential_integrity(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(
+            referential_integrity(o, c, "o_custkey", "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            referential_integrity(c, n, "c_nationkey", "n_nationkey", "customer->nation")
+        )
+    )
+
+
+# -- CDC changelog apply (max-seq-wins upsert/delete; oracle-exact) --------
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH log AS (
+        SELECT 'U' AS op, 1 AS seq, o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'D', 2, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT 'I', 1, o_orderkey + 10000000,
+               o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0),
+    latest AS (
+        SELECT * FROM (
+            SELECT log.*, row_number() OVER (PARTITION BY o_orderkey
+                                             ORDER BY seq DESC) AS rn
+            FROM log) WHERE rn = 1),
+    survivors AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM latest l
+                          WHERE l.o_orderkey = o.o_orderkey))
+    SELECT * FROM survivors
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply over orders (operators/relational.py::
+    cdc_apply): a synthesized changelog updates every 7th key (price
+    +100, seq 1), deletes every 11th (seq 2 — so a key divisible by 77
+    ends up DELETED, exercising max-seq-wins), and inserts a shifted
+    copy of every 13th. The oracle replays frontier reduction,
+    deletion, and upsert union row-for-row over the full final state."""
+    from ..operators.relational import cdc_apply
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("U").alias("op"), F.lit(1).alias("seq"), "o_orderkey",
+        "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.lit("D").alias("op"), F.lit(2).alias("seq"), "o_orderkey",
+        "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    return cdc_apply(o, log, key_cols=["o_orderkey"])
