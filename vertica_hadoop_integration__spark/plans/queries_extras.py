@@ -2625,3 +2625,60 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return cooccurrence_pagerank(li, iters=3, top_k=20)
+
+
+# -- time-travel lookup over SCD2 history (oracle-exact) -------------------
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH dim AS (SELECT c_custkey, c_nationkey,
+                        TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to
+                 FROM customer),
+    ch AS (SELECT c_custkey,
+                  CAST((c_nationkey + 1) % 25 AS BIGINT) AS new_nat,
+                  TIMESTAMP '2024-06-01 00:00:00' AS chg
+           FROM customer WHERE c_custkey % 50 = 0),
+    hist AS (
+        SELECT d.c_custkey, d.c_nationkey, d.valid_from, d.valid_to
+        FROM dim d LEFT JOIN ch USING (c_custkey) WHERE ch.chg IS NULL
+        UNION ALL
+        SELECT d.c_custkey, d.c_nationkey, d.valid_from, ch.chg
+        FROM dim d JOIN ch USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, new_nat, chg, CAST(NULL AS TIMESTAMP) FROM ch)
+    SELECT c_custkey, c_nationkey
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2022-01-01 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2022-01-01 00:00:00')
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: the state of every customer
+    AS OF 2022-01-01 — before the 2024 nation changes, so changed keys
+    resolve to their CLOSED historical row, not the open one. The
+    standard half-open validity predicate
+    (valid_from <= t < valid_to, NULL = open) over the
+    scd2_dimension_history result; a pure filter, so at 100 TB it
+    prunes on valid_from when the history table is range-partitioned
+    by it."""
+    from ..operators.relational import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 1) % 25).cast("long").alias("c_nationkey"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("change_ts"),
+    )
+    hist = scd2_apply(dim, changes, key_cols=["c_custkey"])
+    t = F.lit("2022-01-01 00:00:00").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("c_custkey", "c_nationkey")
