@@ -84,6 +84,11 @@ HEADLINE = [
     "events_decayed_value",
     "multimodal_phash_dedup",
     "multimodal_audio_dedup",
+    # round-3 last additions (additive): graph analytics, data quality,
+    # CDC apply
+    "graph_pagerank_parts",
+    "dq_rules_orders",
+    "cdc_apply_orders",
 ]
 
 
