@@ -22,6 +22,7 @@ BNLJ_OK = {
     "ann_cosine_topk_arrow",    # same kernel, Arrow scorer
     "ann_range_search",         # broadcast query side, radius predicate
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
+    "ann_ivf_kmeans_topk",      # same probe, k-means-refined centroid table
     "dedup_embedding_cosine",   # documented exact oracle path (sf0.01)
     "embedding_kmeans",         # broadcast centroid table
 }

@@ -2682,3 +2682,21 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("c_custkey", "c_nationkey")
+
+
+# -- IVF ANN with k-means-refined centroids (rows-only; recall pytest) -----
+@register("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF shape: every-Nth seed centroids refined with 3
+    Lloyd's iterations before assignment (operators/similarity.py::
+    build_ivf_index kmeans_iters arm), then nprobe=3 bucket probing —
+    better-balanced buckets and higher recall at the same probe budget
+    than the raw every-Nth index (pytest-asserted vs brute force AND vs
+    the unrefined index: tests/test_llm_ops.py::
+    test_kmeans_ivf_recall_not_worse_than_every_nth). Rows-only:
+    iterative float means are not SQL-expressible; the single-iteration
+    DECIMAL-exact step is oracle-checked as embedding_kmeans_step."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    idx = S.build_ivf_index(e, every_nth=50, kmeans_iters=3)
+    return S.ivf_topk(e, q, k=5, nprobe=3, index=idx)
