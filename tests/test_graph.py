@@ -1,0 +1,83 @@
+"""Generic pagerank (operators/graph.py): dangling-node handling vs a
+pure-Python reference, flat plan growth under high iteration counts,
+and cache hygiene (no persisted frames leaked into the session)."""
+
+import pytest
+
+from vertica_hadoop_integration__spark.operators.graph import pagerank
+
+
+def _ref_pagerank(edges, damping=0.85, teleport=0.15, iters=10,
+                  redistribute=True):
+    """Reference implementation: dict-based weighted PageRank."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    n = len(nodes)
+    r = {p: 1.0 / n for p in nodes}
+    for _ in range(iters):
+        s = {p: 0.0 for p in nodes}
+        for u, v, w in edges:
+            s[v] += r[u] * w / outw[u]
+        dm = sum(r[p] for p in nodes if p not in outw) if redistribute else 0.0
+        r = {p: teleport / n + damping * (s[p] + dm / n) for p in nodes}
+    return r
+
+
+def test_pagerank_redistributes_dangling_mass(spark):
+    # 4 -> dangling sink (no out-edges); 1..3 form a weighted cycle
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 1.0), (1, 4, 1.0), (2, 4, 3.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(df, weight="w", iters=7).collect()
+    }
+    want = _ref_pagerank(edges, iters=7)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # total mass conserved (sums to 1 with redistribution)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_error_mode(spark):
+    df = spark.createDataFrame([(1, 2, 1.0)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, weight="w", iters=1, dangling="error")
+    # symmetric graph passes the probe
+    sym = spark.createDataFrame([(1, 2, 1.0), (2, 1, 1.0)], ["src", "dst", "w"])
+    out = pagerank(sym, weight="w", iters=2, dangling="error").collect()
+    assert len(out) == 2
+
+
+def test_pagerank_plan_stays_flat_and_unpersists(spark):
+    spark.catalog.clearCache()
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+
+    def plan_len(iters):
+        out = pagerank(df, weight="w", iters=iters, dangling="assume_none")
+        return len(out._jdf.queryExecution().optimizedPlan().toString())
+
+    p2, p20 = plan_len(2), plan_len(20)
+    # lineage is truncated per iteration -> plan size independent of iters
+    assert p20 <= p2 * 1.5, (p2, p20)
+    # values still correct at depth
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(df, weight="w", iters=20,
+                          dangling="assume_none").collect()
+    }
+    want = _ref_pagerank(edges, iters=20, redistribute=False)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # no persisted frames leak into the shared session (ADVICE r03);
+    # localCheckpoint RDDs are exempt (they ARE the returned data)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leaked = [
+        str(rdd.toString())
+        for rdd in jmap.values()
+        if "localcheckpoint" not in str(rdd.toString()).lower()
+    ]
+    assert leaked == [], leaked

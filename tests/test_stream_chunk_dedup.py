@@ -214,3 +214,54 @@ def test_stream_cdc_apply_matches_batch_and_replay_safe(spark, tmp_path):
     q2 = _start()
     q2.awaitTermination(180)
     assert _canon() == [(3, "c2"), (4, "d"), (9, "new")]
+
+
+def test_stream_cdc_out_of_order_batch_is_noop(spark, tmp_path):
+    """A later micro-batch carrying LOWER-seq changes for already-applied
+    keys must not roll back newer state (applied-seq frontier sidecar):
+    stale upserts are dropped, stale upserts on deleted keys do not
+    resurrect them, and genuinely-new keys in the same batch still land."""
+    import time as _time
+
+    from vertica_hadoop_integration__spark.streaming.cdc import stream_cdc_apply
+
+    base_dir = str(tmp_path / "cdc_base")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    ).coalesce(1).write.parquet(base_dir)
+
+    src = tmp_path / "cdc_log"
+    # batch 1: high-seq update of k=1, high-seq delete of k=2
+    spark.createDataFrame(
+        [("U", 5, 1, "new5"), ("D", 5, 2, "x")], ["op", "seq", "k", "v"]
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    _time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2 (late, lower seq): stale update of k=1, zombie insert of
+    # deleted k=2, plus a legitimately new key k=7
+    spark.createDataFrame(
+        [("U", 3, 1, "old3"), ("I", 2, 2, "zombie"), ("I", 1, 7, "g")],
+        ["op", "seq", "k", "v"],
+    ).coalesce(1).write.parquet(str(src), mode="append")
+
+    stream = (
+        spark.readStream.schema("op string, seq bigint, k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_cdc_apply(
+        stream,
+        base_dir=base_dir,
+        ledger_path=str(tmp_path / "cdc_led"),
+        key_cols=["k"],
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted((r.k, r.v) for r in spark.read.parquet(base_dir).collect())
+    assert got == [(1, "new5"), (3, "c"), (7, "g")]
+    # frontier retains the max applied seq per key, deletes included
+    fr = sorted(
+        (r.k, r.applied_seq)
+        for r in spark.read.parquet(base_dir + "__frontier").collect()
+    )
+    assert fr == [(1, 5), (2, 5), (7, 1)]

@@ -107,6 +107,124 @@ def dedup_clusters(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    iters: int = 10,
+    dangling: str = "redistribute",
+) -> DataFrame:
+    """Weighted PageRank over an arbitrary directed edge list; returns
+    (node, pagerank) for every node appearing as a source or target.
+
+    ``dangling`` controls nodes with no out-edges:
+
+    * ``"redistribute"`` (default, the standard formulation): their rank
+      mass is spread uniformly — ``r = t/n + d*(sum_in + dm/n)`` where
+      ``dm`` is the summed rank of dangling nodes;
+    * ``"assume_none"``: skips the dangling machinery entirely — the
+      exact arithmetic the iteration-replay oracle pins (valid for
+      symmetric graphs like the co-order graph, where every node that
+      receives also sends);
+    * ``"error"``: raise if any dangling node exists (one bounded probe).
+
+    Exactness contract (shared with the oracle-replayed caller):
+    ``teleport`` must be passed as its OWN literal (``1 - 0.85`` is one
+    ulp off ``0.15``); per-edge contributions are deterministic double
+    math; per-node sums (and the dangling-mass sum) go through
+    DECIMAL(30,15) so partial-agg order cannot move an ulp.
+
+    Plan shape: one edges-sized join + one node-keyed aggregation per
+    iteration; the rank frontier is node-cardinality-sized and its
+    lineage is truncated every iteration with localCheckpoint, so the
+    physical plan stays flat no matter how high ``iters`` goes (at
+    cluster scale swap for reliable checkpoints — same shape).  All
+    persisted subframes are unpersisted before returning; the result is
+    a bounded materialized frame with no lineage into them."""
+    if dangling not in ("redistribute", "assume_none", "error"):
+        raise ValueError(f"unknown dangling mode: {dangling!r}")
+    w_expr = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("p"), F.col(dst).alias("q"), w_expr.alias("w")
+    )
+    outw = e.groupBy("p").agg(F.sum("w").alias("outw"))
+    edges_n = e.join(outw, on="p").persist()
+    nodes = (
+        e.select("p")
+        .unionByName(e.select(F.col("q").alias("p")))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+        # dangling = appears as a node but never as a source
+        dang = nodes.join(outw, on="p", how="left_anti")
+        if dangling == "error" and not dang.isEmpty():
+            raise ValueError(
+                "graph has dangling nodes (no out-edges); pass "
+                "dangling='redistribute' or fix the edge list"
+            )
+        rank = nodes.join(F.broadcast(n_df)).select(
+            "p", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+        )
+        for _ in range(iters):
+            contrib = edges_n.join(rank, on="p").select(
+                F.col("q"),
+                (
+                    (F.col("r") * F.col("w")) / F.col("outw")
+                ).cast("decimal(30,15)").alias("_c"),
+            )
+            summed = contrib.groupBy("q").agg(
+                F.sum("_c").cast("double").alias("_s")
+            )
+            base = (
+                nodes.join(F.broadcast(n_df))
+                .join(summed.withColumnRenamed("q", "p"), on="p", how="left")
+            )
+            if dangling == "redistribute":
+                dm_df = (
+                    dang.join(rank, on="p")
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("r").cast("decimal(30,15)")),
+                            F.lit(0).cast("decimal(30,15)"),
+                        )
+                        .cast("double")
+                        .alias("dm")
+                    )
+                )
+                new_rank = base.join(F.broadcast(dm_df)).select(
+                    "p",
+                    (
+                        F.lit(teleport) / F.col("n").cast("double")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("_s"), F.lit(0.0))
+                            + F.col("dm") / F.col("n").cast("double")
+                        )
+                    ).alias("r"),
+                )
+            else:
+                new_rank = base.select(
+                    "p",
+                    (
+                        F.lit(teleport) / F.col("n").cast("double")
+                        + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                    ).alias("r"),
+                )
+            # truncate lineage: plan size stays flat in `iters`
+            rank = new_rank.localCheckpoint()
+        return rank.select(F.col("p").alias("node"), F.col("r").alias("pagerank"))
+    finally:
+        edges_n.unpersist()
+        nodes.unpersist()
+
+
 def cooccurrence_pagerank(
     lineitem: DataFrame,
     damping: float = 0.85,
@@ -133,9 +251,11 @@ def cooccurrence_pagerank(
 
     Plan shape: the pair expansion is bounded per order (orders hold a
     handful of lineitems — never a corpus-scale quadratic), one groupBy
-    builds the weighted edge list, and each iteration is one
-    edges-sized join + one node-keyed aggregation; the rank frontier is
-    node-cardinality-sized. Top-k via orderBy+limit."""
+    builds the weighted edge list, then the generic ``pagerank``
+    iterates (flat plan, no cache leak). Co-order edges are symmetric,
+    so every node has out-weight — ``dangling='assume_none'`` keeps the
+    exact arithmetic the iteration-replay oracle pins. Top-k via
+    orderBy+limit."""
     e = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
@@ -147,37 +267,18 @@ def cooccurrence_pagerank(
         pairs.groupBy("p", "q")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    outw = edges.groupBy("p").agg(F.sum("w").alias("outw"))
-    edges_n = edges.join(outw, on="p").persist()
-    nodes = outw.select("p").persist()
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
-    rank = nodes.join(F.broadcast(n_df)).select(
-        "p", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+    ranks = pagerank(
+        edges,
+        src="p",
+        dst="q",
+        weight="w",
+        damping=damping,
+        teleport=teleport,
+        iters=iters,
+        dangling="assume_none",
     )
-    for _ in range(iters):
-        contrib = edges_n.join(rank, on="p").select(
-            F.col("q"),
-            (
-                (F.col("r") * F.col("w").cast("double"))
-                / F.col("outw").cast("double")
-            ).cast("decimal(30,15)").alias("_c"),
-        )
-        summed = contrib.groupBy("q").agg(
-            F.sum("_c").cast("double").alias("_s")
-        )
-        rank = (
-            nodes.join(F.broadcast(n_df))
-            .join(summed.withColumnRenamed("q", "p"), on="p", how="left")
-            .select(
-                "p",
-                (
-                    F.lit(teleport) / F.col("n").cast("double")
-                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
-                ).alias("r"),
-            )
-        )
     return (
-        rank.orderBy(F.col("r").desc(), F.col("p"))
+        ranks.orderBy(F.col("pagerank").desc(), F.col("node"))
         .limit(top_k)
-        .select(F.col("p").alias("l_partkey"), F.col("r").alias("pagerank"))
+        .select(F.col("node").alias("l_partkey"), "pagerank")
     )

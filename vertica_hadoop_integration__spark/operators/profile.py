@@ -66,18 +66,21 @@ def dq_rule_report(
     scan per rule. At 100 TB that is the difference between one pass
     and len(rules) passes."""
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(pred, 1).otherwise(0)).alias(name) for name, pred in rules
+        F.sum(F.when(pred, 1).otherwise(0)).alias(f"_r{i}")
+        for i, (_, pred) in enumerate(rules)
     ]
     wide = df.agg(*aggs)
-    stack_expr = ", ".join(f"'{name}', {name}" for name, _ in rules)
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stack_expr}) as (rule, n_violations)",
-        "n_rows",
-    ).select(
-        "rule",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-    )
+    # long format via inline of an array of structs — rule names travel
+    # as string LITERALS, never as SQL identifiers, so any name (quotes,
+    # spaces, reserved words) is safe
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"_r{i}").cast("long").alias("n_violations"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ])
+    return wide.select(F.inline(rows), F.col("n_rows").cast("long").alias("n_rows"))
 
 
 def referential_integrity(
