@@ -557,6 +557,57 @@ def test_containment_recall_vs_exhaustive(spark):
     assert not missed, f"banding missed containment pairs: {missed}"
 
 
+def test_containment_clustered_keepset_equals_pair_path(spark):
+    """containment_dedup_clustered (set-signature canonicalization
+    before pair generation) must produce EXACTLY the clusters of the
+    pair path on corpora mixing replica cliques, contained fragments,
+    chains, and distinct docs — across several seeds and both fixture
+    data, proving the collapse is lossless, not heuristic."""
+    import random
+
+    from vertica_hadoop_integration__spark.operators.graph import dedup_clusters
+
+    vocab = [f"tok{i}" for i in range(40)]
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        rows, did = [], 0
+        for _ in range(6):  # replica cliques of size 2-5
+            words = rng.sample(vocab, rng.randint(8, 14))
+            text = " ".join(words)
+            for _ in range(rng.randint(2, 5)):
+                rows.append((did, text)); did += 1
+            # a contained fragment (prefix keeps shingle containment high)
+            rows.append((did, " ".join(words[: max(5, len(words) - 2)])))
+            did += 1
+        for _ in range(8):  # distinct docs
+            rows.append((did, " ".join(rng.sample(vocab, 10)))); did += 1
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        want = sorted(
+            map(tuple, dedup_clusters(
+                D.containment_pairs_portable(df, min_containment=0.8)
+            ).collect())
+        )
+        got = sorted(
+            map(tuple, D.containment_dedup_clustered(
+                df, min_containment=0.8
+            ).collect())
+        )
+        assert got == want, f"seed={seed}"
+        spark.catalog.clearCache()
+    # fixture corpus too (no planted structure: mostly singleton reps)
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = sorted(
+        map(tuple, dedup_clusters(
+            D.containment_pairs_portable(d, min_containment=0.8)
+        ).collect())
+    )
+    spark.catalog.clearCache()
+    got = sorted(
+        map(tuple, D.containment_dedup_clustered(d, min_containment=0.8).collect())
+    )
+    assert got == want
+
+
 # -- BM25 ranked search ----------------------------------------------------
 
 

@@ -371,6 +371,18 @@ def containment_pairs_portable(
     Output size is inherently pair-bound: a clique of k mutual
     near-dups yields k*(k-1)/2 rows; cluster with dedup_clusters to
     collapse before downstream use."""
+    staged, sets = _containment_stage(df, text_col, id_col, shingle_n)
+    return _containment_core(staged, sets, id_col, min_containment)
+
+
+def _containment_stage(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared staging for the containment family: per-doc distinct
+    md5-60 shingle hashes (``staged``: one row per (doc, hash)) and the
+    per-doc hash-set frame (``sets``: doc, sh array, n). Both persisted;
+    cleanup is the caller's (pairs fn hands it to ITS caller; the
+    clustered fn unpersists after its eager clustering step)."""
     from ..functions.text_fns import md5_hash60
 
     staged = (
@@ -388,6 +400,17 @@ def containment_pairs_portable(
     sets = staged.groupBy(id_col).agg(
         F.collect_set("_h").alias("sh"), F.count(F.lit(1)).alias("n")
     ).persist()
+    return staged, sets
+
+
+def _containment_core(
+    staged: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    min_containment: float,
+) -> DataFrame:
+    """Prefix-filter candidate generation + exact containment verify
+    over a (staged, sets) pair (see containment_pairs_portable)."""
     freq = staged.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     prefix = (
         staged.join(freq, on="_h")
@@ -437,6 +460,87 @@ def containment_pairs_portable(
         (inter.cast("double") / smaller.cast("double")).alias("containment"),
     ).filter(F.col("containment") >= min_containment)
 
+
+def containment_dedup_clustered(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_containment: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Containment dedup that returns duplicate CLUSTERS (doc_id,
+    canonical_id, cluster_size) without materializing the quadratic
+    pair set on dense replica cliques — the keep-set path for corpora
+    where containment_pairs_portable is output-bound (a k-replica
+    clique emits k(k-1)/2 pairs; 250,600 pairs on the 10x adversarial
+    corpus).
+
+    The cut is SET-SIGNATURE CANONICALIZATION before pair generation:
+    docs are grouped by an md5 signature of their sorted shingle-hash
+    set, and only the min-id representative of each identical-set group
+    enters the prefix-filter pipeline. This is exact, not approximate:
+
+    * identical sets => identical containment with EVERY other doc, so
+      group members have exactly the same near-dup neighborhood as
+      their representative;
+    * group members are mutual containment-1.0 duplicates of the
+      representative (any threshold <= 1), contributing the
+      (member, rep) edges directly;
+    * therefore the graph <rep pairs + member edges> has the same
+      connected components over the same node set as the full pair
+      graph, and the same min-id canonicals — keep-set equivalence is
+      property-tested against the pair path in tests/test_llm_ops.py.
+
+    A k-replica exact-duplicate clique collapses to ONE representative
+    (zero in-clique pairs, k-1 member edges); only genuinely distinct
+    near-dup sets still pair up. Docs too short to shingle never enter
+    (same as the pair path). Cache hygiene: the staged/sets frames are
+    unpersisted before returning — clustering localCheckpoints, so the
+    returned frame has no lineage into them."""
+    from .graph import dedup_clusters
+
+    staged, sets = _containment_stage(df, text_col, id_col, shingle_n)
+    grp = None
+    try:
+        sig = sets.select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.col("sh")), lambda x: x.cast("string")
+                    ),
+                )
+            ).alias("_sig"),
+        )
+        grp = sig.select(
+            id_col,
+            F.min(id_col).over(Window.partitionBy("_sig")).alias("_rep"),
+        ).persist()
+        reps = grp.filter(F.col(id_col) == F.col("_rep")).select(id_col)
+        rep_staged = staged.join(reps, on=id_col, how="left_semi")
+        rep_sets = sets.join(reps, on=id_col, how="left_semi")
+        rep_pairs = _containment_core(
+            rep_staged, rep_sets, id_col, min_containment
+        )
+        member_edges = (
+            grp.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col(id_col).alias("doc_id_a"), F.col("_rep").alias("doc_id_b")
+            )
+        )
+        edges = rep_pairs.select("doc_id_a", "doc_id_b").unionByName(
+            member_edges
+        )
+        # dedup_clusters localCheckpoints eagerly: by the time it
+        # returns, labels are materialized and the inputs can be freed
+        out = dedup_clusters(edges)
+        return out
+    finally:
+        if grp is not None:
+            grp.unpersist()
+        staged.unpersist()
+        sets.unpersist()
 
 
 # -- incremental MinHash: persisted index + probe ---------------------------

@@ -2413,6 +2413,96 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_clustered_oracle(min_containment: float = 0.8) -> str:
+    """SQL replay of containment_dedup_clustered: set-signature
+    canonicalization (md5 of the sorted hash set, min-id representative
+    per identical-set group), the containment pipeline restricted to
+    representatives, (member, rep) edges unioned in, then min-label
+    transitive closure via a recursive CTE."""
+    t = min_containment
+    h60 = _H60.format(x="s")
+    return rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk)-2, 1)),
+               i -> array_to_string(tk[i:i+2], ' '))) AS shs
+      FROM toks),
+    cs AS (
+      SELECT DISTINCT doc_id, {h60} AS h
+      FROM (SELECT doc_id, unnest(shs) AS s FROM sh0)),
+    sig AS (
+      SELECT doc_id, md5(array_to_string(list_sort(list(h)), ',')) AS sg
+      FROM cs GROUP BY doc_id),
+    grp AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY sg) AS rep FROM sig),
+    rs AS (
+      SELECT cs.doc_id, cs.h FROM cs JOIN grp USING (doc_id)
+      WHERE grp.doc_id = grp.rep),
+    sz AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY 1),
+    freq AS (SELECT h, count(*) AS df FROM rs GROUP BY 1),
+    ranked AS (
+      SELECT rs.doc_id, rs.h, sz.n,
+             row_number() OVER (PARTITION BY rs.doc_id
+                                ORDER BY f.df, rs.h) AS rn
+      FROM rs JOIN freq f USING (h) JOIN sz USING (doc_id)),
+    prefix AS (
+      SELECT doc_id AS p, n AS np, h FROM ranked
+      WHERE rn <= n - CAST(ceil({t} * n) AS BIGINT) + 1),
+    idx AS (
+      SELECT rs.doc_id AS i, sz.n AS ni, rs.h
+      FROM rs JOIN sz USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT least(pr.p, x.i) AS doc_id_a,
+                      greatest(pr.p, x.i) AS doc_id_b
+      FROM prefix pr JOIN idx x USING (h)
+      WHERE x.ni > pr.np OR (x.ni = pr.np AND x.i > pr.p)),
+    hs AS (SELECT doc_id, list(h) AS hset FROM rs GROUP BY 1),
+    pairs AS (
+      SELECT c.doc_id_a, c.doc_id_b
+      FROM cand c JOIN hs sa ON sa.doc_id = c.doc_id_a
+                  JOIN hs sb ON sb.doc_id = c.doc_id_b
+      WHERE CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE) /
+            CAST(least(len(sa.hset), len(sb.hset)) AS DOUBLE) >= {t}),
+    alle AS (
+      SELECT doc_id_a, doc_id_b FROM pairs
+      UNION
+      SELECT doc_id, rep FROM grp WHERE doc_id <> rep),
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM alle
+      UNION SELECT doc_id_b, doc_id_a FROM alle),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    labels AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY 1)
+    SELECT l.node AS doc_id, l.component AS canonical_id, s.cluster_size
+    FROM labels l JOIN sizes s USING (component)
+    """
+
+
+@register("dedup_containment_clustered", oracle=_containment_clustered_oracle())
+def dedup_containment_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup as CLUSTERS with set-signature canonicalization
+    before pair generation (operators/dedup.py::
+    containment_dedup_clustered): identical-shingle-set docs collapse to
+    one representative, so a k-replica clique contributes k-1 member
+    edges instead of k(k-1)/2 verified pairs — the keep-set path for
+    duplication-dense corpora where the pair set itself is the
+    bottleneck. Exact, not approximate (keep-set equivalence vs the
+    pair path is property-tested); the oracle replays signature
+    grouping, the rep-restricted prefix-filter pipeline, member edges,
+    and the recursive-CTE transitive closure end to end."""
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_dedup_clustered(d, min_containment=0.8, shingle_n=3)
+
+
 # -- robust (MAD) outlier scoring (oracle-exact percentile parity) ---------
 @register(
     "events_anomaly_mad",
