@@ -436,3 +436,33 @@ def test_md5_hash60_matches_duckdb(spark, vals, seed):
             "SELECT CAST(('0x'||substr(md5(?),1,15)) AS BIGINT)", [x]
         ).fetchall()
         assert got[v] == want, f"hash mismatch for {v!r} seed={seed}"
+
+
+def test_salted_join_parity_on_zipf_skew(spark):
+    """Deliberately Zipf-skewed fixture (P(k) ~ 1/k^2: the hottest key
+    holds ~half the rows — the README skew-robustness fixture at 1/100
+    scale): salted result must equal the plain join exactly, hot key
+    included."""
+    from pyspark.sql import functions as F
+
+    K, N = 1000, 400_000
+    u = (
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double") + 1.0
+    ) / 1_000_000.0
+    fact = spark.range(N).select(
+        F.least(F.lit(K), F.floor(1.0 / u)).cast("long").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(1, K + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 11).cast("double").alias("w")
+    )
+    hot = fact.groupBy("k").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > N * 0.4  # the fixture really is skewed
+
+    agg = lambda j: j.agg(
+        F.sum((F.col("v") * F.col("w")).cast("decimal(30,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    plain = agg(fact.join(dim, on="k"))
+    salted = agg(R.salted_join(fact, dim, on=["k"], salt=32))
+    assert (plain.s, plain.n) == (salted.s, salted.n)

@@ -265,3 +265,76 @@ def test_stream_cdc_out_of_order_batch_is_noop(spark, tmp_path):
         for r in spark.read.parquet(base_dir + "__frontier").collect()
     )
     assert fr == [(1, 5), (2, 5), (7, 1)]
+
+
+def test_compaction_cadence_probe_zero_exchange(spark, sf_dir, tmp_path):
+    """Many small posting deltas -> one compaction -> a term-probe join
+    against the bucketed base runs with ZERO exchange when the probe
+    side shares the bucket layout (the compaction-cadence contract:
+    between compactions probes read base + small deltas; after one,
+    the co-located layout is restored)."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.text import inverted_index
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.sources.writers import write_bucketed
+    from vertica_hadoop_integration__spark.streaming.indexing import (
+        compact_index,
+        read_index,
+        stream_index_load,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "docsrc6"
+    for m in range(6):  # six tiny delta batches
+        docs.filter(F.col("doc_id") % 6 == m).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+    deltas = str(tmp_path / "idx_deltas6")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_index_load(
+        stream,
+        deltas_dir=deltas,
+        ledger_path=str(tmp_path / "led6"),
+        checkpoint_dir=str(tmp_path / "ckpt6"),
+    )
+    q.awaitTermination(240)
+    import os
+
+    assert len([d for d in os.listdir(deltas) if d.startswith("batch=")]) == 6
+
+    compact_index(spark, deltas, "idx_base_cadence", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # content parity: compacted base == batch index over all docs
+        want = sorted(
+            (r.term, r.doc_id, r.tf) for r in inverted_index(docs).collect()
+        )
+        base = spark.table("idx_base_cadence")
+        assert sorted((r.term, r.doc_id, r.tf) for r in base.collect()) == want
+
+        # probe side bucketed identically -> SMJ with zero Exchange
+        probes = base.select("term").distinct().limit(20)
+        write_bucketed(
+            probes, "idx_probe_terms", ["term"], num_buckets=4,
+            sort_cols=["term"],
+        )
+        joined = spark.table("idx_base_cadence").join(
+            spark.table("idx_probe_terms"), on="term"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree, tree
+        assert tree.count("Exchange") == 0, tree
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS idx_base_cadence")
+        spark.sql("DROP TABLE IF EXISTS idx_probe_terms")
