@@ -89,6 +89,9 @@ HEADLINE = [
     "graph_pagerank_parts",
     "dq_rules_orders",
     "cdc_apply_orders",
+    # round-4 additions (additive): cluster-canonical containment dedup
+    # (signature collapse before pair generation)
+    "dedup_containment_clustered",
 ]
 
 
@@ -171,9 +174,11 @@ def main() -> None:
     )
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    total_median = 0.0
     for name in HEADLINE:
         # one query's failure must not void the suite (round-2 lesson:
         # a single AnalysisException erased all performance data)
@@ -186,9 +191,14 @@ def main() -> None:
             # inflate individual lines 3-10x non-reproducibly.
             # Steady-state is the number that predicts 100 TB throughput;
             # both passes are published under "runs" for transparency.
+            # Variance guard (round-3 verdict item 2): ambient host load
+            # on this box inflates wall time 1.5-2x non-reproducibly.
+            # Take 2 trials; while the two FASTEST trials disagree by
+            # >20%, take another (up to 4 total) — a noisy spike then
+            # costs one retry instead of poisoning the published line.
             trials: list[float] = []
             n = 0
-            for _ in range(2):
+            while True:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # consume EVERY projected column: count() alone lets Spark
@@ -216,15 +226,31 @@ def main() -> None:
                 # GC instead of their own plan (measured 10-25x inflation
                 # on late-suite queries at sf0.1).
                 spark.catalog.clearCache()
+                if len(trials) < 2:
+                    continue
+                two_fastest = sorted(trials)[:2]
+                if (
+                    two_fastest[1] <= two_fastest[0] * 1.20
+                    or len(trials) >= 4
+                ):
+                    break
         except Exception as e:  # noqa: BLE001
             msg = str(e).splitlines()[0][:300] if str(e) else type(e).__name__
             errors[name] = msg
             print(f"# {name}: ERROR {msg}", file=sys.stderr)
             continue
         dt = min(trials)
+        srt = sorted(trials)
+        med = (
+            srt[len(srt) // 2]
+            if len(srt) % 2
+            else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+        )
         times[name] = round(dt, 4)
+        medians[name] = round(med, 4)
         runs[name] = [round(t, 4) for t in trials]
         total += dt
+        total_median += med
         print(
             f"# {name}: {dt:.3f}s ({n} rows; trials "
             + "/".join(f"{t:.3f}" for t in trials)
@@ -237,7 +263,19 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "suite_median_seconds": round(total_median, 4),
         "runs": runs,
+        # flagged per round-3 ADVICE: r01/r02 artifacts were single-run;
+        # r03+ publish min-of-trials as "queries"/"value" (the
+        # steady-state that predicts cluster throughput) and the median
+        # alongside so cross-round comparisons can pick either basis.
+        "methodology": (
+            "per-query trials with cache clearing; >=2 trials, retrying "
+            "(max 4) until the two fastest agree within 20%; 'queries'/"
+            "'value' = min, 'queries_median'/'suite_median_seconds' = "
+            "median, all trials under 'runs'"
+        ),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if errors:

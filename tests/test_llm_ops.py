@@ -93,6 +93,111 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
 
 
+def test_pq_arrow_encoder_matches_exact_codes(spark, sf_dir):
+    """The production zero-expansion encoder (numpy argmin per Arrow
+    batch) must emit the SAME codes as pq_topk's exact DECIMAL
+    encoding path for every vector and sub-space."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m, n_codes, every_nth, sub = 8, 16, 10, 8
+    # exact codes via the same long form the oracle replays
+    c = e.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    cb_rows = (
+        c.filter((F.col("vec_id") % every_nth == 0) & (F.col("vec_id") < n_codes * every_nth))
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    cbs = np.stack([np.asarray(r["v"]) for r in cb_rows])  # (n_codes, 64)
+    codebooks = np.stack([cbs[:, s * sub : (s + 1) * sub] for s in range(m)])
+    got = {
+        (r["vec_id"], s): r[f"code_{s}"]
+        for r in S.pq_encode_arrow(e, codebooks, m=m).collect()
+        for s in range(m)
+    }
+    cbl = c.filter(
+        (F.col("vec_id") % every_nth == 0) & (F.col("vec_id") < n_codes * every_nth)
+    ).select(
+        (F.col("vec_id") / every_nth).cast("int").alias("j"),
+        F.posexplode("v").alias("d", "cv"),
+    )
+    from pyspark.sql import Window
+
+    ed = (
+        c.select("vec_id", F.posexplode("v").alias("d", "xv"))
+        .join(F.broadcast(cbl), on="d")
+        .select(
+            "vec_id",
+            F.floor(F.col("d") / sub).cast("int").alias("s"),
+            "j",
+            ((F.col("xv") - F.col("cv")) * (F.col("xv") - F.col("cv")))
+            .cast("decimal(30,15)")
+            .alias("_t"),
+        )
+        .groupBy("vec_id", "s", "j")
+        .agg(F.sum("_t").alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "j")
+    want = {
+        (r["vec_id"], r["s"]): r["j"]
+        for r in ed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def _neg_l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ) * F.lit(-1.0)
+
+
+def test_pq_quality_distance_ratio_and_cluster_accuracy(spark, sf_dir):
+    """PQ quality on both data regimes. (1) Structureless fixture
+    vectors: set-overlap recall is meaningless (random high-dim
+    distances concentrate, and coarse codes tie whole neighborhoods),
+    so assert the DISTANCE RATIO — the true L2 of PQ's picks must be
+    within 1.5x of the optimal top-k's. (2) Clustered data: every PQ
+    neighbor must come from the query's true cluster (PQ finds the
+    right cluster; within-cluster order is quantized away by design)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5, scorer=_neg_l2sq).collect()
+    approx = S.pq_topk(e, q, k=5, m=8, n_codes=16, every_nth=10).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float) for r in e.collect()
+    }
+
+    def l2(a, b):
+        return float(((vecs[a] - vecs[b]) ** 2).sum())
+
+    mean_exact = np.mean([l2(r["query_id"], r["neighbor_id"]) for r in exact])
+    mean_appr = np.mean([l2(r["query_id"], r["neighbor_id"]) for r in approx])
+    assert mean_appr <= 1.5 * mean_exact, (mean_appr, mean_exact)
+
+    # clustered: 16 tight clusters of 30; every-30th = one code per cluster
+    import random
+
+    rng = random.Random(5)
+    rows, vid = [], 0
+    for _ in range(16):
+        center = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in center]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q2 = df.filter(F.col("vec_id") % 30 == 7)
+    got = S.pq_topk(df, q2, k=5, every_nth=30).collect()
+    assert len(got) == 16 * 5
+    for r in got:
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30, r
+
+
 def test_lsh_topk_shapes_and_selfconsistency(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)

@@ -1,0 +1,107 @@
+"""Vertica-dialect golden tests (round-3 verdict item 7): pin the EXACT
+DDL and type strings the dialect layer emits for every fixture schema,
+so a future live-Vertica hookup is a config change, not a code change.
+Derby (tests/test_jdbc_live.py) proves JDBC mechanics; these prove the
+dialect strings themselves stay stable."""
+
+import pytest
+from pyspark.sql import types as T
+
+from vertica_hadoop_integration__spark.catalog import (
+    spark_type_to_vertica,
+    vertica_type_to_spark,
+)
+from vertica_hadoop_integration__spark.sources import load_table
+from vertica_hadoop_integration__spark.sources.jdbc import (
+    vertica_external_table_ddl,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+GOLDEN_DDL = {
+    "region": "CREATE EXTERNAL TABLE region_ext (r_regionkey int, r_name varchar(65000)) AS COPY FROM 'hdfs://wh/region/*' ON ANY NODE ORC",
+    "nation": "CREATE EXTERNAL TABLE nation_ext (n_nationkey int, n_name varchar(65000), n_regionkey int) AS COPY FROM 'hdfs://wh/nation/*' ON ANY NODE ORC",
+    "customer": "CREATE EXTERNAL TABLE customer_ext (c_custkey int, c_name varchar(65000), c_nationkey int, c_acctbal float, c_mktsegment varchar(65000)) AS COPY FROM 'hdfs://wh/customer/*' ON ANY NODE ORC",
+    "supplier": "CREATE EXTERNAL TABLE supplier_ext (s_suppkey int, s_name varchar(65000), s_nationkey int, s_acctbal float) AS COPY FROM 'hdfs://wh/supplier/*' ON ANY NODE ORC",
+    "part": "CREATE EXTERNAL TABLE part_ext (p_partkey int, p_name varchar(65000), p_brand varchar(65000), p_type varchar(65000), p_size int, p_retailprice float) AS COPY FROM 'hdfs://wh/part/*' ON ANY NODE ORC",
+    "orders": "CREATE EXTERNAL TABLE orders_ext (o_orderkey int, o_custkey int, o_orderstatus varchar(65000), o_totalprice float, o_orderdate timestamp, o_orderpriority varchar(65000)) AS COPY FROM 'hdfs://wh/orders/*' ON ANY NODE ORC",
+    "lineitem": "CREATE EXTERNAL TABLE lineitem_ext (l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int, l_quantity float, l_extendedprice float, l_discount float, l_tax float, l_returnflag varchar(65000), l_linestatus varchar(65000), l_shipdate timestamp) AS COPY FROM 'hdfs://wh/lineitem/*' ON ANY NODE ORC",
+    "events": "CREATE EXTERNAL TABLE events_ext (event_id int, ts timestamp, user_id int, event_type varchar(65000), value float, props varchar(65000)) AS COPY FROM 'hdfs://wh/events/*' ON ANY NODE ORC",
+    "documents": "CREATE EXTERNAL TABLE documents_ext (doc_id int, text varchar(65000), lang varchar(65000), source varchar(65000), n_chars int) AS COPY FROM 'hdfs://wh/documents/*' ON ANY NODE ORC",
+    "embeddings": "CREATE EXTERNAL TABLE embeddings_ext (vec_id int, embedding array[float], label int) AS COPY FROM 'hdfs://wh/embeddings/*' ON ANY NODE ORC",
+}
+
+
+@pytest.mark.parametrize("table", sorted(GOLDEN_DDL))
+def test_external_table_ddl_golden(spark, table):
+    df = load_table(spark, SF_DIR, table)
+    got = vertica_external_table_ddl(df, table, f"hdfs://wh/{table}")
+    assert got == GOLDEN_DDL[table]
+
+
+# Vertica catalog type name -> exact Spark type (D11 forward map)
+GOLDEN_V2S = [
+    ("numeric(18,4)", T.DecimalType(18, 4)),
+    ("NUMERIC(37, 15)", T.DecimalType(37, 15)),
+    ("numeric", T.DecimalType(38, 18)),
+    ("money", T.DecimalType(38, 18)),
+    ("int", T.LongType()),
+    ("integer", T.LongType()),
+    ("bigint", T.LongType()),
+    ("smallint", T.LongType()),
+    ("tinyint", T.LongType()),
+    ("float", T.DoubleType()),
+    ("float(8)", T.DoubleType()),
+    ("double precision", T.DoubleType()),
+    ("real", T.DoubleType()),
+    ("boolean", T.BooleanType()),
+    ("varchar(65000)", T.StringType()),
+    ("char(10)", T.StringType()),
+    ("long varchar", T.StringType()),
+    ("varbinary(100)", T.BinaryType()),
+    ("date", T.DateType()),
+    ("timestamp", T.TimestampType()),
+    ("timestamp(6)", T.TimestampType()),
+    ("datetime", T.TimestampType()),
+    ("timestamptz(3)", T.TimestampType()),
+    ("time", T.StringType()),
+    ("interval day to second", T.StringType()),
+    ("uuid", T.StringType()),
+]
+
+
+@pytest.mark.parametrize("vt,expected", GOLDEN_V2S, ids=[v for v, _ in GOLDEN_V2S])
+def test_vertica_to_spark_golden(vt, expected):
+    assert vertica_type_to_spark(vt) == expected
+
+
+# Spark type -> exact Vertica DDL string (D9 reverse map)
+GOLDEN_S2V = [
+    (T.LongType(), "int"),
+    (T.IntegerType(), "int"),
+    (T.DoubleType(), "float"),
+    (T.FloatType(), "float"),
+    (T.DecimalType(18, 4), "numeric(18,4)"),
+    (T.StringType(), "varchar(65000)"),
+    (T.BinaryType(), "varbinary(65000)"),
+    (T.BooleanType(), "boolean"),
+    (T.DateType(), "date"),
+    (T.TimestampType(), "timestamp"),
+    (T.TimestampNTZType(), "timestamp"),
+    (T.ArrayType(T.FloatType()), "array[float]"),
+    (T.ArrayType(T.ArrayType(T.LongType())), "array[array[int]]"),
+]
+
+
+@pytest.mark.parametrize(
+    "st,expected", GOLDEN_S2V, ids=[e for _, e in GOLDEN_S2V]
+)
+def test_spark_to_vertica_golden(st, expected):
+    assert spark_type_to_vertica(st) == expected
+
+
+def test_unmapped_types_raise():
+    with pytest.raises(ValueError):
+        spark_type_to_vertica(T.MapType(T.StringType(), T.LongType()))
+    with pytest.raises(ValueError):
+        vertica_type_to_spark("geometry(800)")

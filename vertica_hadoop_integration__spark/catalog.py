@@ -24,7 +24,7 @@ _VERTICA_TYPE_PATTERNS: list[tuple[str, "T.DataType | None"]] = [
     (r"^(numeric|number|money)\s*(\(\s*(\d+)\s*,\s*(\d+)\s*\))?$", None),  # decimal, handled below
     (r"^decimal\s*(\(\s*(\d+)\s*,\s*(\d+)\s*\))?$", None),
     (r"^(int|integer|bigint|int8|smallint|tinyint)$", T.LongType()),  # Vertica ints are 64-bit
-    (r"^(float|float8|double precision|real)$", T.DoubleType()),
+    (r"^(float|float8|double precision|real)\s*(\(\d+\))?$", T.DoubleType()),
     (r"^boolean$", T.BooleanType()),
     (r"^(char|varchar|long varchar)\s*(\(\d+\))?$", T.StringType()),
     (r"^(varbinary|binary|long varbinary|bytea|raw)\s*(\(\d+\))?$", T.BinaryType()),
@@ -53,9 +53,13 @@ def vertica_type_to_spark(vertica_type: str) -> T.DataType:
 
 
 def spark_type_to_vertica(dtype: T.DataType) -> str:
-    """Reverse map for sink DDL generation (D9)."""
+    """Reverse map for sink DDL generation (D9). Arrays map to Vertica's
+    complex-type syntax (ARRAY[T]), valid for ORC/parquet external
+    tables since Vertica 10 — covers the embeddings fixture."""
     if isinstance(dtype, T.DecimalType):
         return f"numeric({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.ArrayType):
+        return f"array[{spark_type_to_vertica(dtype.elementType)}]"
     mapping = {
         T.TimestampNTZType: "timestamp",
         T.LongType: "int",

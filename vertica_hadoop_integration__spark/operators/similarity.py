@@ -366,6 +366,146 @@ def ivf_topk(
 # -- sign-random-projection LSH --------------------------------------------
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    every_nth: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: the memory-side scale path the IVF/LSH
+    members don't cover. The 64-dim vector compresses to ``m`` small
+    codes (8 codes x 16 centroids = 8 BYTES per vector, an 32x cut vs
+    float32), and query scoring reads only the codes plus a per-query
+    lookup table — at 100 TB the float vectors are cold storage and the
+    whole searchable index fits in a fraction of the cluster's RAM.
+
+    * Codebooks: deterministic every-Nth rows (vec_id = j*every_nth,
+      j < n_codes) sliced into m sub-spaces — the same SQL-reproducible
+      init the IVF/k-means members use; kmeans refinement drops in
+      unchanged.
+    * Encoding: per sub-space argmin of squared L2 to the 16 codes.
+      Each squared-difference term is a deterministic double; terms are
+      cast DECIMAL(30,15) and summed, so sub-distance comparison (and
+      hence the chosen code) is partial-agg-order-free and replayable.
+    * ADC scoring: LUT[query, s, j] = dist(query sub-vector, code j of
+      sub-space s) — n_queries x m x n_codes rows, broadcast; the
+      approximate distance is the DECIMAL sum of m LUT hits per
+      (query, vector). Exact arithmetic end to end -> full SQL oracle.
+
+    This exact long form expands the corpus by dim for encoding (the
+    verifier shape, like the JL-projection DECIMAL form); the
+    production encoder is pq_encode_arrow (one numpy argmin per Arrow
+    batch, zero expansion, code-parity pytest). Output:
+    (query_id, neighbor_id, approx_l2sq, rank)."""
+    sub = dim // m
+    dec = "decimal(30,15)"
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cb = c.filter(
+        (F.col(id_col) % every_nth == 0) & (F.col(id_col) < n_codes * every_nth)
+    ).select((F.col(id_col) / every_nth).cast("int").alias("j"), "v")
+    cbl = cb.select("j", F.posexplode("v").alias("d", "cv"))
+    xl = c.select(F.col(id_col), F.posexplode("v").alias("d", "xv"))
+    ed = (
+        xl.join(F.broadcast(cbl), on="d")
+        .select(
+            F.col(id_col),
+            F.floor(F.col("d") / sub).cast("int").alias("s"),
+            "j",
+            ((F.col("xv") - F.col("cv")) * (F.col("xv") - F.col("cv")))
+            .cast(dec)
+            .alias("_t"),
+        )
+        .groupBy(id_col, "s", "j")
+        .agg(F.sum("_t").alias("dist"))
+    )
+    wenc = Window.partitionBy(id_col, "s").orderBy("dist", "j")
+    codes = (
+        ed.withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "s", F.col("j").alias("code"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    ql = q.select("query_id", F.posexplode("qv").alias("d", "xv"))
+    lut = (
+        ql.join(F.broadcast(cbl), on="d")
+        .select(
+            "query_id",
+            F.floor(F.col("d") / sub).cast("int").alias("s"),
+            "j",
+            ((F.col("xv") - F.col("cv")) * (F.col("xv") - F.col("cv")))
+            .cast(dec)
+            .alias("_t"),
+        )
+        .groupBy("query_id", "s", "j")
+        .agg(F.sum("_t").alias("qdist"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.j),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("_adc"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("_adc", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_adc").cast("double").alias("approx_l2sq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_encode_arrow(
+    corpus: DataFrame,
+    codebooks,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production PQ encoder: ``codebooks`` is an (m, n_codes, sub)
+    ndarray-like; one numpy distance argmin per Arrow batch per
+    sub-space, zero row expansion. Output (id, code_0..code_{m-1}).
+    Code parity with pq_topk's exact DECIMAL encoding is pytest-pinned
+    (ties broken to the smaller code id, matching the exact path)."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    sub = cbs.shape[2]
+    out_fields = ", ".join(f"code_{s} int" for s in range(cbs.shape[0]))
+
+    def _encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            cols = {id_col: pdf[id_col]}
+            for s in range(cbs.shape[0]):
+                xs = x[:, s * sub : (s + 1) * sub]  # (n, sub)
+                # (n, n_codes) squared L2; argmin takes the FIRST minimal
+                # index, i.e. the smallest code id on exact ties
+                d = ((xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2)
+                cols[f"code_{s}"] = d.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(cols)
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _encode, schema=f"{id_col} long, {out_fields}"
+    )
+
+
 def _planes_df(df: DataFrame, dim: int, num_planes: int, seed: int):
     """Deterministic pseudo-random hyperplanes as LITERAL arrays, computed
     driver-side from the seed. Literals ship in the plan (num_planes*dim

@@ -316,6 +316,71 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an
+    INTERPOLATED bigram LM trained on the corpus itself:
+    p(w2|w1) = 0.75 * c(w1,w2)/c(w1 as history) + 0.25 * c(w2)/N —
+    the next step up from unigram_logprob for quality cuts (catches
+    word-salad that has corpus-typical unigrams in corpus-atypical
+    order). The interpolation weight is 0.75 on purpose: both it and
+    1-lambda = 0.25 are exact binary fractions, so the oracle's
+    literals are bit-identical, no ulp trap (ROADMAP float-literal
+    note).
+
+    Bigrams are built SCAN-STAGE (slice + arrays_zip on the token
+    array — zero extra shuffle vs a positional self-join); the only
+    shuffles are the (doc, w1, w2) count and the model aggregations,
+    all with map-side combine. Per-position log-probs go through
+    DECIMAL(30,15) before the per-doc sum (order-free float parity).
+    Docs with <2 tokens have no bigram positions and drop out, same as
+    the oracle."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_tk") >= 2,
+                F.arrays_zip(
+                    F.slice("_tk", 1, F.size("_tk") - 1).alias("w1"),
+                    F.slice("_tk", 2, F.size("_tk") - 1).alias("w2"),
+                ),
+            ).otherwise(F.array())
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    tfbg = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cbg = tfbg.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
+    hist = cbg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cw2"))
+    total = uni.agg(F.sum("cw2").alias("_n"))
+    p = (
+        F.lit(0.75) * (F.col("cbg").cast("double") / F.col("cw1").cast("double"))
+        + F.lit(0.25) * (F.col("cw2").cast("double") / F.col("_n").cast("double"))
+    )
+    contrib = (
+        tfbg.join(cbg, on=["w1", "w2"])
+        .join(hist, on="w1")
+        .join(uni.withColumnRenamed("term", "w2"), on="w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_ll", (F.col("tf").cast("double") * F.log(p)).cast("decimal(30,15)"))
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_ll").alias("_sum_ll"),
+    )
+    avg_nll = -(F.col("_sum_ll").cast("double")) / F.col("n_bigrams")
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.exp(avg_nll).alias("ppl_proxy"),
+    )
+
+
 # -- inverted-index full-text search ---------------------------------------
 def inverted_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

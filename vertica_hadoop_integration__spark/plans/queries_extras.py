@@ -171,6 +171,56 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+    pairs AS (
+        SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM base WHERE len(tk) >= 2)),
+    tfbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY 1,2,3),
+    cbg AS (SELECT w1, w2, sum(tf) AS cbg FROM tfbg GROUP BY 1,2),
+    hist AS (SELECT w1, sum(cbg) AS cw1 FROM cbg GROUP BY 1),
+    uni AS (
+        SELECT term, count(*) AS cw2 FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents) GROUP BY 1),
+    total AS (SELECT sum(cw2) AS n FROM uni),
+    contrib AS (
+        SELECT tfbg.doc_id, tfbg.tf,
+               CAST(CAST(tfbg.tf AS DOUBLE) * ln(
+                   0.75 * (CAST(cbg.cbg AS DOUBLE) / CAST(hist.cw1 AS DOUBLE))
+                   + 0.25 * (CAST(uni.cw2 AS DOUBLE) / CAST(total.n AS DOUBLE))
+               ) AS DECIMAL(30,15)) AS ll
+        FROM tfbg JOIN cbg USING (w1, w2)
+                  JOIN hist USING (w1)
+                  JOIN uni ON uni.term = tfbg.w2
+                  CROSS JOIN total),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, sum(ll) AS s
+        FROM contrib GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           -CAST(s AS DOUBLE) / n_bigrams AS avg_nll,
+           exp(-CAST(s AS DOUBLE) / n_bigrams) AS ppl_proxy
+    FROM per_doc
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM perplexity proxy (operators/text.py::
+    bigram_logprob): p(w2|w1) = 0.75*c(w1,w2)/c(w1) + 0.25*c(w2)/N with
+    exact-binary interpolation literals and DECIMAL log-prob sums; the
+    oracle replays bigram extraction, both model aggregations, and the
+    per-doc scoring bit for bit."""
+    from ..operators.text import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d)
+
+
+@register(
     "corpus_chunk_documents",
     oracle=r"""
     WITH d AS (SELECT doc_id,
@@ -2715,6 +2765,55 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return cooccurrence_pagerank(li, iters=3, top_k=20)
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      GROUP BY 1),
+    ed AS (
+      SELECT e0.u, e0.v, du.d AS du, dv.d AS dv
+      FROM e0 JOIN deg du ON du.node = e0.u
+              JOIN deg dv ON dv.node = e0.v),
+    o AS (
+      SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+      FROM ed),
+    w AS (
+      SELECT x.a, x.b, x.db, y.b AS c, y.db AS dc
+      FROM o x JOIN o y ON x.a = y.a
+      WHERE x.db < y.db OR (x.db = y.db AND x.b < y.b))
+    SELECT count(*) AS n_triangles
+    FROM w JOIN o z ON z.a = w.b AND z.b = w.c
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-order graph — the cohesion
+    member of the graph family (operators/graph.py::triangle_count).
+    Degree orientation bounds the wedge join's fan-out by arboricity
+    (a hot part cannot generate a quadratic wedge set); the oracle
+    replays orientation, wedges, and closure declaratively."""
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    pairs = (
+        e.join(e.withColumnRenamed("p", "q"), on="o")
+        .filter(F.col("p") != F.col("q"))
+        .select(F.col("p").alias("doc_id_a"), F.col("q").alias("doc_id_b"))
+    )
+    return triangle_count(pairs)
 
 
 # -- time-travel lookup over SCD2 history (oracle-exact) -------------------
