@@ -198,6 +198,70 @@ def test_pq_quality_distance_ratio_and_cluster_accuracy(spark, sf_dir):
         assert r["neighbor_id"] // 30 == r["query_id"] // 30, r
 
 
+def test_bpe_learn_matches_python_reference(spark, sf_dir):
+    """bpe_learn's merge sequence must equal a pure-Python BPE run on
+    the same word counts — on a crafted corpus where early merges
+    CHANGE later pair counts (the part a single pair-count snapshot
+    cannot verify), and on the fixture corpus."""
+    from collections import Counter
+
+    from vertica_hadoop_integration__spark.operators.text import bpe_learn
+
+    def ref_bpe(word_counts, k):
+        words = {w: list(w) for w in word_counts}
+        out = []
+        for step in range(k):
+            pc = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += word_counts[w]
+            if not pc:
+                break
+            (l, r), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((step, l, r, cnt))
+            for w, syms in words.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                words[w] = ns
+        return out
+
+    # interacting merges: "aaab" x20 -> merge (a,a) first, which changes
+    # the (a,b) statistics; "xyxy" exercises non-overlap greediness
+    crafted = [(0, "aaab aaab xyxy"), (1, "aaab xyxy xyxy"), (2, "ab xy aaab")]
+    df = spark.createDataFrame(crafted * 20, ["doc_id", "text"])
+    wc = Counter(
+        w
+        for _, t in crafted * 20
+        for w in t.lower().strip().split()
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn(df, num_merges=6).collect()
+    ]
+    assert got == ref_bpe(wc, 6)
+
+    # fixture corpus, fewer rounds (vocabulary-sized, still real data)
+    d = load_table(spark, sf_dir, "documents")
+    wc2 = Counter(
+        w
+        for r in d.select("text").collect()
+        for w in r["text"].lower().strip().split()
+    )
+    got2 = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_learn(d, num_merges=4).collect()
+    ]
+    assert got2 == ref_bpe(wc2, 4)
+
+
 def test_lsh_topk_shapes_and_selfconsistency(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)

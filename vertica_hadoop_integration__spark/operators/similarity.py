@@ -366,6 +366,56 @@ def ivf_topk(
 # -- sign-random-projection LSH --------------------------------------------
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the pairs that teach a metric model the most (easy random
+    negatives saturate the loss immediately). Same plan shape as
+    brute_force_topk (query side broadcast, corpus streams, window
+    top-k keeps k rows per query per partition); the label inequality
+    rides the scored filter, so no extra pass. At IVF scale, swap the
+    scored scan for the probe-bucket candidates unchanged.
+
+    Output: (query_id, negative_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "negative_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "negative_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -381,6 +381,133 @@ def bigram_logprob(
     )
 
 
+# -- BPE vocabulary induction ------------------------------------------------
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 20,
+) -> DataFrame:
+    """Step 0 of BPE tokenizer training, corpus-scale: adjacent
+    character-pair frequencies weighted by word count — the statistic
+    every merge decision reads. One token scan -> word counts (the
+    corpus compresses to its vocabulary immediately; pair counting
+    runs on DISTINCT words x their counts, not on raw tokens) -> one
+    pair explode -> one aggregation. Output: top-``top`` candidate
+    merges (left_sym, right_sym, pair_count), fully deterministic
+    (count desc, then lexicographic)."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = wc.select(
+        "wc",
+        F.explode(
+            # guard: sequence(1, 0) auto-steps DOWN in Spark, so a
+            # 1-char word would fabricate bogus pairs without the CASE
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS l, "
+                "substring(w, i + 1, 1) AS r)) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+    ).select(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"), "wc")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(top)
+    )
+
+
+def _bpe_merge_pair(sym_col, left: str, right: str):
+    """Replace adjacent (left, right) symbol occurrences with their
+    concatenation, greedy left-to-right non-overlapping — the BPE merge
+    applied as a pure fold (array accumulator + skip flag), no UDF."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc, i):
+        cur = F.element_at(sym_col, i)
+        # ANSI mode: element_at past the end THROWS; the lookahead at
+        # the last symbol must tolerate it and yield NULL
+        nxt = F.try_element_at(sym_col, i + F.lit(1))
+        is_pair = (
+            (~acc["skip"])
+            & (cur == F.lit(left))
+            & F.coalesce(nxt == F.lit(right), F.lit(False))
+        )
+        return F.struct(
+            F.when(acc["skip"], acc["out"])
+            .when(is_pair, F.concat(acc["out"], F.array(F.lit(left + right))))
+            .otherwise(F.concat(acc["out"], F.array(cur)))
+            .alias("out"),
+            F.when(acc["skip"], F.lit(False)).otherwise(is_pair).alias("skip"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(sym_col)), init, step, lambda a: a["out"]
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus — the tokenizer-training
+    primitive, distributed: each round counts adjacent symbol pairs
+    over the (distinct word, count) frame, picks the most frequent
+    (ties: lexicographic), and applies the merge as a JVM fold over
+    every word's symbol array. The working set is VOCABULARY-sized, not
+    corpus-sized (word counts collapse the corpus in pass one — the
+    reason BPE training scales to 100 TB at all), each round is one
+    aggregation + one map-only rewrite, and lineage is truncated per
+    round so the plan stays flat in ``num_merges``. The merge table
+    itself is num_merges rows — it IS the artifact (a tokenizer's
+    merges.txt) — so the per-round argmax collect is bounded and by
+    design. Output: (step, left_sym, right_sym, pair_count)."""
+    spark = df.sparkSession
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    words = wc.select(
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+        "wc",
+    ).localCheckpoint()
+    merges = []
+    for step_i in range(num_merges):
+        pairs = words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS l, syms[i] AS r)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "wc")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step_i, l, r, cnt))
+        words = words.select(
+            _bpe_merge_pair(F.col("syms"), l, r).alias("syms"), "wc"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
 # -- inverted-index full-text search ---------------------------------------
 def inverted_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

@@ -221,6 +221,54 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_merge_step",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+    wc AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+               substr(w, CAST(i + 1 AS INT), 1) AS right_sym, wc
+        FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wc WHERE length(w) >= 2)),
+    pc AS (SELECT left_sym, right_sym, sum(wc) AS pair_count
+           FROM pairs GROUP BY 1, 2)
+    SELECT left_sym, right_sym, pair_count
+    FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-decision statistic, oracle-checked (operators/
+    text.py::bpe_pair_counts): corpus-weighted adjacent character-pair
+    counts, top-20 deterministic. The corpus collapses to its
+    vocabulary in pass one — pair counting runs over DISTINCT words x
+    counts, the reason BPE training scales. The iterative learner
+    (bpe_learn) replays this statistic per round; its full merge
+    sequence is pinned against a pure-Python BPE reference in pytest
+    (text_bpe_learn_merges below, rows-only: k data-dependent argmax
+    rounds are not single-statement SQL)."""
+    from ..operators.text import bpe_pair_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, top=20)
+
+
+@register("text_bpe_learn_merges")  # rows-only: iterative argmax loop
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table, 8 rounds (operators/text.py::bpe_learn):
+    per round one vocabulary-sized aggregation picks the max-count
+    pair, one JVM fold rewrites the symbol arrays, lineage truncated
+    per round. Merge-sequence parity vs a pure-Python BPE reference is
+    pytest-pinned (tests/test_llm_ops.py), including fixtures where
+    early merges change later pair counts."""
+    from ..operators.text import bpe_learn
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_learn(d, num_merges=8)
+
+
+@register(
     "corpus_chunk_documents",
     oracle=r"""
     WITH d AS (SELECT doc_id,

@@ -354,6 +354,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, q, k=5, every_nth=50, nprobe=3)
 
 
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM c
+          WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS negative_id,
+               list_cosine_similarity(q.qv, c.v) AS cos_sim
+        FROM q, c WHERE c.label <> q.ql),
+    ranked AS (
+        SELECT query_id, negative_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, negative_id) AS rnk
+        FROM scored)
+    SELECT query_id, negative_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::hard_negatives):
+    per anchor, the top-5 most-similar OTHER-label vectors — the
+    contrastive-training pair generator. Broadcast anchors, streaming
+    corpus, label filter on the scored scan; the final cos_sim uses the
+    sequential-fold cosine that is bitwise-equal to DuckDB's
+    list_cosine_similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.hard_negatives(e, q, k=5)
+
+
 # -- ANN: product quantization (memory-side scale path; oracle-checked) ----
 # Every stage is exact DECIMAL arithmetic, so the oracle replays the
 # whole pipeline: every-Nth codebooks, per-sub-space argmin encoding,
