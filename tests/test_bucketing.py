@@ -154,3 +154,62 @@ def test_write_zorder_prunes_on_both_dimensions(spark, tmp_path):
         if all(s[c][1] >= boxes[c][0] and s[c][0] <= boxes[c][1] for c in boxes)
     )
     assert touched2d <= len(spans) // 2, (touched2d, len(spans))
+
+
+def test_write_partitioned_prunes_and_dynamic_overwrite(spark, tmp_path):
+    """Hive-style layout: (1) a partition-column predicate shows up as
+    PartitionFilters and scans only the matching directory; (2) a
+    dynamic overwrite carrying ONE partition leaves the others intact;
+    (3) content parity end to end."""
+    import os
+
+    from vertica_hadoop_integration__spark.sources.writers import write_partitioned
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(e, path, ["event_date"])
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("event_date="))
+    assert len(dirs) > 1
+
+    r = spark.read.parquet(path)
+    day = dirs[0].split("=", 1)[1]
+    q = r.filter(F.col("event_date") == day)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("\n")[0]
+    assert q.count() == e.filter(F.col("event_date") == day).count()
+
+    # dynamic overwrite of one partition: double that day's value,
+    # every other partition byte-identical
+    one = e.filter(F.col("event_date") == day).withColumn(
+        "value", F.col("value") * 2
+    )
+    before_other = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") != day)
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    write_partitioned(one, path, ["event_date"])
+    after = spark.read.parquet(path)
+    assert after.count() == e.count()
+    after_other = (
+        after.filter(F.col("event_date") != day)
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert before_other == after_other
+    got_day = (
+        after.filter(F.col("event_date") == day)
+        .agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    want_day = one.agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("s")
+    ).collect()[0]["s"]
+    assert got_day == want_day

@@ -251,3 +251,25 @@ def test_audio_banding_lossless_at_threshold(spark):
         for r in audio_fingerprint_dedup(media, max_hamming=3).collect()
     }
     assert banded == exhaustive
+
+
+def test_audio_spectrum_recovers_modulation_frequency(spark, sf_dir):
+    """The dominant envelope bin must equal the generator's fm =
+    2 + (doc_id % 40 % 7) for EVERY clip — rectifying the square wave
+    leaves exactly the modulation envelope, whose integer cycles/clip
+    align FFT bins perfectly."""
+    from vertica_hadoop_integration__spark.operators.multimodal import (
+        audio_envelope_spectrum,
+        synthesize_am_audio_media,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    rows = audio_envelope_spectrum(synthesize_am_audio_media(d)).collect()
+    assert len(rows) == 120
+    for r in rows:
+        cls = r.media_id % 40
+        assert r.dominant_env_cycles == 2 + (cls % 7), r
+        assert r.env_power_frac > 0.5, r  # fm harmonic carries most power
+        assert r.n_frames == 1600 + (cls % 5) * 320
+        assert r.sample_rate == 8000

@@ -83,6 +83,55 @@ def dq_rule_report(
     return wide.select(F.inline(rows), F.col("n_rows").cast("long").alias("n_rows"))
 
 
+def linreg_per_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple OLS (y = a + b*x) in ONE aggregation pass via
+    closed-form sums — the distributed shape for per-segment trend
+    fitting (no per-group model loop, no Python): slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept = (Sy - b*Sx)/n, plus
+    Pearson r. All five sums accumulate as DECIMAL(38,6) so the result
+    is partial-aggregation-order-free (bit-identical across engines);
+    the final arithmetic is double. Groups with zero x-variance yield
+    NULL slope/r (guarded division)."""
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    dec = "decimal(38,6)"
+    agg = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(den_x != 0.0, num / den_x)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        F.when(den_x != 0.0, (sy - slope * sx) / n).alias("intercept"),
+        F.when(
+            (den_x != 0.0) & (den_y != 0.0), num / F.sqrt(den_x * den_y)
+        ).alias("pearson_r"),
+    )
+
+
 def referential_integrity(
     child: DataFrame,
     parent: DataFrame,

@@ -416,6 +416,52 @@ def hard_negatives(
     )
 
 
+def knn_label_noise(
+    corpus: DataFrame,
+    k: int = 5,
+    min_disagree: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise detection by k-NN disagreement: a vector whose
+    nearest neighbors (cosine) overwhelmingly carry a DIFFERENT label
+    is a probable annotation error — the standard ML-data-quality
+    audit (Confident-Learning-style, distilled to its join form).
+    Output: (vec_id, label, n_disagree, noise_frac) for vectors with
+    noise_frac >= min_disagree.
+
+    This exact self-kNN broadcasts the corpus as its own query side —
+    the VERIFIER form, fine at audit-sample scale; at 100 TB run the
+    same aggregation over ivf_topk probes against the persisted index
+    (streaming/ann_index.py) instead of the brute-force scan. Counting
+    is integer (engine-exact); only neighbor RANKING uses floats, via
+    the sequential-fold cosine bitwise-equal to the oracle's."""
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    topk = brute_force_topk(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    own = corpus.select(F.col(id_col).alias("query_id"), F.col(label_col))
+    joined = topk.join(labels, on="neighbor_id").join(own, on="query_id")
+    agg = joined.groupBy("query_id", label_col).agg(
+        F.sum(
+            F.when(F.col("n_label") != F.col(label_col), 1).otherwise(0)
+        ).cast("long").alias("n_disagree"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return (
+        agg.select(
+            F.col("query_id").alias(id_col),
+            label_col,
+            "n_disagree",
+            (F.col("n_disagree").cast("double") / F.col("_k").cast("double")).alias(
+                "noise_frac"
+            ),
+        )
+        .filter(F.col("noise_frac") >= min_disagree)
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

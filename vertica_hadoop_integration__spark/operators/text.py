@@ -381,6 +381,41 @@ def bigram_logprob(
     )
 
 
+def feature_hashing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1024,
+) -> DataFrame:
+    """The hashing trick: tokens -> fixed-``num_features``-dim signed
+    sparse vectors, vocabulary-free (no dictionary to build, broadcast,
+    or keep consistent across a 100 TB corpus — THE property that makes
+    it the default featurizer for streaming/sharded training). Bucket =
+    md5-60 hash mod D; sign = hash bit 10 (the Weinberger et al. signed
+    variant, keeping bucket-collision noise zero-mean). Output is the
+    sparse long form (id, feature_idx, feature_val) — one scan-stage
+    explode + one (id, bucket) aggregation; map-side combine collapses
+    repeated tokens before the shuffle. Portable hash end to end, so
+    the oracle replays bucketing, signs, and sums exactly."""
+    from ..functions.text_fns import md5_hash60
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).select(F.col(id_col), md5_hash60(F.col("_t")).alias("_h"))
+    signed = toks.select(
+        F.col(id_col),
+        F.pmod(F.col("_h"), F.lit(num_features)).cast("int").alias("feature_idx"),
+        F.when(F.expr("(_h >> 10) & 1") == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_s"),
+    )
+    return (
+        signed.groupBy(id_col, "feature_idx")
+        .agg(F.sum("_s").cast("long").alias("feature_val"))
+        .filter(F.col("feature_val") != 0)
+    )
+
+
 # -- BPE vocabulary induction ------------------------------------------------
 def bpe_pair_counts(
     df: DataFrame,

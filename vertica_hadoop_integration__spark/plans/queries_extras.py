@@ -2816,6 +2816,64 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_linreg_per_group",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem),
+    a AS (
+      SELECT grp, count(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,6))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+      FROM d GROUP BY 1)
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+                THEN (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                END AS pearson_r
+    FROM a
+    """,
+)
+def stats_linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend fit in one aggregation pass (operators/
+    profile.py::linreg_per_group): closed-form slope/intercept/Pearson-r
+    from five DECIMAL(38,6) sums — no per-group model loop, exact
+    partial-agg-order-free accumulation, double math only in the final
+    projection (identical association on both engines)."""
+    from ..operators.profile import linreg_per_group
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return linreg_per_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+@register(
     "graph_triangle_count",
     oracle="""
     WITH e0 AS (

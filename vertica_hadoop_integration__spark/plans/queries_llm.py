@@ -385,6 +385,70 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(e, q, k=5)
 
 
+@register(
+    "text_feature_hashing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(unnest(
+                   string_split_regex(lower(trim(text)), '\s+'))),1,15))
+                   AS BIGINT) AS h
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(h % 1024 AS INT) AS feature_idx,
+               CASE WHEN ((h >> 10) & 1) = 0 THEN 1 ELSE -1 END AS sgn
+        FROM toks)
+    SELECT doc_id, feature_idx, CAST(SUM(sgn) AS BIGINT) AS feature_val
+    FROM s GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurizer (operators/text.py::
+    feature_hashing): vocabulary-free 1024-dim sparse vectors via the
+    portable md5-60 bucket + sign-bit, sparse long-form output; the
+    oracle replays bucketing, signs, and per-bucket sums exactly."""
+    from ..operators.text import feature_hashing
+
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hashing(d, num_features=1024)
+
+
+@register(
+    "embedding_label_noise",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               n.label AS n_label, q.label AS q_label,
+               list_cosine_similarity(q.v, n.v) AS cos_sim
+        FROM c q JOIN c n ON n.vec_id <> q.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, n_label, q_label,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored),
+    agg AS (
+        SELECT query_id, q_label,
+               SUM(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END) AS nd,
+               count(*) AS k
+        FROM ranked WHERE rnk <= 5 GROUP BY 1, 2)
+    SELECT query_id AS vec_id, q_label AS label,
+           CAST(nd AS BIGINT) AS n_disagree,
+           CAST(nd AS DOUBLE) / CAST(k AS DOUBLE) AS noise_frac
+    FROM agg WHERE CAST(nd AS DOUBLE) / CAST(k AS DOUBLE) >= 0.8
+    """,
+)
+def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise audit (operators/similarity.py::
+    knn_label_noise): vectors whose 5 nearest cosine neighbors are
+    >= 80% other-label — probable annotation errors. Counting is
+    integer-exact; the oracle replays ranking via the bitwise-equal
+    cosine and the disagreement aggregation verbatim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.knn_label_noise(e, k=5, min_disagree=0.8)
+
+
 # -- ANN: product quantization (memory-side scale path; oracle-checked) ----
 # Every stage is exact DECIMAL arithmetic, so the oracle replays the
 # whole pipeline: every-Nth codebooks, per-sub-space argmin encoding,

@@ -174,3 +174,23 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_am_audio_media(d)
     return audio_fingerprint_dedup(media, max_hamming=3)
+
+
+# -- audio spectral features (rows-only; generator-parameter pytest) -------
+@register("multimodal_audio_spectrum")
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-spectrum feature extraction per clip (operators/
+    multimodal.py::audio_envelope_spectrum): FFT of the rectified
+    signal -> dominant modulation frequency (cycles/clip) + relative
+    power — the curation-grade audio descriptor. Rows-only (no FFT in
+    SQL); the dominant bin is pytest-pinned to the synthesizer's exact
+    per-class modulation parameter fm = 2 + (cls % 7), which the
+    rectified square wave preserves analytically."""
+    from ..operators.multimodal import (
+        audio_envelope_spectrum,
+        synthesize_am_audio_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_am_audio_media(d)
+    return audio_envelope_spectrum(media)

@@ -140,6 +140,44 @@ def write_atomic(
         shutil.rmtree(aside, ignore_errors=True)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    output_format: str = "parquet",
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Hive-style directory partitioning (``pcol=value/``) — the
+    time/tenant layout for a 100 TB fact table: a predicate on the
+    partition column prunes whole DIRECTORIES at plan time
+    (PartitionFilters in the scan, zero I/O for untouched partitions),
+    and each incremental load rewrites only the partitions it carries.
+
+    ``dynamic=True`` (default) uses dynamic partition overwrite: an
+    overwrite-mode write replaces ONLY the partitions present in
+    ``df`` and leaves every other partition's data intact — the
+    idempotent daily-reload primitive (static overwrite would truncate
+    the whole table first). The session conf is restored afterwards.
+
+    Partition columns should be low-cardinality (dates, tenants);
+    high-cardinality keys belong in bucketing (write_bucketed) or
+    range layout (write_sorted), not directories."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        if dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            df.write.mode(mode)
+            .partitionBy(*partition_cols)
+            .format(output_format)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
