@@ -90,8 +90,18 @@ HEADLINE = [
     "dq_rules_orders",
     "cdc_apply_orders",
     # round-4 additions (additive): cluster-canonical containment dedup
-    # (signature collapse before pair generation)
+    # (signature collapse before pair generation), PQ ANN, graph
+    # triangles, bigram LM, per-group OLS, feature hashing, hard
+    # negatives, label-noise audit, BPE merge statistic
     "dedup_containment_clustered",
+    "ann_pq_topk",
+    "graph_triangle_count",
+    "text_bigram_logprob",
+    "stats_linreg_per_group",
+    "text_feature_hashing",
+    "embedding_hard_negatives",
+    "embedding_label_noise",
+    "text_bpe_merge_step",
 ]
 
 

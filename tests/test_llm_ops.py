@@ -198,6 +198,23 @@ def test_pq_quality_distance_ratio_and_cluster_accuracy(spark, sf_dir):
         assert r["neighbor_id"] // 30 == r["query_id"] // 30, r
 
 
+def test_label_noise_matrix_kernel_matches_fold(spark, sf_dir):
+    """The matrix production kernel (per-batch numpy matmul + partial
+    top-k) must produce the same audit verdicts as the bitwise-exact
+    fold kernel: same flagged vectors, labels, and disagreement counts
+    (float ranking agrees to ~1e-12; the audit output is integer)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        (r.vec_id, r.label, r.n_disagree)
+        for r in S.knn_label_noise(e, k=5, min_disagree=0.8).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.label, r.n_disagree)
+        for r in S.knn_label_noise(e, k=5, min_disagree=0.8, kernel="matrix").collect()
+    )
+    assert a == b and a
+
+
 def test_bpe_learn_matches_python_reference(spark, sf_dir):
     """bpe_learn's merge sequence must equal a pure-Python BPE run on
     the same word counts — on a crafted corpus where early merges

@@ -25,6 +25,9 @@ BNLJ_OK = {
     "ann_ivf_kmeans_topk",      # same probe, k-means-refined centroid table
     "dedup_embedding_cosine",   # documented exact oracle path (sf0.01)
     "embedding_kmeans",         # broadcast centroid table
+    "embedding_hard_negatives",  # broadcast anchor vectors vs corpus scan
+    "embedding_label_noise",     # self-kNN verifier form (broadcast query
+                                 # side; 100 TB path probes the IVF index)
 }
 
 # A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /
@@ -46,6 +49,7 @@ SCALAR_BROADCAST_OK = {
     "text_search_bm25",             # 1-row (N, avgdl) corpus scalars
     "events_decayed_value",         # 1-row max-timestamp anchor scalar
     "graph_pagerank_parts",         # 1-row node-count scalar per iteration
+    "text_bigram_logprob",          # 1-row corpus-token-total scalar
     "dq_referential_integrity",     # 1-row orphan-count x 1-row total join
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK

@@ -416,6 +416,69 @@ def hard_negatives(
     )
 
 
+def brute_force_topk_matrix(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, matrix production kernel: the query matrix
+    (bounded by contract — an audit/anchor set) ships in the UDF
+    closure; each corpus Arrow batch does ONE numpy matmul against it
+    and emits only its per-query partial top-k (k rows per query per
+    batch), then a global window keeps the true top-k. This is the
+    100 TB shape — per-partition partial reduction before any shuffle;
+    the shuffle carries k x queries x partitions rows, never the
+    corpus. ~50x faster than the per-row fold/scalar-UDF kernels at
+    2000x2000 (0.9s vs 45.6/86s measured at sf0.1); agreement with the
+    fold kernel is ~1e-12 (numpy summation order), so use
+    brute_force_topk where oracle bit-parity matters."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            cm = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cn @ qn.T  # (batch, nq)
+            kk = min(k + 1, sims.shape[0])  # +1 absorbs a self-match
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                for i in top[:, j]:
+                    out_q.append(q_ids[j])
+                    out_n.append(ids[i])
+                    out_s.append(sims[i, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def knn_label_noise(
     corpus: DataFrame,
     k: int = 5,
@@ -423,6 +486,9 @@ def knn_label_noise(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    anchors: DataFrame | None = None,
+    scorer=None,
+    kernel: str = "fold",
 ) -> DataFrame:
     """Label-noise detection by k-NN disagreement: a vector whose
     nearest neighbors (cosine) overwhelmingly carry a DIFFERENT label
@@ -431,17 +497,29 @@ def knn_label_noise(
     Output: (vec_id, label, n_disagree, noise_frac) for vectors with
     noise_frac >= min_disagree.
 
-    This exact self-kNN broadcasts the corpus as its own query side —
-    the VERIFIER form, fine at audit-sample scale; at 100 TB run the
-    same aggregation over ivf_topk probes against the persisted index
-    (streaming/ann_index.py) instead of the brute-force scan. Counting
-    is integer (engine-exact); only neighbor RANKING uses floats, via
-    the sequential-fold cosine bitwise-equal to the oracle's."""
+    ``anchors`` bounds the audited side (default: the whole corpus —
+    the self-kNN verifier form). Kernel choice is the cardinality rule
+    (README note 9): the default sequential-fold ``cosine`` is
+    bitwise-equal to the oracle but pays the interpreted-HOF cost per
+    pair, so bound the anchor set when using it (measured 86s for a
+    2000x2000 self-audit at sf0.1); pass ``scorer=cosine_arrow`` for
+    corpus-scale audits (numpy batch kernel, ~1e-12 agreement —
+    count-parity pytest covers it). At 100 TB run the same aggregation
+    over ivf_topk probes against the persisted index
+    (streaming/ann_index.py) instead of any brute-force scan."""
+    q_side = anchors if anchors is not None else corpus
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
     )
-    topk = brute_force_topk(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
-    own = corpus.select(F.col(id_col).alias("query_id"), F.col(label_col))
+    if kernel == "matrix":
+        topk = brute_force_topk_matrix(
+            corpus, q_side, k=k, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        topk = brute_force_topk(
+            corpus, q_side, k=k, id_col=id_col, vec_col=vec_col, scorer=scorer
+        )
+    own = q_side.select(F.col(id_col).alias("query_id"), F.col(label_col))
     joined = topk.join(labels, on="neighbor_id").join(own, on="query_id")
     agg = joined.groupBy("query_id", label_col).agg(
         F.sum(

@@ -422,7 +422,8 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                n.label AS n_label, q.label AS q_label,
                list_cosine_similarity(q.v, n.v) AS cos_sim
-        FROM c q JOIN c n ON n.vec_id <> q.vec_id),
+        FROM c q JOIN c n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 200),
     ranked AS (
         SELECT query_id, neighbor_id, n_label, q_label,
                row_number() OVER (PARTITION BY query_id
@@ -441,12 +442,17 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label-noise audit (operators/similarity.py::
-    knn_label_noise): vectors whose 5 nearest cosine neighbors are
+    knn_label_noise): anchors whose 5 nearest cosine neighbors are
     >= 80% other-label — probable annotation errors. Counting is
     integer-exact; the oracle replays ranking via the bitwise-equal
-    cosine and the disagreement aggregation verbatim."""
+    cosine and the disagreement aggregation verbatim. The anchor set is
+    bounded (vec_id < 200) because the bitwise-exact fold kernel pays
+    the interpreted-HOF cost per pair; the full-corpus audit runs the
+    Arrow kernel (scorer=cosine_arrow, count-parity pytest)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.knn_label_noise(e, k=5, min_disagree=0.8)
+    return S.knn_label_noise(
+        e, k=5, min_disagree=0.8, anchors=e.filter(F.col("vec_id") < 200)
+    )
 
 
 # -- ANN: product quantization (memory-side scale path; oracle-checked) ----
