@@ -102,6 +102,8 @@ HEADLINE = [
     "embedding_hard_negatives",
     "embedding_label_noise",
     "text_bpe_merge_step",
+    "ann_ivf_pq_topk",
+    "events_seasonal_anomaly",
 ]
 
 

@@ -23,6 +23,7 @@ BNLJ_OK = {
     "ann_range_search",         # broadcast query side, radius predicate
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
     "ann_ivf_kmeans_topk",      # same probe, k-means-refined centroid table
+    "ann_ivf_pq_topk",          # broadcast centroid table (probe selection)
     "dedup_embedding_cosine",   # documented exact oracle path (sf0.01)
     "embedding_kmeans",         # broadcast centroid table
     "embedding_hard_negatives",  # broadcast anchor vectors vs corpus scan

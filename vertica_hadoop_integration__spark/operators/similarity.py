@@ -576,6 +576,43 @@ def pq_topk(
     production encoder is pq_encode_arrow (one numpy argmin per Arrow
     batch, zero expansion, code-parity pytest). Output:
     (query_id, neighbor_id, approx_l2sq, rank)."""
+    codes, lut = _pq_codes_and_lut(
+        corpus, queries, m, n_codes, every_nth, id_col, vec_col
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.j),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("_adc"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("_adc", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_adc").cast("double").alias("approx_l2sq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _pq_codes_and_lut(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    n_codes: int,
+    every_nth: int,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+):
+    """Shared exact-DECIMAL PQ staging: (codes, lut) frames for the ADC
+    scorers (pq_topk, ivf_pq_topk). See pq_topk for the contract."""
     sub = dim // m
     dec = "decimal(30,15)"
     c = corpus.select(
@@ -606,7 +643,8 @@ def pq_topk(
         .select(F.col(id_col), "s", F.col("j").alias("code"))
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     )
     ql = q.select("query_id", F.posexplode("qv").alias("d", "xv"))
     lut = (
@@ -622,12 +660,65 @@ def pq_topk(
         .groupBy("query_id", "s", "j")
         .agg(F.sum("_t").alias("qdist"))
     )
-    adc = (
-        codes.join(
-            F.broadcast(lut),
-            (codes.s == lut.s) & (codes.code == lut.j),
-        )
+    return codes, lut
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    every_nth_ivf: int = 50,
+    nprobe: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    every_nth_pq: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN stack composed: IVF restricts WHICH vectors a
+    query touches (nprobe buckets out of all cells — compute-side cut),
+    PQ decides HOW MUCH each touched vector costs (8-byte codes + a
+    broadcast LUT instead of the float vector — memory-side cut). At
+    100 TB the float corpus is cold storage: the searchable state is
+    the bucketed code table plus two tiny centroid tables.
+
+    Both stages are individually deterministic (IVF's argmax cosine
+    assignment, PQ's DECIMAL-exact encoding/ADC), so the COMPOSITION
+    replays in a single oracle. Candidates come from the same
+    probe-join as ivf_topk; scoring is the same LUT join as pq_topk —
+    nothing new to trust, only composed."""
+    cents = pick_centroids(corpus, every_nth_ivf, id_col, vec_col)
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col).select(
+        F.col(id_col), "centroid_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        cosine(F.col("q_vec"), F.col("centroid_vec")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(assigned, on="centroid_id")
         .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col))
+    )
+    codes, lut = _pq_codes_and_lut(
+        corpus, queries, m, n_codes, every_nth_pq, id_col, vec_col
+    )
+    adc = (
+        cand.join(codes, on=id_col)
+        .join(F.broadcast(lut), on=["query_id", "s"])
+        .filter(F.col("code") == F.col("j"))
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.sum("qdist").alias("_adc"))
     )

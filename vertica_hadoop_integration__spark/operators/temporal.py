@@ -556,6 +556,64 @@ def retention_cohorts(
     )
 
 
+def seasonal_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: tuple[str, ...] = ("event_type",),
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (key, hour-of-day)
+    learns its own mean value from the WHOLE series, and events whose
+    value exceeds ``threshold`` x their seasonal mean are flagged —
+    the calendar-profile complement to the trailing-window z-score
+    (anomaly_zscore): a nightly batch job that looks huge against the
+    3am baseline but normal against 3pm is exactly what a trailing
+    window misses.
+
+    Determinism: seasonal means are SUM(DECIMAL)/COUNT of exact sums
+    (order-free); the ratio math happens once per row against those
+    exact aggregates. Plan: one (keys, hod) aggregation + one
+    broadcast-sized profile join back (key x 24 rows — dimension-sized
+    by construction at any corpus scale).
+
+    Output: flagged events (keys, event_id, ts, value, seasonal_mean,
+    ratio), ratio descending per key."""
+    keys = [F.col(k) for k in key_cols]
+    hod = F.hour(F.col(ts_col)).alias("hod")
+    profile = (
+        events.groupBy(*keys, hod)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            *key_cols,
+            "hod",
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+                "seasonal_mean"
+            ),
+        )
+    )
+    enriched = events.withColumn("hod", F.hour(F.col(ts_col))).join(
+        F.broadcast(profile), on=[*key_cols, "hod"]
+    )
+    ratio = F.col(value_col).cast("double") / F.col("seasonal_mean")
+    return (
+        enriched.filter(
+            (F.col("seasonal_mean") > 0) & (ratio >= F.lit(threshold))
+        )
+        .select(
+            *key_cols,
+            "event_id",
+            F.col(ts_col),
+            F.col(value_col),
+            "seasonal_mean",
+            ratio.alias("ratio"),
+        )
+    )
+
+
 def anomaly_zscore(
     events: DataFrame,
     ts_col: str = "ts",

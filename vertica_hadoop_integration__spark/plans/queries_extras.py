@@ -2816,6 +2816,35 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH p AS (
+      SELECT event_type, hour(ts) AS hod,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS seasonal_mean
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_type, e.event_id, e.ts, e.value, p.seasonal_mean,
+           CAST(e.value AS DOUBLE) / p.seasonal_mean AS ratio
+    FROM events e JOIN p ON p.event_type = e.event_type
+                        AND p.hod = hour(e.ts)
+    WHERE p.seasonal_mean > 0
+      AND CAST(e.value AS DOUBLE) / p.seasonal_mean >= 4.0
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-profile anomaly detection (operators/temporal.py::
+    seasonal_anomaly): per (event_type, hour-of-day) seasonal mean from
+    exact DECIMAL sums, events at >= 4x their seasonal baseline
+    flagged. The profile is dimension-sized (types x 24) and broadcast;
+    complements the trailing-window z-score, which cannot see
+    time-of-day structure."""
+    from ..operators.temporal import seasonal_anomaly
+
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly(e, threshold=4.0)
+
+
+@register(
     "stats_linreg_per_group",
     oracle="""
     WITH d AS (

@@ -518,6 +518,84 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(e, q, k=5, m=8, n_codes=16, every_nth=10)
 
 
+@register(
+    "ann_ivf_pq_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM q, cent) WHERE rn <= 3),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id),
+    cb AS (SELECT CAST(vec_id / 10 AS INT) AS j, v FROM c
+           WHERE vec_id % 10 = 0 AND vec_id < 160),
+    cbl AS (SELECT j, r.range AS d, v[CAST(r.range + 1 AS INT)] AS cv
+            FROM cb CROSS JOIN range(64) r),
+    xl AS (SELECT vec_id, r.range AS d, v[CAST(r.range + 1 AS INT)] AS xv
+           FROM c CROSS JOIN range(64) r),
+    ed AS (
+        SELECT x.vec_id, CAST(x.d // 8 AS INT) AS s, cb.j,
+               SUM(CAST((x.xv - cb.cv) * (x.xv - cb.cv) AS DECIMAL(30,15)))
+                   AS dist
+        FROM xl x JOIN cbl cb ON cb.d = x.d GROUP BY 1, 2, 3),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rn
+            FROM ed) WHERE rn = 1),
+    ql AS (SELECT vec_id AS query_id, r.range AS d,
+                  v[CAST(r.range + 1 AS INT)] AS xv
+           FROM c CROSS JOIN range(64) r WHERE vec_id < 5),
+    lut AS (
+        SELECT ql.query_id, CAST(ql.d // 8 AS INT) AS s, cb.j,
+               SUM(CAST((ql.xv - cb.cv) * (ql.xv - cb.cv) AS DECIMAL(30,15)))
+                   AS qdist
+        FROM ql JOIN cbl cb ON cb.d = ql.d GROUP BY 1, 2, 3),
+    adc AS (
+        SELECT cand.query_id, cd.vec_id AS neighbor_id, SUM(l.qdist) AS a
+        FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
+                  JOIN lut l ON l.query_id = cand.query_id
+                            AND l.s = cd.s AND l.j = cd.code
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, neighbor_id, a,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY a, neighbor_id) AS rnk
+        FROM adc)
+    SELECT query_id, neighbor_id, CAST(a AS DOUBLE) AS approx_l2sq,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack composed (operators/similarity.py::
+    ivf_pq_topk): IVF nprobe bucket selection cuts WHICH vectors a
+    query touches; PQ codes + broadcast LUT cut WHAT each touched
+    vector costs. Both stages individually oracle-proven
+    (ann_ivf_topk, ann_pq_topk); here the composition itself is
+    replayed end to end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ivf_pq_topk(e, q, k=5, every_nth_ivf=50, nprobe=3)
+
+
+
 def _lsh_planes_sql(num_planes: int = 6, seed: int = 42, dim: int = 64) -> list[str]:
     """The exact hyperplane literals lsh_bucket_signature derives from the
     seed (operators/similarity.py::_planes_df draws planes outer, dims
