@@ -134,6 +134,12 @@ def triangle_count(
         F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
         F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
     ).filter(F.col("u") != F.col("v")).distinct()
+    # note: the edge list feeds degrees and both orientation joins, but
+    # interleaved A/B at sf0.1 showed neither persist() nor an eager
+    # localCheckpoint beats recomputation here (medians 16.0/16.3 vs
+    # 14.2s plain — the wedge join dominates, and caching only adds
+    # memory pressure); at cluster scale, write the canonical edge list
+    # once and read it back instead
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
