@@ -279,6 +279,47 @@ def test_bpe_learn_matches_python_reference(spark, sf_dir):
     assert got2 == ref_bpe(wc2, 4)
 
 
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """bpe_encode must reproduce a pure-Python application of the same
+    merge table (token counts per doc), and encoding with learned
+    merges must never increase token count vs characters."""
+    from vertica_hadoop_integration__spark.operators.text import (
+        bpe_encode,
+        bpe_learn,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    merges = [
+        (r.left_sym, r.right_sym) for r in bpe_learn(d, num_merges=6).collect()
+    ]
+    assert len(merges) == 6
+    got = {
+        r.doc_id: (r.n_char_tokens, r.n_bpe_tokens)
+        for r in bpe_encode(d, merges).collect()
+    }
+
+    def py_apply(word):
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for row in d.select("doc_id", "text").collect():
+        words = row["text"].lower().strip().split()
+        want_chars = sum(len(w) for w in words)
+        want_bpe = sum(len(py_apply(w)) for w in words)
+        assert got[row["doc_id"]] == (want_chars, want_bpe)
+        assert want_bpe <= want_chars
+
+
 def test_lsh_topk_shapes_and_selfconsistency(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)

@@ -51,6 +51,7 @@ SCALAR_BROADCAST_OK = {
     "events_decayed_value",         # 1-row max-timestamp anchor scalar
     "graph_pagerank_parts",         # 1-row node-count scalar per iteration
     "text_bigram_logprob",          # 1-row corpus-token-total scalar
+    "corpus_curriculum_order",      # 1-row quartile-thresholds scalar
     "dq_referential_integrity",     # 1-row orphan-count x 1-row total join
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK

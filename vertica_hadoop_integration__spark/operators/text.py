@@ -543,6 +543,70 @@ def bpe_learn(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the tokenizer's
+    ENCODE side (bpe_learn is the train side). Merges are applied in
+    rank order, each as the same greedy left-to-right non-overlapping
+    rewrite the trainer used (_bpe_merge_pair semantics), so encoding
+    reproduces exactly the symbol state training reached. One Arrow
+    pass; the merge table (a tokenizer's merges.txt — bounded by
+    construction) ships in the UDF closure. Output per doc:
+    (id, n_chars_tokens, n_bpe_tokens, compression_ratio) — the
+    token-budget statistic sequence packing consumes."""
+    import pandas as pd
+
+    mlist = [(str(l), str(r)) for l, r in merges]
+
+    def _apply(word: str) -> list[str]:
+        syms = list(word)
+        for l, r in mlist:
+            out, i = [], 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            ids, nch, nbpe = [], [], []
+            for did, text in zip(pdf[id_col].astype("int64"), pdf[text_col]):
+                words = str(text).lower().strip().split()
+                total_chars = sum(len(w) for w in words)
+                total_bpe = sum(len(_apply(w)) for w in words)
+                ids.append(int(did))
+                nch.append(total_chars)
+                nbpe.append(total_bpe)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_char_tokens": nch,
+                    "n_bpe_tokens": nbpe,
+                    "compression_ratio": [
+                        (c / b if b else 0.0) for c, b in zip(nch, nbpe)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, n_char_tokens long, n_bpe_tokens long, "
+            "compression_ratio double"
+        ),
+    )
+
+
 # -- inverted-index full-text search ---------------------------------------
 def inverted_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

@@ -925,3 +925,70 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return funnel(e, stages=("view", "click", "purchase"), max_lag="30 minutes")
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle="""
+    WITH thr AS (
+        SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.5)  AS q2,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+        FROM documents),
+    staged AS (
+        SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+               1 + (CASE WHEN CAST(d.n_chars AS DOUBLE) > thr.q1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN CAST(d.n_chars AS DOUBLE) > thr.q2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN CAST(d.n_chars AS DOUBLE) > thr.q3 THEN 1 ELSE 0 END)
+                   AS stage,
+               md5('curriculum:' || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents d, thr)
+    SELECT doc_id, n_chars, CAST(stage AS INT) AS stage,
+           CAST(row_number() OVER (PARTITION BY stage
+                                   ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS stage_rank
+    FROM staged
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: docs binned into 4 length
+    stages by EXACT corpus quartiles (short-first — the standard
+    easy-to-hard curriculum), deterministically shuffled WITHIN each
+    stage by a salted md5 so rerun order is identical. A trainer reads
+    stages in order, each internally shuffled. Plan: one exact-
+    percentile pass broadcast as a 1-row scalar, one stage-partitioned
+    rank window (4 partitions; at 100 TB write each stage with
+    repartitionByRange on the shuffle key instead of ranking — same
+    determinism, no single-stage window). Oracle replays thresholds
+    (quantile_cont == Spark percentile bit-for-bit), staging, and the
+    in-stage shuffle rank."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    thr = d.agg(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.25)").alias("q1"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("q2"),
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.75)").alias("q3"),
+    )
+    nc = F.col("n_chars").cast("double")
+    stage = (
+        F.lit(1)
+        + F.when(nc > F.col("q1"), 1).otherwise(0)
+        + F.when(nc > F.col("q2"), 1).otherwise(0)
+        + F.when(nc > F.col("q3"), 1).otherwise(0)
+    )
+    staged = d.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        stage.cast("int").alias("stage"),
+        F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))).alias(
+            "_sk"
+        ),
+    )
+    w = Window.partitionBy("stage").orderBy("_sk", "doc_id")
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "stage",
+        F.row_number().over(w).cast("long").alias("stage_rank"),
+    )

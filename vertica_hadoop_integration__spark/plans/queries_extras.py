@@ -268,6 +268,25 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(d, num_merges=8)
 
 
+@register("text_bpe_encode")  # rows-only: train-then-encode composition
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop closed: learn 8 BPE merges from the corpus
+    (bpe_learn), then ENCODE the corpus with them (operators/text.py::
+    bpe_encode — one Arrow pass, merge table in the closure). Output is
+    the per-doc token-budget statistic sequence packing consumes
+    (n_char_tokens, n_bpe_tokens, compression_ratio). Rows-only
+    (iterative train + Python encode); encode parity vs a pure-Python
+    reference and monotonicity (bpe <= chars, ratio >= 1) are
+    pytest-pinned."""
+    from ..operators.text import bpe_encode, bpe_learn
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym) for r in bpe_learn(d, num_merges=8).collect()
+    ]
+    return bpe_encode(d, merges)
+
+
 @register(
     "corpus_chunk_documents",
     oracle=r"""

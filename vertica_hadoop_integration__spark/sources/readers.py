@@ -86,3 +86,38 @@ def read_csv_staging(
     (sqoop_pyhive.py:28-40). Explicit schema avoids a full inference scan —
     mandatory at scale."""
     return spark.read.csv(path, schema=schema, sep=sep, header=False)
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema=None,
+) -> DataFrame:
+    """Read a directory whose parquet files span SCHEMA GENERATIONS —
+    the long-lived-table reality at 100 TB: columns get added, old
+    files never get rewritten. ``mergeSchema`` unions the per-file
+    schemas (files missing a column read it as NULL); if
+    ``target_schema`` (a StructType) is given, the result is CONFORMED
+    to it — missing columns materialized as typed NULLs, every column
+    cast to the target type (safe widenings like int->long, float->
+    double), extra columns dropped, column order fixed. That makes the
+    reader's contract independent of which generation a file came
+    from, so downstream plans never see a schema flap.
+
+    Schema merge reads footers only (no data pass); the conform step
+    is a pure projection. Incompatible type changes (e.g. string ->
+    long) surface as an AnalysisException at plan time rather than
+    silent corruption — by design."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is None:
+        return df
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in target_schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
