@@ -68,3 +68,67 @@ def test_stream_ivf_index_matches_batch_and_replay_safe(spark, sf_dir, tmp_path)
     q2.awaitTermination(240)
     n_after = spark.read.option("recursiveFileLookup", "true").parquet(deltas).count()
     assert n_before == n_after == e.count()
+
+
+def test_stream_partitioned_load_lands_partitions_replay_safe(spark, sf_dir, tmp_path):
+    """Two micro-batches with overlapping event dates -> hive layout
+    holds exactly the union; checkpoint replay adds nothing; a reader
+    predicate on the partition column prunes (PartitionFilters)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.streaming.loader import (
+        stream_partitioned_load,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    src = tmp_path / "pl_src"
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    dest = str(tmp_path / "pl_dest")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return stream_partitioned_load(
+            stream,
+            dest_dir=dest,
+            ledger_path=str(tmp_path / "pl_led"),
+            partition_cols=["event_date"],
+            checkpoint_dir=str(tmp_path / "pl_ckpt"),
+        )
+
+    q = _start()
+    q.awaitTermination(240)
+    landed = spark.read.parquet(dest)
+    assert landed.count() == e.count()
+    # two-level layout: batch=<id>/event_date=<d>/
+    bdirs = [d for d in os.listdir(dest) if d.startswith("batch=")]
+    assert len(bdirs) == 2
+    assert any(
+        d.startswith("event_date=") for d in os.listdir(os.path.join(dest, bdirs[0]))
+    )
+
+    # replay: no new files -> content unchanged
+    q2 = _start()
+    q2.awaitTermination(240)
+    assert spark.read.parquet(dest).count() == e.count()
+
+    # partition pruning works on the landed layout
+    day = landed.select(F.min("event_date").alias("d")).collect()[0]["d"]
+    qd = spark.read.parquet(dest).filter(F.col("event_date") == day)
+    plan = qd._sc._jvm.PythonSQLUtils.explainString(
+        qd._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan

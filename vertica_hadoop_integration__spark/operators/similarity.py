@@ -430,8 +430,8 @@ def brute_force_topk_matrix(
     batch), then a global window keeps the true top-k. This is the
     100 TB shape — per-partition partial reduction before any shuffle;
     the shuffle carries k x queries x partitions rows, never the
-    corpus. ~50x faster than the per-row fold/scalar-UDF kernels at
-    2000x2000 (0.9s vs 45.6/86s measured at sf0.1); agreement with the
+    corpus. ~40-70x faster than the per-row fold/scalar-UDF kernels at
+    2000x2000 (1.2s steady / 7.4s cold vs 45.6/86s measured at sf0.1); agreement with the
     fold kernel is ~1e-12 (numpy summation order), so use
     brute_force_topk where oracle bit-parity matters."""
     import numpy as np

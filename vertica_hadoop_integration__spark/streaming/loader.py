@@ -57,3 +57,53 @@ def stream_load(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_partitioned_load(
+    events,
+    dest_dir: str,
+    ledger_path: str,
+    partition_cols: list[str],
+    table_name: str = "events_partitioned",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingest into a two-level hive layout:
+    ``batch=<id>/pcol=value/`` — the batch level gives exactly-once
+    (each micro-batch is one atomic directory rename; a replayed or
+    half-written batch never double-appends), the data-partition level
+    gives plan-time pruning (Spark's partition discovery exposes BOTH
+    levels as columns, and a predicate on the partition column prunes
+    directories inside every batch).
+
+    Why not dynamic partition overwrite per batch: two micro-batches
+    carrying rows for the SAME date would each overwrite that date's
+    partition with only their own rows — streaming appends must be
+    batch-keyed. Fold batches together on a compaction cadence
+    (sources/maintenance.py::compact_path or a write_partitioned
+    rewrite) once a partition stops receiving data. Returns the
+    StreamingQuery."""
+    import uuid as _uuid
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = Ledger(spark, ledger_path)
+        key = str(batch_id)
+        ledger.enqueue_whole_table(f"{table_name}#{key}", "stream", 1)
+        if not ledger.pending_exists(f"{table_name}#{key}"):
+            return  # replayed, already complete
+        tmp = os.path.join(dest_dir, f".inprogress-{_uuid.uuid4().hex[:8]}")
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+        os.replace(tmp, os.path.join(dest_dir, f"batch={key}"))
+        ledger.mark_complete(f"{table_name}#{key}", None)
+
+    writer = events.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
