@@ -104,6 +104,9 @@ HEADLINE = [
     "text_bpe_merge_step",
     "ann_ivf_pq_topk",
     "events_seasonal_anomaly",
+    "dedup_threshold_sweep",
+    "corpus_curriculum_order",
+    "text_bpe_encode",
 ]
 
 
