@@ -132,3 +132,55 @@ def test_stream_partitioned_load_lands_partitions_replay_safe(spark, sf_dir, tmp
         qd._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan
+
+
+def test_ann_index_compaction_probe_zero_exchange(spark, sf_dir, tmp_path):
+    """After compaction the IVF index is centroid-bucketed: a probe
+    join whose probe side shares the bucket layout runs with ZERO
+    exchange, and content equals the delta union."""
+    from vertica_hadoop_integration__spark.streaming.ann_index import (
+        bootstrap_centroids,
+        compact_ann_index,
+        stream_embedding_index_load,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdir = str(tmp_path / "cents2")
+    bootstrap_centroids(e, cdir, every_nth=50)
+    src = tmp_path / "vecsrc2"
+    e.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(e.schema).parquet(str(src))
+    q = stream_embedding_index_load(
+        stream, centroids_dir=cdir, deltas_dir=str(tmp_path / "d2"),
+        ledger_path=str(tmp_path / "l2"), checkpoint_dir=str(tmp_path / "c2"),
+    )
+    q.awaitTermination(240)
+
+    compact_ann_index(spark, str(tmp_path / "d2"), "ivf_base_test", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = spark.table("ivf_base_test")
+        assert base.count() == e.count()
+        from vertica_hadoop_integration__spark.sources.writers import (
+            write_bucketed,
+        )
+
+        probes = base.select("centroid_id").distinct().limit(3)
+        write_bucketed(
+            probes, "ivf_probe_cents", ["centroid_id"], num_buckets=4,
+            sort_cols=["centroid_id"],
+        )
+        joined = spark.table("ivf_base_test").join(
+            spark.table("ivf_probe_cents"), on="centroid_id"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree and tree.count("Exchange") == 0, tree
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ivf_base_test")
+        spark.sql("DROP TABLE IF EXISTS ivf_probe_cents")

@@ -113,3 +113,27 @@ def probe_index(
         vec_col=vec_col,
         index=(cents, assigned),
     )
+
+
+def compact_ann_index(
+    spark,
+    deltas_dir: str,
+    base_table: str,
+    buckets: int = 16,
+) -> None:
+    """Fold the streamed assignment deltas into a centroid-bucketed,
+    sorted base table (streaming/indexing.py::compact_index's contract,
+    for vectors): probe joins against the compacted base run with the
+    index side pre-partitioned on centroid_id — co-located, no
+    exchange when the probe side shares the layout, bucket-pruned
+    otherwise. Runs on its own cadence, independent of ingest."""
+    from ..sources.writers import write_bucketed
+
+    idx = spark.read.option("recursiveFileLookup", "true").parquet(deltas_dir)
+    write_bucketed(
+        idx,
+        base_table,
+        bucket_cols=["centroid_id"],
+        num_buckets=buckets,
+        sort_cols=["centroid_id", "vec_id"],
+    )
