@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "corpus_curriculum_order",
     "text_bpe_encode",
+    "corpus_mixture_rebalance",
+    "corpus_length_bucketing",
 ]
 
 

@@ -52,6 +52,7 @@ SCALAR_BROADCAST_OK = {
     "graph_pagerank_parts",         # 1-row node-count scalar per iteration
     "text_bigram_logprob",          # 1-row corpus-token-total scalar
     "corpus_curriculum_order",      # 1-row quartile-thresholds scalar
+    "corpus_mixture_rebalance",     # 1-row token-total + kept-total scalars
     "dq_referential_integrity",     # 1-row orphan-count x 1-row total join
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK

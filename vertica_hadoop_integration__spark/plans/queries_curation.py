@@ -992,3 +992,120 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.row_number().over(w).cast("long").alias("stage_rank"),
     )
+
+
+@register(
+    "corpus_mixture_rebalance",
+    oracle=r"""
+    WITH g AS (
+        SELECT source,
+               SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                        AS BIGINT)) AS toks
+        FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(toks) AS total FROM g),
+    r AS (
+        SELECT g.source, g.toks,
+               CAST(g.toks AS DOUBLE) / CAST(tot.total AS DOUBLE) AS cur_share,
+               least(1.0, 0.05 / (CAST(g.toks AS DOUBLE)
+                                  / CAST(tot.total AS DOUBLE)))
+                   AS acceptance_ratio,
+               CAST(CAST(g.toks AS DOUBLE)
+                    * least(1.0, 0.05 / (CAST(g.toks AS DOUBLE)
+                                         / CAST(tot.total AS DOUBLE)))
+                    AS DECIMAL(30,6)) AS kept_dec
+        FROM g CROSS JOIN tot),
+    k AS (SELECT SUM(kept_dec) AS total_kept FROM r)
+    SELECT r.source, CAST(r.toks AS BIGINT) AS n_tokens, r.cur_share,
+           r.acceptance_ratio,
+           CAST(r.kept_dec AS DOUBLE) AS expected_kept_tokens,
+           CAST(r.kept_dec AS DOUBLE) / CAST(k.total_kept AS DOUBLE)
+               AS rebalanced_share
+    FROM r CROSS JOIN k
+    """,
+)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing toward a UNIFORM domain target (0.05/source):
+    per source, the acceptance ratio min(1, target/current token share)
+    downsamples over-represented domains without upsampling anyone —
+    one aggregation pass plus two 1-row scalar broadcasts; the
+    downstream sampler applies the ratio with the deterministic md5
+    machinery corpus_weighted_sample uses. Expected-kept sums go
+    through DECIMAL so the projected mixture is order-free and
+    oracle-exact."""
+    from ..functions.text_fns import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("_t")
+    ).groupBy("source").agg(F.sum("_t").alias("toks"))
+    tot = g.agg(F.sum("toks").alias("total"))
+    cur = F.col("toks").cast("double") / F.col("total").cast("double")
+    ratio = F.least(F.lit(1.0), F.lit(0.05) / cur)
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("toks"),
+        cur.alias("cur_share"),
+        ratio.alias("acceptance_ratio"),
+        (F.col("toks").cast("double") * ratio).cast("decimal(30,6)").alias("_kd"),
+    )
+    k = r.agg(F.sum("_kd").alias("_tk"))
+    return r.crossJoin(F.broadcast(k)).select(
+        "source",
+        F.col("toks").cast("long").alias("n_tokens"),
+        "cur_share",
+        "acceptance_ratio",
+        F.col("_kd").cast("double").alias("expected_kept_tokens"),
+        (F.col("_kd").cast("double") / F.col("_tk").cast("double")).alias(
+            "rebalanced_share"
+        ),
+    )
+
+
+@register(
+    "corpus_length_bucketing",
+    oracle=r"""
+    WITH d AS (
+        SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT n_tokens,
+               CAST(power(2, CAST(ceil(log2(CAST(greatest(n_tokens, 1)
+                                                 AS DOUBLE))) AS BIGINT))
+                    AS BIGINT) AS bucket
+        FROM d)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_tokens,
+           CAST(SUM(bucket - n_tokens) AS DOUBLE)
+               / CAST(SUM(bucket) AS DOUBLE) AS padding_frac
+    FROM b GROUP BY 1
+    """,
+)
+def corpus_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report: docs binned to power-of-two
+    token buckets (the pad-to-bucket training batching scheme); per
+    bucket the doc/token counts and the PADDING WASTE a trainer pays —
+    the statistic that decides bucket granularity vs packing
+    (corpus_pack_sequences is the zero-padding alternative). Pure
+    scan-stage math + one aggregation; integer sums, engine-exact."""
+    from ..functions.text_fns import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("long")
+    bucket = F.pow(
+        F.lit(2.0),
+        F.ceil(F.log2(F.greatest(n, F.lit(1)).cast("double"))).cast("long"),
+    ).cast("long")
+    b = d.select(n.alias("n_tokens"), bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).cast("long").alias(
+            "padding_tokens"
+        ),
+        (
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("double")
+            / F.sum("bucket").cast("double")
+        ).alias("padding_frac"),
+    )
