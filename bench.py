@@ -109,6 +109,7 @@ HEADLINE = [
     "text_bpe_encode",
     "corpus_mixture_rebalance",
     "corpus_length_bucketing",
+    "events_value_histogram",
 ]
 
 

@@ -3043,3 +3043,60 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     idx = S.build_ivf_index(e, every_nth=50, kmeans_iters=3)
     return S.ivf_topk(e, q, k=5, nprobe=3, index=idx)
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, min(CAST(value AS DOUBLE)) AS lo,
+               max(CAST(value AS DOUBLE)) AS hi
+        FROM events GROUP BY 1),
+    x AS (
+        SELECT e.event_type,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(least(19, CAST(floor(
+                        (CAST(e.value AS DOUBLE) - b.lo)
+                        / ((b.hi - b.lo) / 20.0)) AS BIGINT)) AS INT)
+               END AS bin,
+               b.lo, b.hi
+        FROM events e JOIN b USING (event_type))
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           lo + bin * ((hi - lo) / 20.0) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY event_type, bin, lo, hi
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-width 20-bin value histogram — the distribution
+    profile a quality/drift monitor reads. Per-type [min, max] is a
+    dimension-sized broadcast; binning is scan-stage arithmetic with
+    IDENTICAL association on both engines ((v - lo) / ((hi - lo)/20)),
+    so boundary values floor into the same bin; the top bin absorbs
+    v == max via least(19, .). Degenerate all-equal types collapse to
+    bin 0."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binc = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value").cast("double") - F.col("lo")) / width
+            ).cast("long"),
+        ).cast("int")
+    )
+    x = e.join(F.broadcast(b), on="event_type").select(
+        "event_type", binc.alias("bin"), "lo", "hi"
+    )
+    return x.groupBy("event_type", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    ).select(
+        "event_type",
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / F.lit(20.0))).alias("bin_lo"),
+        "n_events",
+    )
