@@ -110,6 +110,7 @@ HEADLINE = [
     "corpus_mixture_rebalance",
     "corpus_length_bucketing",
     "events_value_histogram",
+    "sketch_kmv_set_ops",
 ]
 
 

@@ -53,6 +53,7 @@ SCALAR_BROADCAST_OK = {
     "text_bigram_logprob",          # 1-row corpus-token-total scalar
     "corpus_curriculum_order",      # 1-row quartile-thresholds scalar
     "corpus_mixture_rebalance",     # 1-row token-total + kept-total scalars
+    "sketch_kmv_set_ops",           # three 1-row sketch-estimate scalars
     "dq_referential_integrity",     # 1-row orphan-count x 1-row total join
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK

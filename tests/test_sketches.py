@@ -203,3 +203,28 @@ def test_countmin_tight_for_unique_stream(spark):
     )
     [row] = est.collect()
     assert 500 <= row["est_cnt"] <= 550
+
+
+def test_kmv_set_ops_discriminates_overlap(spark):
+    """The set-ops estimator must see full overlap, partial overlap,
+    and disjointness for what they are, with KMV-grade error."""
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        kmv_set_ops_portable,
+    )
+
+    a = spark.range(0, 2000).selectExpr("id AS k")
+    b_full = a
+    b_half = spark.range(1000, 3000).selectExpr("id AS k")
+    b_none = spark.range(5000, 7000).selectExpr("id AS k")
+
+    full = kmv_set_ops_portable(a, "k", b_full, "k", k=64).collect()[0]
+    assert full.jaccard_est == 1.0
+    assert abs(full.est_intersection - 2000) / 2000 < 0.5
+
+    half = kmv_set_ops_portable(a, "k", b_half, "k", k=64).collect()[0]
+    # true J = 1000/3000; KMV jaccard error ~1/sqrt(k)
+    assert 0.1 < half.jaccard_est < 0.6, half
+    assert 300 < half.est_intersection < 2200, half
+
+    none = kmv_set_ops_portable(a, "k", b_none, "k", k=64).collect()[0]
+    assert none.jaccard_est == 0.0 and none.est_intersection == 0.0

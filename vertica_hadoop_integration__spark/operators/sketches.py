@@ -219,3 +219,67 @@ def countmin_estimate(
     return joined.groupBy(col).agg(
         F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("est_cnt")
     )
+
+
+def kmv_set_ops_portable(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV SET-OPERATION estimates from two bottom-k sketches — the
+    join-planning primitive: estimated distinct |A|, |B|, |A u B|,
+    Jaccard, and |A n B| WITHOUT touching full data (each side reduces
+    to k hashes; at 100 TB the sketches are built in each table's
+    ingest pass and this merge is driver-trivial). Standard KMV
+    algebra: the union sketch is the bottom-k of the merged sketches,
+    J_est = |{h in union sketch : h in both sketches}| / k, and
+    |A n B| ~= J_est * |A u B|_est. Portable md5-60 hashing end to
+    end, estimate arithmetic associated exactly as the oracle writes
+    it — the whole estimator replays in SQL. Exact-count error bounds
+    are pytest-asserted; xxhash64 remains the production hash."""
+    from ..functions.text_fns import md5_hash60
+
+    def bottom_k(df, col):
+        # orderBy + limit plans as TakeOrderedAndProject: per-partition
+        # partial bottom-k merged on the driver — the mergeable-sketch
+        # shape, no single-partition window
+        hashed = df.select(md5_hash60(F.col(col).cast("string")).alias("_h")).distinct()
+        return hashed.orderBy(F.col("_h").asc()).limit(k)
+
+    ka = bottom_k(df_a, col_a).withColumn("_in_a", F.lit(1))
+    kb = bottom_k(df_b, col_b).withColumn("_in_b", F.lit(1))
+    merged = (
+        ka.select("_h", "_in_a", F.lit(0).alias("_in_b"))
+        .unionByName(kb.select("_h", F.lit(0).alias("_in_a"), "_in_b"))
+        .groupBy("_h")
+        .agg(F.max("_in_a").alias("a"), F.max("_in_b").alias("b"))
+    )
+    u_sketch = merged.orderBy(F.col("_h").asc()).limit(k)
+    uval = (F.col("_mx").cast("double") + F.lit(1.0)) / F.lit(
+        1152921504606846976.0
+    )
+    agg = u_sketch.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_h").alias("_mx"),
+        F.sum(F.col("a") * F.col("b")).alias("_both"),
+    )
+    union_est = F.when(F.col("_m") < k, F.col("_m").cast("double")).otherwise(
+        F.lit(float(k - 1)) / uval
+    )
+    j_est = F.col("_both").cast("double") / F.col("_m").cast("double")
+    est_a = kmv_distinct_portable(df_a, col_a, k=k).select(
+        F.col("distinct_est").alias("est_a")
+    )
+    est_b = kmv_distinct_portable(df_b, col_b, k=k).select(
+        F.col("distinct_est").alias("est_b")
+    )
+    out = agg.select(
+        union_est.alias("est_union"),
+        j_est.alias("jaccard_est"),
+        (j_est * union_est).alias("est_intersection"),
+    )
+    return out.crossJoin(F.broadcast(est_a)).crossJoin(F.broadcast(est_b)).select(
+        "est_a", "est_b", "est_union", "jaccard_est", "est_intersection"
+    )

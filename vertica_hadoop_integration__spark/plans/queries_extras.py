@@ -3100,3 +3100,53 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / F.lit(20.0))).alias("bin_lo"),
         "n_events",
     )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH ha AS (SELECT DISTINCT {_H60.format(x="CAST(o_custkey AS VARCHAR)")} AS h
+                FROM orders),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    hb AS (SELECT DISTINCT {_H60.format(x="CAST(c_custkey AS VARCHAR)")} AS h
+           FROM customer),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    m AS (SELECT h, max(a) AS a, max(b) AS b FROM (
+            SELECT h, 1 AS a, 0 AS b FROM ka
+            UNION ALL SELECT h, 0, 1 FROM kb) GROUP BY h),
+    us AS (SELECT * FROM m ORDER BY h LIMIT 64),
+    agg AS (SELECT count(*) AS m, max(h) AS mx, SUM(a * b) AS both FROM us),
+    ea AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 63.0 / max((CAST(h AS DOUBLE) + 1.0)
+                                       / 1152921504606846976.0) END AS est_a
+           FROM ka),
+    eb AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 63.0 / max((CAST(h AS DOUBLE) + 1.0)
+                                       / 1152921504606846976.0) END AS est_b
+           FROM kb)
+    SELECT ea.est_a, eb.est_b,
+           CASE WHEN agg.m < 64 THEN CAST(agg.m AS DOUBLE)
+                ELSE 63.0 / ((CAST(agg.mx AS DOUBLE) + 1.0)
+                             / 1152921504606846976.0) END AS est_union,
+           CAST(agg.both AS DOUBLE) / CAST(agg.m AS DOUBLE) AS jaccard_est,
+           (CAST(agg.both AS DOUBLE) / CAST(agg.m AS DOUBLE))
+           * (CASE WHEN agg.m < 64 THEN CAST(agg.m AS DOUBLE)
+                   ELSE 63.0 / ((CAST(agg.mx AS DOUBLE) + 1.0)
+                                / 1152921504606846976.0) END)
+               AS est_intersection
+    FROM agg CROSS JOIN ea CROSS JOIN eb
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates between orders.o_custkey and
+    customer.c_custkey (operators/sketches.py::kmv_set_ops_portable):
+    distinct |A|, |B|, |A u B|, Jaccard, |A n B| from two 64-hash
+    sketches — the join-cardinality planning primitive; the whole
+    estimator (bottom-k selection via TakeOrderedAndProject, sketch
+    merge, estimate arithmetic) replays in SQL. Error bounds vs exact
+    counts are pytest-asserted on overlapping/disjoint fixtures."""
+    from ..operators.sketches import kmv_set_ops_portable
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return kmv_set_ops_portable(o, "o_custkey", c, "c_custkey", k=64)
