@@ -63,6 +63,46 @@ BNLJ_OK |= SCALAR_BROADCAST_OK
 # this — keep empty and let any appearance fail loudly).
 CARTESIAN_OK: set[str] = set()
 
+# Unpartitioned (global) WindowExec by design: every entry must justify a
+# BOUNDED input to the single-partition window — a global window over an
+# unbounded frame funnels the whole table through one task at 100 TB.
+# (The r04 verdict's two offenders, corpus_weighted_sample and
+# sketch_countmin_topk, were rewritten to mergeable orderBy+limit and are
+# deliberately NOT listed here.)
+GLOBAL_WINDOW_OK = {
+    "s12_salt_round_robin",      # dense row_number oracle twin; scale path
+                                 # is pmod (relational.py::salt_round_robin)
+    "text_collocations_pmi",     # rank over the post-limit top-50 rows only
+    "events_top_paths",          # rank over the post-limit top-20 rows only
+    "s7_rank_partitions",        # rank over the DISTINCT month list
+                                 # (relational.py::rank_newest_first —
+                                 # O(#months) input by construction)
+    "s8_skip_latest",            # same month-list rank, recency filter
+    "s10_pending_pipeline",      # flagship composes the same month rank
+}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Lines whose WindowExec has NO partition spec: the node prints
+    ``Window [functions], [orderSpec]`` (2 depth-0 bracket groups) when
+    unpartitioned vs ``Window [functions], [partSpec], [orderSpec]``."""
+    bad = []
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups, depth = 0, 0
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            bad.append(line.strip())
+    return bad
+
 # Queries whose FUNCTION performs driver-side iteration or side-effect
 # setup that makes repeated cheap plan-builds awkward; each has its own
 # dedicated test elsewhere.
@@ -84,4 +124,12 @@ def test_plan_has_no_accidental_all_pairs_join(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join — if a broadcast-by-design "
             "operator changed, extend BNLJ_OK with a justification"
+        )
+    if name not in GLOBAL_WINDOW_OK:
+        bad = _unpartitioned_windows(plan)
+        assert not bad, (
+            f"{name} plans an unpartitioned global WindowExec (whole input "
+            "funnels through ONE task at scale) — use a mergeable "
+            "orderBy+limit / partitioned window, or extend GLOBAL_WINDOW_OK "
+            f"with a boundedness justification: {bad[0]}"
         )

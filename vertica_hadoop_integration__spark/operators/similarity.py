@@ -577,7 +577,7 @@ def pq_topk(
     batch, zero expansion, code-parity pytest). Output:
     (query_id, neighbor_id, approx_l2sq, rank)."""
     codes, lut = _pq_codes_and_lut(
-        corpus, queries, m, n_codes, every_nth, id_col, vec_col
+        corpus, queries, m, n_codes, every_nth, id_col, vec_col, dim=dim
     )
     adc = (
         codes.join(
@@ -672,6 +672,7 @@ def ivf_pq_topk(
     m: int = 8,
     n_codes: int = 16,
     every_nth_pq: int = 10,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -713,7 +714,7 @@ def ivf_pq_topk(
         .select("query_id", F.col(id_col))
     )
     codes, lut = _pq_codes_and_lut(
-        corpus, queries, m, n_codes, every_nth_pq, id_col, vec_col
+        corpus, queries, m, n_codes, every_nth_pq, id_col, vec_col, dim=dim
     )
     adc = (
         cand.join(codes, on=id_col)

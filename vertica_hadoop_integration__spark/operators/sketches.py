@@ -41,18 +41,26 @@ def kmv_distinct(
 
     Plan shape: distinct on (group, hash) — the only wide exchange, and
     it carries hashes, not values — then a bounded top-k window (rank
-    <= k prunes partial-sort-side), then a tiny groupBy. No value ever
-    crosses the wire; memory per group is O(k)."""
+    <= k prunes partial-sort-side) per group, then a tiny groupBy; the
+    UNGROUPED sketch instead takes its bottom-k with orderBy+limit
+    (TakeOrderedAndProject — per-partition partial bottom-k heaps,
+    never a single-partition global window). No value ever crosses the
+    wire; memory per group is O(k)."""
     gcols = [F.col(g) for g in group_cols]
     # signed long -> (0, 1]: shift to unsigned range, scale by 2^64
     u = (F.col("_h").cast("double") + 9223372036854775808.0) / 18446744073709551616.0
     hashed = df.select(*gcols, F.xxhash64(F.col(col)).alias("_h")).distinct()
-    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.col("_h").asc())
-    topk = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .withColumn("_u", u)
-    )
+    if group_cols:
+        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+            F.col("_h").asc()
+        )
+        topk = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .withColumn("_u", u)
+        )
+    else:
+        topk = hashed.orderBy(F.col("_h").asc()).limit(k).withColumn("_u", u)
     agg = topk.groupBy(*[F.col(g) for g in group_cols]).agg(
         F.count(F.lit(1)).alias("_m"),
         F.max("_u").alias("_hk"),
@@ -88,15 +96,21 @@ def kmv_distinct_portable(
     hashed = df.select(
         *gcols, md5_hash60(F.col(col).cast("string")).alias("_h")
     ).distinct()
-    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(F.col("_h").asc())
     # 60-bit hash -> (0, 1]: (h + 1) / 2^60, associated exactly as the
     # oracle writes it so the doubles match bitwise
     u = (F.col("_h").cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
-    topk = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .withColumn("_u", u)
-    )
+    if group_cols:
+        w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+            F.col("_h").asc()
+        )
+        topk = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .withColumn("_u", u)
+        )
+    else:
+        # mergeable bottom-k (TakeOrderedAndProject), not a global window
+        topk = hashed.orderBy(F.col("_h").asc()).limit(k).withColumn("_u", u)
     agg = topk.groupBy(*[F.col(g) for g in group_cols]).agg(
         F.count(F.lit(1)).alias("_m"),
         F.max("_u").alias("_hk"),

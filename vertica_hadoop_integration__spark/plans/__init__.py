@@ -25,47 +25,48 @@ from . import (  # noqa: F401  (imported for registration side effects)
 )
 from .registry import ORACLES, QUERIES
 
-# Round-4 window: the rotation COMPLETES driver coverage.  These 50 names
-# are exactly the oracle-checked queries that have never received a green
-# driver CORRECTNESS row in rounds 1-3 (56 never-sampled + 4 sampled before
-# their oracle existed: array_functions errored in r01 on list-typed cells
-# and was rewritten to string-serialized arrays; ann_lsh_topk /
-# multimodal_features / multimodal_frame_sample were rows-only in r02 and
-# gained full oracles in r03).  Ten low-risk family variants are deferred to
-# the round-5 window (listed in ROADMAP.md) so that after r05 every
-# registered query has a driver row and the WINDOW list can be deleted in
-# favor of natural registration order.
+# Round-5 window: COMPLETES driver coverage.  41 queries have never had a
+# driver CORRECTNESS row across r01-r04 (27 oracle-checked + 14 rows-only;
+# the list below matches ROADMAP.md and the round-4 verdict's independent
+# recomputation).  The remaining 9 slots: dq_rules_orders (the one red r04
+# row — oracle BIGINT cast fixed this round, must show green), the two
+# queries whose registered plan changed this round (corpus_weighted_sample
+# and sketch_countmin_topk moved from a global row_number window to
+# mergeable orderBy+limit — result-identical, but the driver must confirm),
+# and 6 previously-green SENTINELS spanning the rotated-out families
+# (advisor ask: keep cross-round regressions in rotated-out queries visible
+# to the driver, not only to tools/check_correctness.py).  After r05 every
+# registered query has a driver row; the WINDOW indirection is then deleted.
 WINDOW = [
-    # TPC-H family (never driver-sampled)
-    "q2_min_cost_supplier", "q4_priority_check", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock", "q12_shipping_delay",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_part_attrs", "q17_small_qty_revenue",
-    "q19_disjunctive_revenue", "q20_part_promotion",
-    "q21_suppliers_kept_waiting", "q22_waiting_customers",
-    # temporal joins / gap fill / windows
-    "asof_join_forward", "asof_join_interpolate", "range_join_bucketed",
-    "events_gap_fill_locf", "events_gap_fill_interpolate",
-    "window_first_last_nth",
-    # event analytics
-    "events_funnel", "events_funnel_windowed", "events_retention_cohorts",
-    "events_transition_matrix", "events_interarrival_stats",
-    "events_top_paths",
-    # set mutation / quality / graph
-    "scd1_merge_upsert", "scd2_dimension_history", "scd2_asof_lookup",
-    "cdc_apply_orders", "dq_rules_orders", "dq_referential_integrity",
-    "graph_pagerank_parts",
-    # text
-    "text_repetition_signals", "text_tfidf_topterms",
-    "text_unigram_logprob", "text_collocations_pmi",
-    # corpus curation
-    "corpus_quality_stratified", "corpus_pack_sequences",
-    "corpus_chunk_documents", "corpus_contamination_score",
-    # embeddings / ANN / arrays
-    "ann_range_search", "ann_lsh_topk", "array_functions",
-    # multimodal (oracles added r03, never driver-green)
-    "multimodal_features", "multimodal_frame_sample",
+    # --- never-sampled, oracle-checked (27) ---
+    "dedup_threshold_sweep", "dedup_containment_clustered",
+    "embedding_hard_negatives", "embedding_label_noise",
+    "embedding_quantize_int8", "ann_pq_topk", "ann_ivf_pq_topk",
+    "text_feature_hashing", "text_redact_pii", "text_bigram_logprob",
+    "text_bpe_merge_step",
+    "corpus_sample_systematic", "corpus_length_histogram",
+    "corpus_curriculum_order", "corpus_mixture_rebalance",
+    "corpus_length_bucketing", "corpus_vocab_stats", "corpus_hash_split",
+    "corpus_domain_cap",
+    "events_dedup_exact", "events_anomaly_zscore",
+    "events_seasonal_anomaly", "events_value_histogram",
+    "multimodal_dedup_exact", "stats_linreg_per_group",
+    "graph_triangle_count", "sketch_kmv_set_ops",
+    # --- never-sampled, rows-only by design (14) ---
+    "multimodal_phash_dedup", "multimodal_audio_dedup",
+    "multimodal_audio_spectrum", "dedup_minhash_probe",
+    "embedding_kmeans", "pipeline_clean_corpus_clustered",
+    "ann_cosine_topk_arrow", "text_bpe_learn_merges", "text_bpe_encode",
+    "sketch_hll_distinct", "sketch_approx_quantiles",
+    "jsonl_ingest_roundtrip", "corpus_dedup_summary",
+    "ann_ivf_kmeans_topk",
+    # --- red-row re-verification (oracle BIGINT cast fixed r05) ---
+    "dq_rules_orders",
+    # --- plan changed r05 (global window -> mergeable top-k) ---
+    "corpus_weighted_sample", "sketch_countmin_topk",
+    # --- sentinels: previously driver-green, one per rotated-out family ---
+    "q1_pricing_summary", "s10_pending_pipeline", "dedup_minhash_portable",
+    "ann_ivf_topk", "text_quality_score", "events_sessionize",
 ]
 assert len(WINDOW) == 50 and len(set(WINDOW)) == 50
 _missing = [n for n in WINDOW if n not in QUERIES]

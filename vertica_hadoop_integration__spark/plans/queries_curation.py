@@ -859,12 +859,13 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     its id and is ranked by ln(u)/w with w = token count — the top-100
     keys ARE a weighted sample (longer docs proportionally likelier),
     and reruns pick the identical set (hash-derived u, no RNG state).
-    Map-only scoring + one top-k (TakeOrderedAndProject via the rank
-    window at scale sub in orderBy+limit); the mergeable top-k makes
-    this a single pass at 100 TB. Oracle replays hash, key, and
+    Map-only scoring + one mergeable top-k (orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition top-100 heaps merged on the
+    driver, never a full sort or a single-partition window) makes this
+    a single pass at 100 TB. The tie-break on doc_id is total, so the
+    top-100 set is deterministic. Oracle replays hash, key, and
     tie-break exactly."""
     from ..functions.text_fns import md5_hash60, token_count
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     u = (
@@ -878,13 +879,8 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = t.select("doc_id", "w", (F.log("u") / F.col("w")).alias("key"))
     return (
-        k.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("key").desc(), F.col("doc_id"))
-            ),
-        )
-        .filter(F.col("rn") <= 100)
+        k.orderBy(F.col("key").desc(), F.col("doc_id"))
+        .limit(100)
         .select("doc_id", F.col("w").alias("weight"))
     )
 

@@ -2404,24 +2404,16 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ::countmin_cells / countmin_estimate). The oracle replays sketch
     construction AND probing, so the driver verifies the estimator's
     overestimate behavior exactly — at 100 TB the 4096-cell sketch
-    replaces an unbroadcastable billions-row term-count table."""
-    from pyspark.sql import Window
-
+    replaces an unbroadcastable billions-row term-count table. The
+    exact-side top-20 is a mergeable orderBy+limit
+    (TakeOrderedAndProject with a total tie-break on term), never a
+    single-partition global window over the vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     from ..functions.text_fns import tokens
 
     tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
-    top = (
-        tc.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.orderBy(F.col("true_cnt").desc(), F.col("term"))
-            ),
-        )
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-    )
+    top = tc.orderBy(F.col("true_cnt").desc(), F.col("term")).limit(20)
     cells = K.countmin_cells(tok, "term", depth=4, width=1024)
     est = K.countmin_estimate(cells, top.select("term"), "term", depth=4, width=1024)
     return top.join(est, on="term").select("term", "true_cnt", "est_cnt")

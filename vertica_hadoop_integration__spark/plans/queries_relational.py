@@ -822,7 +822,8 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS date_out_of_range,
                SUM(CASE WHEN length(o_orderpriority) = 0 THEN 1 ELSE 0 END) AS empty_priority
         FROM orders)
-    SELECT r.rule, r.n_violations, w.n_rows FROM w,
+    SELECT r.rule, CAST(r.n_violations AS BIGINT) AS n_violations,
+           CAST(w.n_rows AS BIGINT) AS n_rows FROM w,
     LATERAL (VALUES ('nonpositive_price', nonpositive_price),
                     ('bad_status', bad_status),
                     ('null_custkey', null_custkey),

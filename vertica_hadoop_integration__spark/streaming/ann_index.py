@@ -101,9 +101,23 @@ def probe_index(
     """Top-k probe against the streamed index: union of landed deltas
     joined through the standard nprobe bucket path (operators/
     similarity.py::ivf_topk with a persisted index — no assignment
-    recompute, no corpus rescan)."""
+    recompute, no corpus rescan). A vector re-ingested with an updated
+    embedding appears in multiple batch deltas; only the LATEST batch's
+    row may be probed (otherwise stale and fresh rows both rank), so
+    the read keeps max-batch per vec_id — a vec_id-partitioned window,
+    never global."""
+    from pyspark.sql import Window
+
     cents = spark.read.parquet(centroids_dir)
-    assigned = spark.read.option("recursiveFileLookup", "true").parquet(deltas_dir)
+    # plain read (not recursiveFileLookup) so the batch=<id> directory
+    # level is inferred as a partition column we can dedup on
+    deltas = spark.read.parquet(deltas_dir)
+    wb = Window.partitionBy(id_col).orderBy(F.col("batch").cast("long").desc())
+    assigned = (
+        deltas.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch")
+    )
     return ivf_topk(
         assigned,  # corpus arg unused when index is passed
         queries,

@@ -13,6 +13,7 @@ granularity.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -92,13 +93,25 @@ def stream_partitioned_load(
         ledger.enqueue_whole_table(f"{table_name}#{key}", "stream", 1)
         if not ledger.pending_exists(f"{table_name}#{key}"):
             return  # replayed, already complete
+        dest = os.path.join(dest_dir, f"batch={key}")
+        if os.path.exists(dest):
+            # Crash window: the rename landed but mark_complete did not.
+            # The batch directory is complete (os.replace is atomic), so
+            # the replay must only finish the bookkeeping — re-writing
+            # would raise ENOTEMPTY on the replace and wedge the stream.
+            ledger.mark_complete(f"{table_name}#{key}", None)
+            return
         tmp = os.path.join(dest_dir, f".inprogress-{_uuid.uuid4().hex[:8]}")
-        (
-            batch_df.write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .parquet(tmp)
-        )
-        os.replace(tmp, os.path.join(dest_dir, f"batch={key}"))
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(tmp)
+            )
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
         ledger.mark_complete(f"{table_name}#{key}", None)
 
     writer = events.writeStream.foreachBatch(_sink).outputMode("append")
