@@ -70,6 +70,54 @@ def test_stream_ivf_index_matches_batch_and_replay_safe(spark, sf_dir, tmp_path)
     assert n_before == n_after == e.count()
 
 
+def test_probe_index_dedups_reingested_vectors(spark, sf_dir, tmp_path):
+    """A vector re-ingested with an UPDATED embedding in a later batch
+    appears in two delta directories; the probe must rank only the
+    latest row — without the max-batch dedup the same neighbor_id shows
+    up twice (stale and fresh both ranked) and k-th results are wrong."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdir = str(tmp_path / "ri_cents")
+    bootstrap_centroids(e, cdir, every_nth=50)
+
+    src = tmp_path / "ri_src"
+    e.coalesce(1).write.parquet(str(src), mode="append")
+    deltas = str(tmp_path / "ri_deltas")
+    led = str(tmp_path / "ri_led")
+    ckpt = str(tmp_path / "ri_ckpt")
+
+    def _start():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return stream_embedding_index_load(
+            stream, centroids_dir=cdir, deltas_dir=deltas,
+            ledger_path=led, checkpoint_dir=ckpt,
+        )
+
+    q = _start()
+    q.awaitTermination(240)
+
+    # re-ingest vec_ids < 20 carrying OTHER vectors' embeddings (shifted
+    # by 100) — updated coordinates, likely different centroid buckets
+    upd = (
+        e.filter(F.col("vec_id") >= 100)
+        .filter(F.col("vec_id") < 120)
+        .select((F.col("vec_id") - 100).alias("vec_id"), "embedding")
+    )
+    upd.coalesce(1).write.parquet(str(src), mode="append")
+    q2 = _start()
+    q2.awaitTermination(240)
+
+    queries = e.filter(F.col("vec_id") < 10)
+    res = probe_index(spark, cdir, deltas, queries, k=5, nprobe=3)
+    rows = res.collect()
+    assert rows
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs)), "stale+fresh rows both ranked"
+
+
 def test_stream_partitioned_load_lands_partitions_replay_safe(spark, sf_dir, tmp_path):
     """Two micro-batches with overlapping event dates -> hive layout
     holds exactly the union; checkpoint replay adds nothing; a reader
@@ -132,6 +180,64 @@ def test_stream_partitioned_load_lands_partitions_replay_safe(spark, sf_dir, tmp
         qd._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan
+
+
+def test_stream_partitioned_load_survives_rename_complete_crash(
+    spark, sf_dir, tmp_path
+):
+    """Crash-window replay: the batch directory RENAME landed but the
+    crash hit before ledger.mark_complete. On restart the replayed
+    batch must treat the existing directory as applied (finish only the
+    bookkeeping) — a bare os.replace onto the non-empty dir would raise
+    ENOTEMPTY and wedge the stream forever, and re-writing would
+    double-append."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.ledger import Ledger
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.streaming.loader import (
+        stream_partitioned_load,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "cw_src"
+    # file order = micro-batch order under maxFilesPerTrigger=1: land A
+    # first so the fresh stream's batch 0 replays exactly A
+    a.coalesce(1).write.parquet(str(src), mode="append")
+    b.coalesce(1).write.parquet(str(src), mode="append")
+    dest = str(tmp_path / "cw_dest")
+    ledger_path = str(tmp_path / "cw_led")
+
+    # fabricate the crash state: batch=0 fully renamed into place...
+    os.makedirs(dest, exist_ok=True)
+    a.write.partitionBy("event_date").parquet(os.path.join(dest, "batch=0"))
+    # ...but the ledger row is still pending (mark_complete never ran)
+    led = Ledger(spark, ledger_path)
+    led.enqueue_whole_table("events_partitioned#0", "stream", 1)
+    assert led.pending_exists("events_partitioned#0")
+
+    q = stream_partitioned_load(
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        dest_dir=dest,
+        ledger_path=ledger_path,
+        partition_cols=["event_date"],
+        checkpoint_dir=str(tmp_path / "cw_ckpt"),
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, f"stream wedged on replay: {q.exception()}"
+    # exactly-once: the pre-landed batch was not re-appended, batch 1 landed
+    assert spark.read.parquet(dest).count() == e.count()
+    led2 = Ledger(spark, ledger_path)
+    assert not led2.pending_exists("events_partitioned#0")
+    assert not led2.pending_exists("events_partitioned#1")
 
 
 def test_ann_index_compaction_probe_zero_exchange(spark, sf_dir, tmp_path):

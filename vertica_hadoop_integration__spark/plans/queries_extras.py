@@ -2680,40 +2680,49 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue of line items on urgent orders, computed through an
     explicit Bloom runtime filter: the filtered orders' keys compress to
-    a 65536-bit bitmap (operators/corpus.py::bloom_bitmap — 3 md5-60
-    hashes) that pre-filters the big fact side MAP-SIDE before the
-    exact join, so the join's shuffle carries only probable matches.
-    False positives are removed by the exact join, so the result —
-    and the oracle — are the plain join's, bit for bit. This is the
-    portable form of AQE's runtime row-level filtering: at 100 TB it
-    cuts the fact-side exchange by the filter's selectivity without
-    relying on planner support."""
-    from ..operators.corpus import bloom_bitmap
+    a 65536-bit bitmap that pre-filters the big fact side MAP-SIDE
+    before the exact join, so the join's shuffle carries only probable
+    matches. False positives are removed by the exact join, so the
+    result — and the oracle — are the plain join's, bit for bit. This
+    is the explicit form of AQE's runtime row-level filtering: at
+    100 TB it cuts the fact-side exchange by the filter's selectivity
+    without relying on planner support.
 
+    The bloom internals are NOT oracle-replayed (the oracle is the
+    plain join — the filter is semantics-transparent), so the hash is
+    JVM-native seeded xxhash64 (one codegen op/row vs md5 digest +
+    base conversion), and the membership checks run as an inner-join
+    CASCADE: position 2 is only computed for rows that survive
+    position 1 (bit positions are distinct, so inner joins never
+    duplicate rows — same cheapest-first shape as
+    bloom_decontaminate's probe). The md5-60 bloom (bloom_bitmap)
+    remains the portable, oracle-replayed variant in
+    corpus_bloom_decontaminate."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    from ..functions.text_fns import md5_hash60
-
     m, seeds = 65536, (101, 102, 103)
-    bits = bloom_bitmap(
-        o.select(F.col("o_orderkey").cast("string").alias("shingle")),
-        m=m, seeds=seeds,
+
+    def pos(col, s):
+        return F.pmod(F.xxhash64(F.lit(s), col), F.lit(m))
+
+    bits = (
+        o.select(
+            F.explode(
+                F.array(*[pos(F.col("o_orderkey"), s) for s in seeds])
+            ).alias("pos")
+        )
+        .distinct()
     )
     probe = li
-    passes = F.lit(True)
     for idx, s in enumerate(seeds):
-        probe = probe.withColumn(
-            f"_p{idx}",
-            F.pmod(md5_hash60(F.col("l_orderkey").cast("string"), seed=s), F.lit(m)),
-        ).join(
+        probe = probe.join(
             F.broadcast(bits.withColumnRenamed("pos", f"_b{idx}")),
-            F.col(f"_p{idx}") == F.col(f"_b{idx}"),
-            "left",
+            pos(F.col("l_orderkey"), s) == F.col(f"_b{idx}"),
+            "inner",
         )
-        passes = passes & F.col(f"_b{idx}").isNotNull()
-    reduced = probe.filter(passes).select(li.columns)
+    reduced = probe.select(li.columns)
     return reduced.join(o, reduced.l_orderkey == o.o_orderkey).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(
