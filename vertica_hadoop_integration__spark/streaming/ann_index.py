@@ -140,10 +140,21 @@ def compact_ann_index(
     for vectors): probe joins against the compacted base run with the
     index side pre-partitioned on centroid_id — co-located, no
     exchange when the probe side shares the layout, bucket-pruned
-    otherwise. Runs on its own cadence, independent of ingest."""
+    otherwise. Runs on its own cadence, independent of ingest. Folds
+    each vec_id's LATEST batch row only (same max-batch dedup as
+    probe_index — a re-ingested vector's superseded assignment must not
+    survive into the compacted base)."""
+    from pyspark.sql import Window
+
     from ..sources.writers import write_bucketed
 
-    idx = spark.read.option("recursiveFileLookup", "true").parquet(deltas_dir)
+    deltas = spark.read.parquet(deltas_dir)
+    wb = Window.partitionBy("vec_id").orderBy(F.col("batch").cast("long").desc())
+    idx = (
+        deltas.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch")
+    )
     write_bucketed(
         idx,
         base_table,
