@@ -40,6 +40,20 @@ def test_kmv_exact_below_k(spark):
     assert row["distinct_est"] == 10
 
 
+def test_kmv_ungrouped_equals_single_group(spark):
+    """The ungrouped sketch takes its bottom-k via mergeable
+    orderBy+limit while grouped sketches use a per-group window; both
+    select the same k smallest hashes, so the estimate must be
+    IDENTICAL for a constant grouping — guards the two paths from
+    drifting (both engines and both hash variants)."""
+    o = load_table(spark, SF_DIR, "orders").limit(5000)
+    g = o.withColumn("_g", F.lit(1))
+    for fn in (K.kmv_distinct, K.kmv_distinct_portable):
+        [flat] = fn(o, "o_custkey", (), k=64).collect()
+        [grp] = fn(g, "o_custkey", ("_g",), k=64).collect()
+        assert flat["distinct_est"] == grp["distinct_est"], fn.__name__
+
+
 def test_hll_distinct_within_rsd(spark):
     o = load_table(spark, SF_DIR, "orders")
     exact = o.select("o_custkey").distinct().count()
