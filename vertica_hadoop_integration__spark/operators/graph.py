@@ -204,9 +204,14 @@ def pagerank(
     iteration; the rank frontier is node-cardinality-sized and its
     lineage is truncated every iteration with localCheckpoint, so the
     physical plan stays flat no matter how high ``iters`` goes (at
-    cluster scale swap for reliable checkpoints — same shape).  All
-    persisted subframes are unpersisted before returning; the result is
-    a bounded materialized frame with no lineage into them."""
+    cluster scale swap for reliable checkpoints — same shape).  The
+    canonical (p, q, w) edge frame is persisted on entry: outw, the
+    normalized edge list, AND the node table all derive from it, and
+    without the cache the caller's edge-construction plan (for the
+    co-order graph, a pair-expansion + groupBy) re-executes for each —
+    interleaved A/B at sf0.1: median 10.9s -> 8.6s with the cache.
+    All persisted subframes are unpersisted before returning; the
+    result is a bounded materialized frame with no lineage into them."""
     if dangling not in ("redistribute", "assume_none", "error"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
     w_expr = (
@@ -214,7 +219,7 @@ def pagerank(
     )
     e = edges.select(
         F.col(src).alias("p"), F.col(dst).alias("q"), w_expr.alias("w")
-    )
+    ).persist()
     outw = e.groupBy("p").agg(F.sum("w").alias("outw"))
     edges_n = e.join(outw, on="p").persist()
     nodes = (
@@ -286,6 +291,7 @@ def pagerank(
     finally:
         edges_n.unpersist()
         nodes.unpersist()
+        e.unpersist()
 
 
 def cooccurrence_pagerank(
