@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_fns import cosine, dot, normalize
+from ..functions.vector_fns import cosine, dot, l2_norm, normalize
 
 # -- exact brute force ------------------------------------------------------
 
@@ -45,20 +45,32 @@ def brute_force_topk(
 
     ``scorer(a, b) -> Column`` swaps the similarity kernel; default is
     the JVM-side ``cosine``, ``cosine_arrow`` plugs in the pandas-UDF
-    path for wide embeddings."""
-    score = scorer or cosine
+    path for wide embeddings.
+
+    Default-kernel algebra: ``cosine(q, c)`` re-derives BOTH norms per
+    pair, so each scored pair pays three interpreted array folds. The
+    norms only depend on one side each, so they are computed once per
+    vector (one fold per corpus row / per broadcast query row) and the
+    per-pair work drops to the dot fold alone — the VALUE is bitwise
+    unchanged (same doubles, same ``q_norm * c_norm`` multiply order as
+    ``cosine``), so oracle hash parity holds. A custom scorer keeps the
+    opaque per-pair form."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    if scorer is None:
+        q = q.withColumn("_qn", l2_norm(F.col("q_vec")))
+        c = c.withColumn("_cn", l2_norm(F.col("c_vec")))
+        sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+            F.col("_qn") * F.col("_cn")
+        )
+    else:
+        sim = scorer(F.col("q_vec"), F.col("c_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            score(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -81,19 +93,23 @@ def range_search(
     shape). Same plan skeleton as ``brute_force_topk`` minus the window:
     broadcast query side, one corpus scan, threshold filter evaluated
     inside the scan stage — output is only the qualifying pairs, so no
-    shuffle at all."""
+    shuffle at all. Norms are precomputed once per vector per side
+    (bitwise-identical to ``cosine`` — see brute_force_topk)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
     )
 
@@ -333,27 +349,40 @@ def ivf_topk(
         corpus, every_nth, id_col, vec_col
     )
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # query norm computed once per query (not per centroid, not per
+    # candidate); corpus norm once per indexed row — values bitwise-equal
+    # to cosine() (same doubles, same multiply order)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
     q_scored = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "q_vec",
+        "_qn",
         "centroid_id",
-        cosine(F.col("q_vec"), F.col("centroid_vec")).alias("c_sim"),
+        (
+            dot(F.col("q_vec"), F.col("centroid_vec"))
+            / (F.col("_qn") * l2_norm(F.col("centroid_vec")))
+        ).alias("c_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "_qn", "centroid_id")
     )
 
-    cand = probes.join(assigned, on="centroid_id").filter(
-        F.col(id_col) != F.col("query_id")
-    )
+    cand = probes.join(
+        assigned.withColumn("_cn", l2_norm(F.col(vec_col))), on="centroid_id"
+    ).filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+        (dot(F.col("q_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -388,20 +417,20 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("negative_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(label_col).alias("c_label"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
+    # norms once per vector per side; value bitwise-equal to cosine()
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_label") != F.col("q_label"))
-        .select(
-            "query_id",
-            "negative_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
-        )
+        .select("query_id", "negative_id", sim.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
     return (
@@ -819,16 +848,29 @@ def lsh_bucket_topk(
     by bucket, no cross join. Recall rises with fewer planes (bigger
     buckets) or multiple OR-ed bands (run with several seeds, union)."""
     cb = lsh_bucket_signature(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
+        ),
         "c_vec", num_planes, seed, dim,
     )
     qb = lsh_bucket_signature(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+        ),
         "q_vec", num_planes, seed, dim,
     )
     cand = qb.join(cb, on="lsh_bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    # norms once per vector per side; value bitwise-equal to cosine()
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
