@@ -111,6 +111,10 @@ HEADLINE = [
     "corpus_length_bucketing",
     "events_value_histogram",
     "sketch_kmv_set_ops",
+    # round-5 additions (additive): deterministic epoch shuffle/sharding,
+    # distributed PCA (moment-matrix reduction + driver eigensolve)
+    "corpus_shuffle_shards",
+    "embedding_pca_project",
 ]
 
 

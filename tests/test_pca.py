@@ -1,0 +1,132 @@
+"""Distributed PCA (moment-matrix reduction) and deterministic epoch
+sharding — correctness against an exact in-memory reference, plus the
+determinism contracts both operators advertise."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vertica_hadoop_integration__spark.operators.corpus import shuffle_shards
+from vertica_hadoop_integration__spark.operators.similarity import (
+    pca_fit,
+    pca_project,
+    pca_projection,
+)
+from vertica_hadoop_integration__spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], x[order]
+
+
+def _exact_pca(x, k):
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / x.shape[0]
+    ev, w = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:k]
+    comps = w[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, ev[order]
+
+
+def test_pca_fit_matches_exact(emb, emb_np):
+    _, x = emb_np
+    mean, comps, ev = pca_fit(emb, k=4)
+    mu_ref, comps_ref, ev_ref = _exact_pca(x, 4)
+    assert np.abs(mean - mu_ref).max() < 1e-10
+    assert np.abs(ev - ev_ref).max() < 1e-10
+    # sign convention makes the comparison direct, not up-to-sign
+    assert np.abs(comps - comps_ref).max() < 1e-8
+
+
+def test_pca_components_orthonormal_and_ordered(emb):
+    _, comps, ev = pca_fit(emb, k=6)
+    gram = comps @ comps.T
+    assert np.abs(gram - np.eye(6)).max() < 1e-9
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(5))
+    assert (ev >= 0).all()
+
+
+def test_pca_project_matches_exact(emb, emb_np):
+    ids, x = emb_np
+    out = pca_projection(emb, k=4).collect()
+    got = {r["vec_id"]: np.asarray(r["pc"]) for r in out}
+    mu, comps, _ = _exact_pca(x, 4)
+    ref = (x - mu) @ comps.T
+    assert len(got) == len(ids)
+    err = max(np.abs(got[ids[i]] - ref[i]).max() for i in range(len(ids)))
+    assert err < 1e-10
+
+
+def test_pca_deterministic_across_runs(emb):
+    a = {r["vec_id"]: r["pc"] for r in pca_projection(emb, k=3).collect()}
+    b = {r["vec_id"]: r["pc"] for r in pca_projection(emb, k=3).collect()}
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_pca_whiten_unit_variance(emb):
+    mean, comps, ev = pca_fit(emb, k=3)
+    out = pca_project(emb, mean, comps, ev, whiten=True).collect()
+    proj = np.array([r["pc"] for r in out])
+    # population variance of each whitened component is 1
+    assert np.abs(proj.var(axis=0) - 1.0).max() < 1e-6
+
+
+def test_pca_whiten_requires_variances(emb):
+    mean, comps, _ = pca_fit(emb, k=2)
+    with pytest.raises(ValueError, match="explained_var"):
+        pca_project(emb, mean, comps, whiten=True).collect()
+
+
+def test_shuffle_shards_contract(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(d, n_shards=8).select("doc_id", "shard", "sort_key")
+    rows = out.collect()
+    n = d.count()
+    assert len(rows) == n
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(8))
+    # every shard populated on a non-trivial corpus and no shard hogs
+    counts = out.groupBy("shard").count().collect()
+    assert len(counts) == 8
+    assert max(c["count"] for c in counts) < 0.5 * n
+    # shard is derived from the key
+    assert all(r["shard"] == r["sort_key"] % 8 for r in rows)
+
+
+def test_shuffle_shards_deterministic_and_salted(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(d, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(d, n_shards=8).collect()}
+    assert a == b
+    c = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(d, n_shards=8, salt="epoch2").collect()}
+    assert a != c  # a fresh salt is a fresh permutation
+
+
+def test_shuffle_shards_order_uncorrelated_with_id(spark, sf_dir):
+    # the induced permutation should not preserve doc_id order: rank
+    # correlation between doc_id and sort_key must be near zero
+    d = load_table(spark, sf_dir, "documents")
+    rows = shuffle_shards(d).select("doc_id", "sort_key").collect()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.float64)
+    keys = np.array([r["sort_key"] for r in rows], dtype=np.float64)
+    r_id = np.argsort(np.argsort(ids)).astype(np.float64)
+    r_key = np.argsort(np.argsort(keys)).astype(np.float64)
+    rho = np.corrcoef(r_id, r_key)[0, 1]
+    assert abs(rho) < 0.2

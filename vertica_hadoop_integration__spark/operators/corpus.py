@@ -668,3 +668,33 @@ def clean_corpus_portable(
     )
     dropped = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     return exact.join(dropped, on=id_col, how="left_anti").select(id_col)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the step between a
+    cleaned corpus and a training run. Each row gets a shard in
+    [0, n_shards) and a 60-bit sort key, both derived from the portable
+    md5-60 hash of "salt:id": shard = key mod n_shards, order within a
+    shard = ascending key. Because the key is hash-derived the induced
+    order is uniform-random w.r.t. any corpus attribute, yet reruns
+    (and resumed jobs) reproduce the identical permutation — no RNG
+    state, no seed file. Changing ``salt`` is a fresh epoch shuffle.
+
+    Scale shape: pure projection — runs inside the parquet scan, zero
+    shuffle HERE. The writer materializes it as
+    ``.repartition(n_shards, "shard").sortWithinPartitions("sort_key")``
+    — one exchange on the shard id and a per-partition sort, never a
+    global orderBy; 100 TB / 1024 shards keeps each sort local and
+    spillable. The oracle replays hash, shard, and key exactly
+    (md5-60 is bit-identical in DuckDB)."""
+    from ..functions.text_fns import md5_hash60
+
+    key = md5_hash60(F.concat_ws(":", F.lit(salt), F.col(id_col)))
+    return df.withColumn("sort_key", key).withColumn(
+        "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
+    )

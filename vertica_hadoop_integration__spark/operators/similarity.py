@@ -993,3 +993,130 @@ def random_projection_arrow(
     _project.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = pandas_udf(_project, "array<double>")
     return df.select(F.col(id_col), udf(F.col(vec_col).cast("array<double>")).alias("proj"))
+
+
+# -- distributed PCA --------------------------------------------------------
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+):
+    """Fit a PCA basis over an embedding column in ONE distributed pass.
+
+    Scale shape (the classic moment-matrix reduction): every Arrow batch
+    computes its own (count, sum-vector, X^T X matrix) with one BLAS
+    call and emits a SINGLE row of d + d*d doubles; the driver reduces
+    one such row per batch (bounded by partition/batch count, ~33 KB
+    each at d=64 — bounded-by-contract collect, same class as the
+    centroid tables) and eigendecomposes the d x d covariance. The
+    corpus itself is never shuffled and never leaves the executors —
+    at 100 TB this is a map-only scan plus a kilobyte-scale reduce,
+    which is exactly how Spark MLlib's PCA computes its Gramian.
+
+    Determinism: ``numpy.linalg.eigh`` on the same covariance is
+    deterministic; eigenvector sign is fixed by making each component's
+    largest-|value| coordinate positive, so reruns (and resumed jobs)
+    produce bit-identical bases.
+
+    Returns ``(mean, components, explained_var)`` as numpy arrays with
+    shapes (d,), (k, d), (k,) — components ordered by descending
+    explained variance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _moments(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        corpus.select(vec_col)
+        .mapInPandas(_moments, schema="n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_fit: empty corpus")
+    d = len(rows[0]["s"])
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T  # (k, d)
+    # sign convention: largest-|coordinate| of each component positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(eigval[order], 0.0)
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean,
+    components,
+    explained_var=None,
+    whiten: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis — pure map, zero
+    shuffle: the (k, d) basis ships in the UDF closure (kilobytes) and
+    each Arrow batch is one centred BLAS matmul. With ``whiten=True``
+    components are scaled to unit variance (1/sqrt(eigval)) — the usual
+    prep before product quantization or k-means on the reduced space.
+
+    Output: (id, pc array<double> of length k)."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64).T  # (d, k)
+    if whiten:
+        if explained_var is None:
+            raise ValueError("whiten=True requires explained_var")
+        w = w / np.sqrt(np.maximum(np.asarray(explained_var, np.float64), 1e-12))
+
+    def _proj(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            out = (m - mu) @ w
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "pc": list(out)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _proj, schema=f"{id_col} long, pc array<double>"
+    )
+
+
+def pca_projection(
+    corpus: DataFrame,
+    k: int = 4,
+    whiten: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + project in one call (the registered-query form): one
+    map-only moment pass, a driver-side d x d eigensolve, one map-only
+    projection pass. The embedding table is scanned twice and shuffled
+    never."""
+    mean, comps, ev = pca_fit(corpus, k=k, vec_col=vec_col)
+    return pca_project(
+        corpus, mean, comps, ev, whiten=whiten, id_col=id_col, vec_col=vec_col
+    )

@@ -1105,3 +1105,28 @@ def corpus_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("bucket").cast("double")
         ).alias("padding_frac"),
     )
+
+
+# -- deterministic epoch shuffle + shard assignment ------------------------
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x'||substr(md5('shuf:'||doc_id), 1, 15)) AS BIGINT)
+               AS sort_key,
+           CAST(CAST(('0x'||substr(md5('shuf:'||doc_id), 1, 15)) AS BIGINT)
+                % 16 AS INT) AS shard
+    FROM documents
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (operators/corpus.py::
+    shuffle_shards): every doc gets a shard in [0,16) and a 60-bit sort
+    key from the portable md5-60 hash of "shuf:doc_id" — a reproducible
+    uniform permutation with zero RNG state. Pure projection (runs
+    inside the scan); the writer's repartition-on-shard +
+    sortWithinPartitions form is the 100 TB materialization (local
+    sorts only, never a global orderBy). Hash, shard, and key replay
+    bit-for-bit in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.shuffle_shards(d, n_shards=16).select("doc_id", "sort_key", "shard")

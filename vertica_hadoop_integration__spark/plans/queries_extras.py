@@ -3151,3 +3151,26 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return kmv_set_ops_portable(o, "o_custkey", c, "c_custkey", k=64)
+
+
+# -- distributed PCA (moment-matrix reduction + driver eigensolve) ---------
+@register("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 64 -> 4 dims over the embedding table (operators/
+    similarity.py::pca_projection): one map-only Arrow pass reduces
+    per-batch (count, sum, X^T X) moment rows (kilobytes each, bounded
+    by batch count) to a 64x64 covariance, numpy.linalg.eigh solves it
+    driver-side, and a second map-only pass projects every vector onto
+    the sign-fixed top-4 basis. The corpus is scanned twice and
+    shuffled never — MLlib's Gramian shape. Rows-only by design
+    (eigendecomposition is not SQL-expressible); orthonormality,
+    variance ordering, determinism, and agreement with an exact numpy
+    PCA on the collected fixture are pytest-asserted
+    (tests/test_pca.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.pca_projection(e, k=4)
+    # stable scalar schema for the driver's rows-only check
+    return out.select(
+        "vec_id",
+        *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(4)],
+    )
