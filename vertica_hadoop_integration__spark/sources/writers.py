@@ -30,8 +30,11 @@ def write_columnar(
     orc_stripe_size: int = 268435456,
     orc_index_stride: int = 500000,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> None:
     writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if output_format == "orc":
         writer = (
             writer.option("compression", compression)
@@ -236,3 +239,47 @@ def write_zorder(
         .drop("_z")
     )
     write_columnar(ranged, path, output_format=output_format, **kwargs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    output_format: str = "parquet",
+    **kwargs,
+) -> None:
+    """Materialize a deterministically shuffled training corpus as
+    ``shard=K`` partition directories, each file internally ordered by
+    the 60-bit shuffle key (operators/corpus.py::shuffle_shards).
+
+    This is the write shape that scales: ONE exchange on the shard id
+    (hash partitioning, n_shards reducers) and a per-partition local
+    sort — never a global orderBy, so 100 TB / 1024 shards keeps every
+    sort spillable and the permutation identical across reruns (the
+    key is hash-derived; no RNG state survives in the output). A
+    training loader reads ``shard=K`` directories round-robin and gets
+    a uniform random document order per epoch; re-sharding with a new
+    ``salt`` is a fresh epoch permutation at the cost of one rewrite.
+
+    The write itself goes through :func:`write_atomic` — a crashed job
+    leaves only an ``.inprogress`` directory, a re-run replaces
+    committed output atomically."""
+    from ..operators.corpus import shuffle_shards
+
+    sharded = (
+        shuffle_shards(df, n_shards=n_shards, id_col=id_col, salt=salt)
+        .repartition(n_shards, "shard")
+        # shard leads the sort so each task writes its shard directories
+        # contiguously (one open file at a time, no writer fan-out); the
+        # per-shard-file order is still ascending sort_key
+        .sortWithinPartitions("shard", "sort_key")
+    )
+    write_atomic(
+        sharded,
+        path,
+        output_format=output_format,
+        partition_by=["shard"],
+        **kwargs,
+    )
