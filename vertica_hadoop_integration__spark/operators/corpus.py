@@ -648,20 +648,24 @@ def clean_corpus_portable(
         kept, eval_shingles, text_col, id_col, shingle_n=decon_shingle_n,
         mode="drop",
     )
-    canon = (
-        decon.select(
-            F.col(id_col),
-            F.md5(F.lower(F.trim(F.col(text_col)))).alias("_th"),
-        )
-        .groupBy("_th")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
+    # exact dedup as a single window pass (min id per normalized-text
+    # hash), matching clean_corpus: the groupBy-then-semi-join form
+    # consumes the gate/decon lineage TWICE (two corpus scans) for the
+    # same shuffle bytes — interleaved A/B at sf0.1 is a wash (4.04 vs
+    # 4.05s median; containment pair generation dominates) but at
+    # 100 TB one corpus scan is strictly better than two
+    exact_w = Window.partitionBy("_th").orderBy(F.col(id_col).asc())
     # the survivor frame feeds three consumers (containment's shingle
     # stage, its per-doc sets, and the final anti-join) — persist so the
     # gate/decon/exact lineage (two doc scans + a 5-gram explode) runs
     # once, not per consumer
-    exact = decon.join(canon, on=id_col, how="left_semi").persist()
+    exact = (
+        decon.withColumn("_th", F.md5(F.lower(F.trim(F.col(text_col)))))
+        .withColumn("_rn", F.row_number().over(exact_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_th", "_rn")
+        .persist()
+    )
     pairs = containment_pairs_portable(
         exact, text_col, id_col,
         min_containment=min_containment, shingle_n=containment_shingle_n,
