@@ -64,9 +64,16 @@ WINDOW = [
     "dq_rules_orders",
     # --- plan changed r05 (global window -> mergeable top-k) ---
     "corpus_weighted_sample", "sketch_countmin_topk",
-    # --- sentinels: previously driver-green, one per rotated-out family ---
+    # --- new this round (registered after the r05 plan was drawn): put
+    # them in the head so NO query is ever without a driver row and the
+    # WINDOW list can be deleted next round with coverage complete ---
+    "corpus_shuffle_shards", "embedding_pca_project",
+    # --- sentinels: previously driver-green, one per rotated-out family
+    # (ANN and text sentinels yielded their slots to the two new queries;
+    # both families are already represented in this window via
+    # ann_pq/ivf_pq/ivf_kmeans and text_redact_pii/text_bpe_*) ---
     "q1_pricing_summary", "s10_pending_pipeline", "dedup_minhash_portable",
-    "ann_ivf_topk", "text_quality_score", "events_sessionize",
+    "events_sessionize",
 ]
 assert len(WINDOW) == 50 and len(set(WINDOW)) == 50
 _missing = [n for n in WINDOW if n not in QUERIES]
