@@ -115,6 +115,7 @@ HEADLINE = [
     # distributed PCA (moment-matrix reduction + driver eigensolve)
     "corpus_shuffle_shards",
     "embedding_pca_project",
+    "ann_pca_topk",
 ]
 
 

@@ -130,3 +130,65 @@ def test_shuffle_shards_order_uncorrelated_with_id(spark, sf_dir):
     r_key = np.argsort(np.argsort(keys)).astype(np.float64)
     rho = np.corrcoef(r_id, r_key)[0, 1]
     assert abs(rho) < 0.2
+
+
+def test_pca_topk_recall_on_low_rank_corpus(spark):
+    # PCA prefiltering earns its keep when the corpus HAS a dominant
+    # subspace (real text/image embeddings do; the near-isotropic
+    # synthetic table deliberately does not — its flat eigen spectrum
+    # gives a variance-ranked cut nothing to rank, measured ~0.4 recall
+    # there, which is the data's property, not the operator's). Build a
+    # rank-8 corpus + 5% noise and require high recall through an 8-dim
+    # bottleneck.
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        pca_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    basis = rng.randn(8, 64)
+    coef = rng.randn(400, 8)
+    x = coef @ basis + 0.05 * rng.randn(400, 64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(df, q, k=5).collect()
+    approx = pca_topk(df, q, k=5, pca_k=8, oversample=4).collect()
+
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    es, as_ = sets(exact), sets(approx)
+    assert set(es) == set(as_)
+    recalls = [len(es[q_] & as_[q_]) / len(es[q_]) for q_ in es]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    for r in approx:
+        assert 1 <= r["rank"] <= 5
+        assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_pca_topk_full_rank_is_lossless(spark, emb):
+    # pca_k = d makes the projection a pure rotation: L2 distances are
+    # exact, so with ANY oversample the candidate stage cannot lose an
+    # L2 neighbor. On unit-incomparable cosine vs L2 grounds recall may
+    # still differ, so compare against the L2-exact top-k directly: the
+    # candidate set at rank<=k must equal the true L2 top-k, and the
+    # final cosine rerank over a 4x oversample recovers the brute-force
+    # cosine answer for every query here.
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        pca_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=3).collect()
+    approx = pca_topk(emb, q, k=3, pca_k=64, oversample=8).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows
+    )
+    assert key(approx) == key(exact)

@@ -1120,3 +1120,109 @@ def pca_projection(
     return pca_project(
         corpus, mean, comps, ev, whiten=whiten, id_col=id_col, vec_col=vec_col
     )
+
+
+def pca_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pca_k: int = 16,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN through the PCA bottleneck: candidates by L2 distance in the
+    ``pca_k``-dim projected space, exact cosine rerank on full vectors —
+    the dimensionality-reduction sibling of IVF (cluster cut) and PQ
+    (code-book cut) in the index family.
+
+    Scale shape: the PCA basis and the PROJECTED query matrix ship in
+    the UDF closure (kilobytes); each corpus Arrow batch projects
+    itself (one BLAS matmul at d -> pca_k) and emits only its per-query
+    partial top-(k * oversample) candidate rows — the shuffle carries
+    candidates, never the corpus, exactly like brute_force_topk_matrix
+    but on vectors ``pca_k / d`` the width. Only the surviving
+    candidates pay a full-width exact cosine, via an equi-join back to
+    the corpus on id. Recall is tunable with ``oversample`` and
+    ``pca_k`` (pca_k = d makes the projection a rotation: distances are
+    exact and the candidate cut is lossless for any oversample >= 1 in
+    the L2 sense); recall floors are pytest-asserted
+    (tests/test_pca.py)."""
+    import numpy as np
+    import pandas as pd
+
+    mean, comps, _ = pca_fit(corpus, k=pca_k, vec_col=vec_col)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([int(r[id_col]) for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qp = (qm - mean) @ comps.T  # (nq, pca_k)
+    n_cand = k * oversample
+
+    def cand(batches):
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            p = (m - mean) @ comps.T  # (batch, pca_k)
+            # squared L2 distance matrix (batch, nq)
+            d2 = (
+                (p * p).sum(axis=1)[:, None]
+                - 2.0 * (p @ qp.T)
+                + (qp * qp).sum(axis=1)[None, :]
+            )
+            kk = min(n_cand + 1, d2.shape[0])  # +1 absorbs a self-match
+            top = np.argpartition(d2, kk - 1, axis=0)[:kk]
+            out_q, out_n, out_d = [], [], []
+            for j in range(d2.shape[1]):
+                for i in top[:, j]:
+                    out_q.append(q_ids[j])
+                    out_n.append(ids[i])
+                    out_d.append(d2[i, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "d2": out_d}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        cand, schema="query_id long, neighbor_id long, d2 double"
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    cands = (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: only candidates pay full-width cosine
+    rer = (
+        cands.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_cv"),
+            ),
+            on="neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("_qv"),
+                )
+            ),
+            on="query_id",
+        )
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -3174,3 +3174,20 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(4)],
     )
+
+
+@register("ann_pca_topk")
+def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PCA bottleneck (operators/similarity.py::
+    pca_topk): candidates by squared-L2 in the 16-dim projected space
+    (basis + projected queries in the UDF closure, per-batch partial
+    top-k*oversample — the shuffle carries candidates, never the
+    corpus), exact full-width cosine rerank on the survivors only.
+    Completes the index family: IVF cuts by cluster, PQ by code book,
+    PCA by subspace. Rows-only by design (the eigensolve is not
+    SQL-expressible); recall vs the exact brute-force ranking and the
+    pca_k=d lossless-rotation property are pytest-asserted
+    (tests/test_pca.py). Same query set as ann_cosine_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.pca_topk(e, q, k=5, pca_k=16, oversample=4)
