@@ -81,3 +81,67 @@ def test_pagerank_plan_stays_flat_and_unpersists(spark):
         if "localcheckpoint" not in str(rdd.toString()).lower()
     ]
     assert leaked == [], leaked
+
+
+# -- triangle count: edge-iterator parity vs brute force -------------------
+
+
+def _ref_triangles(pairs):
+    """O(n^3) reference: count unordered triangles of the undirected
+    simple graph induced by the pair list (self-loops and duplicate /
+    reversed edges collapse)."""
+    import itertools
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for x, y, z in itertools.combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+
+
+def test_triangle_count_random_graph_parity(spark):
+    import random
+
+    from vertica_hadoop_integration__spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(11)
+    for trial, (n, m) in enumerate([(12, 30), (25, 80), (40, 90)]):
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # includes self-loops, duplicates, both orientations
+        df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_id_a long, doc_id_b long"
+        )
+        got = triangle_count(df).collect()[0]["n_triangles"]
+        want = _ref_triangles(pairs)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_triangle_count_edge_cases(spark):
+    from vertica_hadoop_integration__spark.operators.graph import (
+        triangle_count,
+    )
+
+    # a single triangle, duplicated and reversed edges, plus a self-loop
+    rows = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)]
+    df = spark.createDataFrame(rows, "doc_id_a long, doc_id_b long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 1
+    # a path graph has none
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_id_a long, doc_id_b long"
+    )
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+    # K4 has exactly 4
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "doc_id_a long, doc_id_b long",
+    )
+    assert triangle_count(k4).collect()[0]["n_triangles"] == 4
