@@ -116,6 +116,8 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "embedding_pca_project",
     "ann_pca_topk",
+    # round-5 late addition (additive): Arrow decode->resample->re-encode
+    "multimodal_resize",
 ]
 
 

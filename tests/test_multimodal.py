@@ -273,3 +273,77 @@ def test_audio_spectrum_recovers_modulation_frequency(spark, sf_dir):
         assert r.env_power_frac > 0.5, r  # fm harmonic carries most power
         assert r.n_frames == 1600 + (cls % 5) * 320
         assert r.sample_rate == 8000
+
+
+# -- image resize: kernel parity, round-trip, and the registered query -----
+
+
+def _reference_resize(arr, out_w, out_h):
+    """Independent pure-python nearest-neighbor (pixel-center convention),
+    written loop-wise so a bug in the vectorized kernel cannot hide."""
+    import math
+
+    h, w = len(arr), len(arr[0])
+    out = []
+    for i in range(out_h):
+        sy = min(h - 1, math.floor((i + 0.5) * h / out_h))
+        row = []
+        for j in range(out_w):
+            sx = min(w - 1, math.floor((j + 0.5) * w / out_w))
+            row.append(arr[sy][sx])
+        out.append(row)
+    return out
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (13, 7)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = M._bmp_pixels(M._encode_bmp(arr))
+        assert back.shape == (h, w, 3)
+        assert (back == arr).all()
+
+
+def test_resize_kernel_matches_reference_on_gradients():
+    """Every output pixel of the vectorized kernel equals the loop-wise
+    reference, on gradient fixtures, both down- and up-scaling."""
+    import numpy as np
+
+    for doc_id in (0, 7, 23, 49, 101):
+        arr = M._bmp_pixels(M._bmp_gradient_bytes(doc_id))
+        for out_w, out_h in [(4, 4), (16, 16), (32, 8)]:
+            got = M.resize_image_array(arr, out_w, out_h)
+            want = np.array(
+                _reference_resize(arr.tolist(), out_w, out_h), dtype=np.uint8
+            )
+            assert got.shape == (out_h, out_w, 3)
+            assert (got == want).all(), (doc_id, out_w, out_h)
+
+
+def test_resize_images_distributed(spark, sf_dir):
+    """The Arrow path: resized payloads are valid BMPs whose pixels equal
+    the reference resize of the source image; flat fixtures preserve
+    their mean exactly."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    media = M.synthesize_textured_media(docs)
+    rows = M.resize_images(media, out_w=12, out_h=10).collect()
+    assert len(rows) == 90
+    for r in rows:
+        src = M._bmp_pixels(M._bmp_gradient_bytes(r.media_id))
+        assert (r.orig_height, r.orig_width) == src.shape[:2]
+        got = M._bmp_pixels(bytes(r.payload))
+        want = np.array(
+            _reference_resize(src.tolist(), 12, 10), dtype=np.uint8
+        )
+        assert (got == want).all(), r.media_id
+        assert r.n_bytes == len(bytes(r.payload)) == 54 + 36 * 10
+        assert abs(r.mean_intensity - got.astype(np.float64).mean() / 255.0) == 0.0
+
+    # flat-luminance fixtures: resize preserves the constant exactly
+    flat = M.synthesize_real_media_from_documents(docs)
+    for r in M.resize_images(flat, out_w=16, out_h=16).collect():
+        assert r.mean_intensity == (r.media_id % 256) / 255.0, r.media_id

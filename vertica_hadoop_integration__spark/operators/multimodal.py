@@ -290,6 +290,111 @@ def frame_sample_plan(media: DataFrame, every_sec: float = 1.0) -> DataFrame:
     )
 
 
+# -- image resize: decode -> resample -> re-encode, all inside Arrow -------
+
+
+def _bmp_pixels(payload: bytes):
+    """Decode a 24-bit BMP payload to an (h, w, 3) uint8 array in FILE
+    row order. BMP stores rows bottom-up for positive heights; every
+    producer and consumer in this module uses file order consistently,
+    so the convention cancels out (resize + re-encode round-trips)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    offset = int.from_bytes(payload[10:14], "little")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload[offset : offset + stride * height], dtype=np.uint8)
+    return rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+
+
+def _encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array (file row order, see `_bmp_pixels`)
+    as an uncompressed 24-bit BMP with 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * 3] = arr.reshape(h, w * 3)
+    pixels = padded.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + dib + pixels
+
+
+def resize_image_array(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resample with the pixel-center convention
+    (src = floor((i + 0.5) * src_dim / out_dim), clamped) — pure integer
+    index selection after one deterministic double multiply, so results
+    are bit-identical across platforms and replay-safe."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[ys][:, xs]
+
+
+def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Thumbnail/normalization resize over image payloads — the
+    multimodal preprocessing step between raw crawl bytes and a
+    fixed-shape training tensor. One Arrow mapInPandas pass per image:
+    decode BMP -> nearest-neighbor resample to (out_w, out_h) ->
+    re-encode BMP; emits the resized payload plus audit columns
+    (original dims, resized byte size, resized mean intensity).
+
+    Scale shape: identical to extract_features — payloads stream through
+    Arrow batches, one python worker per partition, input spread to
+    cluster parallelism first (decode/resample is the per-row CPU cost).
+    No shuffle, no pixel data ever enters a join; downstream consumers
+    keyed on media_id join the bounded audit columns only. Real codecs
+    (PIL/ffmpeg) drop into the same decode seam without changing the
+    dataflow (DECODERS pattern, multimodal.py:137)."""
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ows, ohs, payloads, means = [], [], [], []
+            for p in pdf["payload"]:
+                arr = _bmp_pixels(bytes(p))
+                ohs.append(arr.shape[0])
+                ows.append(arr.shape[1])
+                resized = resize_image_array(arr, out_w, out_h)
+                payloads.append(_encode_bmp(resized))
+                means.append(float(resized.astype(np.float64).mean()) / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").values,
+                    "orig_width": np.array(ows, dtype=np.int32),
+                    "orig_height": np.array(ohs, dtype=np.int32),
+                    "width": np.full(len(ows), out_w, dtype=np.int32),
+                    "height": np.full(len(ohs), out_h, dtype=np.int32),
+                    "payload": payloads,
+                    "n_bytes": np.array([len(b) for b in payloads], dtype=np.int64),
+                    "mean_intensity": np.array(means, dtype=np.float64),
+                }
+            )
+
+    return _spread(imgs).mapInPandas(
+        run,
+        schema=(
+            "media_id long, orig_width int, orig_height int, width int, "
+            "height int, payload binary, n_bytes long, mean_intensity double"
+        ),
+    )
+
+
 # -- perceptual hashing: near-duplicate images without pixel joins ---------
 
 

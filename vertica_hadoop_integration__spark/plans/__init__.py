@@ -67,13 +67,13 @@ WINDOW = [
     # --- new this round (registered after the r05 plan was drawn): put
     # them in the head so NO query is ever without a driver row and the
     # WINDOW list can be deleted next round with coverage complete ---
-    "corpus_shuffle_shards", "embedding_pca_project",
+    "corpus_shuffle_shards", "embedding_pca_project", "multimodal_resize",
     # --- sentinels: previously driver-green, one per rotated-out family
-    # (ANN and text sentinels yielded their slots to the two new queries;
-    # both families are already represented in this window via
-    # ann_pq/ivf_pq/ivf_kmeans and text_redact_pii/text_bpe_*) ---
+    # (ANN, text, and events sentinels yielded their slots to the three
+    # new queries; those families are already represented in this window
+    # via ann_pq/ivf_pq/ivf_kmeans, text_redact_pii/text_bpe_*, and
+    # events_dedup_exact/events_anomaly_zscore/events_value_histogram) ---
     "q1_pricing_summary", "s10_pending_pipeline", "dedup_minhash_portable",
-    "events_sessionize",
 ]
 assert len(WINDOW) == 50 and len(set(WINDOW)) == 50
 _missing = [n for n in WINDOW if n not in QUERIES]

@@ -138,6 +138,41 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media, decoder="real").drop("content_hash")
 
 
+# -- REAL image resize (oracle-checked) -------------------------------------
+# The constant-luminance BMP fixtures make a resize exactly predictable:
+# nearest-neighbor sampling of a flat image is flat, so the resized mean
+# intensity equals the generator's lum/255; the resized byte size is the
+# fixed 16x16 BMP (54 + 48-byte stride * 16 rows = 822); original dims come
+# from the generator formulas the decode_real oracle already pins. A resize
+# kernel that misparses the header, mis-mapped indices out of bounds, or
+# re-encoded with wrong padding fails dims/bytes; the actual resample
+# arithmetic is pinned by gradient-fixture parity pytest
+# (tests/test_multimodal.py) where every output pixel is checked.
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 24 AS INT) AS orig_width,
+           CAST(8 + (doc_id * 7) % 24 AS INT) AS orig_height,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(822 AS BIGINT) AS n_bytes,
+           CAST(doc_id % 256 AS DOUBLE) / 255 AS mean_intensity
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> nearest-neighbor resize to 16x16 -> re-encode, one Arrow
+    pass (operators/multimodal.py::resize_images); the brief's named
+    multimodal preprocessing step between crawl bytes and fixed-shape
+    training tensors. Payload column dropped here only because binary
+    blobs aren't oracle-comparable — the registered op materializes it."""
+    media = M.synthesize_real_media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    )
+    return M.resize_images(media, out_w=16, out_h=16).drop("payload")
+
+
 # -- perceptual-hash near-dup images (rows-only; pytest-verified) ----------
 @register("multimodal_phash_dedup")
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
