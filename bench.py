@@ -116,8 +116,11 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "embedding_pca_project",
     "ann_pca_topk",
-    # round-5 late addition (additive): Arrow decode->resample->re-encode
+    # round-5 late additions (additive): Arrow decode->resample->re-encode,
+    # real uncompressed-AVI video decode + per-frame extraction
     "multimodal_resize",
+    "multimodal_video_decode",
+    "multimodal_video_frames",
 ]
 
 

@@ -82,13 +82,67 @@ def test_real_decoders_roundtrip_without_spark():
         assert got["width"] is None
 
 
-def test_real_decoder_rejects_garbage_and_video():
+def test_real_decoder_rejects_garbage_and_compressed_video():
+    import struct
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         M._decode_real("image", b"\x00" * 64)
+    with _pytest.raises(ValueError):
+        M._decode_real("video", b"anything-but-RIFF" * 4)
+    # a compressed stream (strf biCompression != 0) stays honestly gated
+    avi = bytearray(M._avi_bytes(2))
+    pos = avi.find(b"strf") + 8 + 16  # biCompression field
+    assert struct.unpack_from("<I", avi, pos)[0] == 0
+    struct.pack_into("<I", avi, pos, 0x47504A4D)  # 'MJPG'
     with _pytest.raises(NotImplementedError):
-        M._decode_real("video", b"anything")
+        M._decode_real("video", bytes(avi))
+
+
+def test_avi_generator_parser_roundtrip_without_spark():
+    """The struct-arithmetic AVI parser recovers exactly what the
+    generator encoded: header fields, every frame's pixels, duration."""
+    for doc_id in (2, 5, 8, 47, 1001):
+        meta = M._parse_avi(M._avi_bytes(doc_id))
+        w, h = 8 + doc_id % 16, 8 + (doc_id * 5) % 16
+        nf, fps = 2 + doc_id % 9, (4, 5, 8, 10)[doc_id % 4]
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
+        assert len(meta["frames"]) == nf
+        for k, f in enumerate(meta["frames"]):
+            assert f.shape == (h, w, 3)
+            assert (f == (doc_id + 17 * k) % 256).all()
+        d = M._decode_real("video", M._avi_bytes(doc_id))
+        assert d["duration_sec"] == nf / fps
+        want = sum((doc_id + 17 * k) % 256 for k in range(nf)) / nf / 255
+        assert d["mean_intensity"] == want
+
+
+def test_video_frame_extract_distributed(spark, sf_dir):
+    """Distributed frame extraction: every frame's materialized BMP
+    decodes back to the generator's constant-luminance pixels, with
+    exact timestamps and means; `every` subsampling keeps multiples."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    media = M.synthesize_real_video_media(docs)
+    rows = M.video_frame_extract(media, every=1).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert by_media and all(mid % 3 == 2 for mid in by_media)
+    for mid, frames in by_media.items():
+        nf, fps = 2 + mid % 9, (4, 5, 8, 10)[mid % 4]
+        assert sorted(f.frame_idx for f in frames) == list(range(nf))
+        for f in frames:
+            lum = (mid + 17 * f.frame_idx) % 256
+            assert f.frame_mean == lum / 255
+            assert f.frame_ts_sec == f.frame_idx / fps
+            px = M._bmp_pixels(bytes(f.frame_bmp))
+            assert px.shape == (8 + (mid * 5) % 16, 8 + mid % 16, 3)
+            assert (px == lum).all()
+    sub = M.video_frame_extract(media, every=2).collect()
+    assert {(r.media_id, r.frame_idx) for r in sub} == {
+        (r.media_id, r.frame_idx) for r in rows if r.frame_idx % 2 == 0
+    }
 
 
 def test_real_media_features_distributed(spark, sf_dir):

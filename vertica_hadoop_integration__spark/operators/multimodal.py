@@ -2,9 +2,11 @@
 typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side plumbing (schemas, batching, partition sizing, UDF
-signatures) is real and tested; the actual media decode is stubbed behind
-``DECODERS`` because codec libraries aren't in this environment — a real
-deployment drops in PIL/ffmpeg there without touching the dataflow.
+signatures) is real and tested. Decode is pluggable via ``DECODERS``:
+the "real" decoder parses BMP images, WAV audio, and uncompressed
+RIFF/AVI video with stdlib struct arithmetic alone; only compressed
+codecs are gated (no ffmpeg/PIL in this environment) — a real deployment
+drops them into the same seam without touching the dataflow.
 
 Scale design:
 * payloads stay in ``binary`` columns; Arrow moves them zero-copy between
@@ -85,15 +87,16 @@ def _decode_stub(media_type: str, payload: bytes) -> dict:
 
 
 def _decode_real(media_type: str, payload: bytes) -> dict:
-    """REAL format decode for the two modalities the standard library can
-    parse: BMP images (fixed 54-byte header + raw 24-bit pixels) and WAV
-    audio (RIFF container via ``wave``). Video genuinely needs a codec
-    library (ffmpeg / pyav) and stays unimplemented here — callers route
-    video through the stub decoder or a production decoder.
+    """REAL format decode for all three modalities: BMP images (fixed
+    54-byte header + raw 24-bit pixels), WAV audio (RIFF container via
+    ``wave``), and uncompressed RIFF/AVI video ('DIB ' raw frames —
+    container walking is pure struct arithmetic, see `_parse_avi`).
+    Compressed video genuinely needs a codec library (ffmpeg / pyav)
+    and raises NotImplementedError from the strf compression check.
 
-    This is not a fake: width/height come from the BMP DIB header,
-    duration from the WAV frame count / sample rate, and mean intensity
-    from the actual pixel / sample data."""
+    This is not a fake: width/height come from the BMP DIB / AVI avih
+    headers, duration from the WAV frame count / AVI MicroSecPerFrame,
+    and mean intensity from the actual pixel / sample data."""
     import io
     import wave as _wave
 
@@ -126,10 +129,18 @@ def _decode_real(media_type: str, payload: bytes) -> dict:
             "mean_intensity": float(np.abs(samples.astype(np.float64)).mean())
             / 32768.0,
         }
-    raise NotImplementedError(
-        f"real decode of {media_type!r} requires a codec library "
-        "(ffmpeg/pyav) not present in this environment"
-    )
+    if media_type == "video":
+        meta = _parse_avi(payload)
+        total = np.concatenate(
+            [f.reshape(-1).astype(np.float64) for f in meta["frames"]]
+        )
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "duration_sec": meta["n_frames"] * meta["usec_per_frame"] / 1e6,
+            "mean_intensity": float(total.mean()) / 255.0,
+        }
+    raise NotImplementedError(f"unknown media type: {media_type!r}")
 
 
 DECODERS: dict[str, Callable[[str, bytes], dict]] = {
@@ -182,6 +193,114 @@ def _wav_bytes(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _avi_bytes(doc_id: int) -> bytes:
+    """A genuine uncompressed RIFF/AVI file ('DIB ' handler, raw 24-bit
+    bottom-up frames in '00db' chunks) — a real public container format
+    that, like BMP and WAV, needs only ``struct`` to write and parse;
+    no codec involved because the video data is uncompressed. Every
+    parameter derives from doc_id so a SQL oracle can predict exactly
+    what a correct parser must recover: dimensions and frame count from
+    the avih header, duration from MicroSecPerFrame * TotalFrames, and
+    per-frame intensity from the constant-luminance frame pixels
+    lum_k = (doc_id + 17k) % 256."""
+    import struct
+
+    width = 8 + doc_id % 16
+    height = 8 + (doc_id * 5) % 16
+    n_frames = 2 + doc_id % 9
+    fps = (4, 5, 8, 10)[doc_id % 4]
+    usec = 1_000_000 // fps  # all four rates divide 1e6 exactly
+    stride = (width * 3 + 3) // 4 * 4
+    frame_size = stride * height
+
+    avih = struct.pack(
+        "<14I", usec, frame_size * fps, 0, 0, n_frames, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_size,
+        0, frame_size, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+
+    frames = []
+    for k in range(n_frames):
+        lum = (doc_id + 17 * k) % 256
+        row = bytes([lum] * (width * 3)) + b"\x00" * (stride - width * 3)
+        frames.append(b"00db" + struct.pack("<I", frame_size) + row * height)
+    movi = b"LIST" + struct.pack("<I", 4 + sum(len(f) for f in frames)) + b"movi" \
+        + b"".join(frames)
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi(payload: bytes) -> dict:
+    """Parse an uncompressed RIFF/AVI payload: avih header fields plus
+    the raw '00db' frames as (h, w, 3) uint8 arrays (file row order,
+    same convention as `_bmp_pixels`). Rejects non-RIFF payloads and
+    compressed streams (biCompression != 0) — real codecs stay honestly
+    out of scope; the container itself is pure struct arithmetic."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    avih = None
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal avih
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            data_lo = pos + 8
+            if fourcc == b"LIST":
+                walk(data_lo + 4, data_lo + size)  # skip list subtype
+            elif fourcc == b"avih":
+                avih = struct.unpack_from("<14I", payload, data_lo)
+            elif fourcc == b"strf":
+                (compression,) = struct.unpack_from("<I", payload, data_lo + 16)
+                if compression != 0:
+                    raise NotImplementedError(
+                        "compressed AVI streams need a codec library "
+                        "(ffmpeg/pyav) not present in this environment"
+                    )
+            elif fourcc == b"00db":
+                frames_raw.append(payload[data_lo : data_lo + size])
+            pos = data_lo + size + (size & 1)  # chunks pad to even offsets
+
+    walk(12, len(payload))
+    if avih is None:
+        raise ValueError("AVI payload missing avih header")
+    usec, _, _, _, n_frames, _, _, _, width, height = avih[:10]
+    stride = (width * 3 + 3) // 4 * 4
+    frames = [
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(height, stride)[:, : width * 3]
+        .reshape(height, width, 3)
+        for raw in frames_raw
+    ]
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "usec_per_frame": usec,
+        "frames": frames,
+    }
+
+
 def synthesize_real_media_from_documents(docs: DataFrame) -> DataFrame:
     """Media table whose payloads are REAL format-conformant files (BMP
     for image rows, WAV for audio rows) built per-document inside an
@@ -209,6 +328,81 @@ def synthesize_real_media_from_documents(docs: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_real_video_media(docs: DataFrame) -> DataFrame:
+    """Video-only media table whose payloads are REAL uncompressed
+    RIFF/AVI files (see `_avi_bytes`), built for the documents the
+    stub-media fixture types as video (doc_id % 3 == 2)."""
+    src = docs.select("doc_id").filter(F.col("doc_id") % 3 == 2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = [_avi_bytes(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": ["video"] * len(ids),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source_doc_id": ids.values,
+                }
+            )
+
+    return _spread(src).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def video_frame_extract(media: DataFrame, every: int = 1) -> DataFrame:
+    """REAL frame extraction: parse each AVI payload, take every
+    ``every``-th frame, and materialize it as a standalone BMP payload
+    plus audit stats — the step that turns crawl video into per-frame
+    training images. One Arrow mapInPandas pass; the frame explode
+    happens INSIDE the pass so full video payloads never enter a
+    shuffle, and each emitted row carries only one frame's bytes.
+
+    Output: (media_id, frame_idx, frame_ts_sec, frame_mean, frame_bmp).
+    Scale shape: same as extract_features — per-row CPU work, input
+    spread to cluster parallelism, no joins over pixel data."""
+    vids = media.filter(F.col("media_type") == "video").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, idxs, tss, means, bmps = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                meta = _parse_avi(bytes(p))
+                usec = meta["usec_per_frame"]
+                for k, frame in enumerate(meta["frames"]):
+                    if k % every:
+                        continue
+                    mids.append(int(mid))
+                    idxs.append(k)
+                    tss.append(k * usec / 1e6)
+                    means.append(
+                        float(frame.astype(np.float64).mean()) / 255.0
+                    )
+                    bmps.append(_encode_bmp(frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(mids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame_ts_sec": np.array(tss, dtype=np.float64),
+                    "frame_mean": np.array(means, dtype=np.float64),
+                    "frame_bmp": bmps,
+                }
+            )
+
+    return _spread(vids).mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, frame_ts_sec double, "
+            "frame_mean double, frame_bmp binary"
+        ),
+    )
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:

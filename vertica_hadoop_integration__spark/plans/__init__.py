@@ -68,12 +68,16 @@ WINDOW = [
     # them in the head so NO query is ever without a driver row and the
     # WINDOW list can be deleted next round with coverage complete ---
     "corpus_shuffle_shards", "embedding_pca_project", "multimodal_resize",
-    # --- sentinels: previously driver-green, one per rotated-out family
-    # (ANN, text, and events sentinels yielded their slots to the three
-    # new queries; those families are already represented in this window
-    # via ann_pq/ivf_pq/ivf_kmeans, text_redact_pii/text_bpe_*, and
-    # events_dedup_exact/events_anomaly_zscore/events_value_histogram) ---
-    "q1_pricing_summary", "s10_pending_pipeline", "dedup_minhash_portable",
+    "multimodal_video_decode",
+    # --- sentinels: previously driver-green, one per rotated-out family.
+    # Four of the original six yielded their slots to new r05 queries
+    # (ANN, text, events, dedup — each of those families is already
+    # represented in this window by 3+ never-sampled members, so a
+    # shared-machinery regression stays driver-visible); the relational
+    # and reference-pipeline families have no other in-window member and
+    # keep their sentinels.  multimodal_video_frames (registered after
+    # the last free slot was taken) goes in the r06 window. ---
+    "q1_pricing_summary", "s10_pending_pipeline",
 ]
 assert len(WINDOW) == 50 and len(set(WINDOW)) == 50
 _missing = [n for n in WINDOW if n not in QUERIES]

@@ -138,6 +138,74 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media, decoder="real").drop("content_hash")
 
 
+# -- REAL video decode (oracle-checked) -------------------------------------
+# Uncompressed RIFF/AVI is a public container format parseable with stdlib
+# struct alone (no codec — the frames are raw DIB pixels), exactly like the
+# BMP/WAV real-decode work: the generator derives every parameter from
+# doc_id, so DuckDB predicts what a correct parser must recover — dims and
+# frame count from the avih header, duration from MicroSecPerFrame *
+# TotalFrames, mean intensity from the constant-luminance frame pixels,
+# and total byte size from the container layout arithmetic.
+@register(
+    "multimodal_video_decode",
+    oracle="""
+    WITH v AS (SELECT doc_id,
+                      8 + doc_id % 16 AS w,
+                      8 + (doc_id * 5) % 16 AS h,
+                      2 + doc_id % 9 AS n_frames,
+                      ([4,5,8,10])[CAST(doc_id % 4 AS INT) + 1] AS fps
+               FROM documents WHERE doc_id % 3 = 2),
+    lum AS (SELECT doc_id, AVG((doc_id + 17 * t.u) % 256) AS mean_lum
+            FROM v, unnest(generate_series(0, n_frames - 1)) AS t(u)
+            GROUP BY doc_id)
+    SELECT v.doc_id AS media_id, 'video' AS media_type,
+           CAST(224 + n_frames * (8 + ((w * 3 + 3) // 4 * 4) * h)
+                AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(n_frames AS DOUBLE) / fps AS duration_sec,
+           lum.mean_lum / 255 AS mean_intensity
+    FROM v JOIN lum ON v.doc_id = lum.doc_id
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video decode: synthesize uncompressed RIFF/AVI
+    payloads per video document (Arrow mapInPandas), parse them back with
+    the struct-arithmetic container walker (operators/multimodal.py::
+    _parse_avi) — header fields AND pixel statistics over every frame.
+    Compressed codecs remain honestly gated (the strf compression check
+    raises); the container path is fully real."""
+    media = M.synthesize_real_video_media(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(media, decoder="real").drop("content_hash")
+
+
+# -- REAL per-frame extraction (oracle-checked) ------------------------------
+# Each emitted frame's mean is pinned to the generator's per-frame
+# luminance lum_k = (doc_id + 17k) % 256 and its timestamp to k/fps; the
+# frame explode happens INSIDE the Arrow pass so full video payloads never
+# enter a shuffle. The materialized per-frame BMP payload is dropped here
+# only because binary blobs aren't oracle-comparable — its pixel content is
+# pytest-pinned (tests/test_multimodal.py).
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH v AS (SELECT doc_id,
+                      2 + doc_id % 9 AS n_frames,
+                      ([4,5,8,10])[CAST(doc_id % 4 AS INT) + 1] AS fps
+               FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id AS media_id, CAST(t.u AS INT) AS frame_idx,
+           CAST(t.u AS DOUBLE) / fps AS frame_ts_sec,
+           CAST((doc_id + 17 * t.u) % 256 AS DOUBLE) / 255 AS frame_mean
+    FROM v, unnest(generate_series(0, n_frames - 1)) AS t(u)
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction (operators/multimodal.py::video_frame_extract):
+    parse each AVI, materialize every frame as a standalone BMP with audit
+    stats — the video-to-training-images step of a multimodal pipeline."""
+    media = M.synthesize_real_video_media(load_table(spark, sf_dir, "documents"))
+    return M.video_frame_extract(media, every=1).drop("frame_bmp")
+
+
 # -- REAL image resize (oracle-checked) -------------------------------------
 # The constant-luminance BMP fixtures make a resize exactly predictable:
 # nearest-neighbor sampling of a flat image is flat, so the resized mean
