@@ -401,3 +401,27 @@ def test_resize_images_distributed(spark, sf_dir):
     flat = M.synthesize_real_media_from_documents(docs)
     for r in M.resize_images(flat, out_w=16, out_h=16).collect():
         assert r.mean_intensity == (r.media_id % 256) / 255.0, r.media_id
+
+
+def test_avi_roundtrip_randomized_frames():
+    """Property-style: arbitrary frame contents and shapes survive the
+    encode->parse round-trip bit-exactly (not just the constant-lum
+    fixture path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        nf = int(rng.integers(1, 12))
+        fps = int(rng.choice([4, 5, 8, 10, 20, 25]))
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+        meta = M._parse_avi(M._avi_from_frames(frames, fps))
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
+        assert meta["usec_per_frame"] == 1_000_000 // fps
+        assert len(meta["frames"]) == nf
+        for got, want in zip(meta["frames"], frames):
+            assert (got == want).all()

@@ -193,23 +193,17 @@ def _wav_bytes(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
-def _avi_bytes(doc_id: int) -> bytes:
-    """A genuine uncompressed RIFF/AVI file ('DIB ' handler, raw 24-bit
-    bottom-up frames in '00db' chunks) — a real public container format
+def _avi_from_frames(frames, fps: int) -> bytes:
+    """Encode (h, w, 3) uint8 frame arrays (file row order, constant
+    shape) as a genuine uncompressed RIFF/AVI file ('DIB ' handler, raw
+    24-bit frames in '00db' chunks) — a real public container format
     that, like BMP and WAV, needs only ``struct`` to write and parse;
-    no codec involved because the video data is uncompressed. Every
-    parameter derives from doc_id so a SQL oracle can predict exactly
-    what a correct parser must recover: dimensions and frame count from
-    the avih header, duration from MicroSecPerFrame * TotalFrames, and
-    per-frame intensity from the constant-luminance frame pixels
-    lum_k = (doc_id + 17k) % 256."""
+    no codec involved because the video data is uncompressed."""
     import struct
 
-    width = 8 + doc_id % 16
-    height = 8 + (doc_id * 5) % 16
-    n_frames = 2 + doc_id % 9
-    fps = (4, 5, 8, 10)[doc_id % 4]
-    usec = 1_000_000 // fps  # all four rates divide 1e6 exactly
+    height, width, _ = frames[0].shape
+    n_frames = len(frames)
+    usec = 1_000_000 // fps
     stride = (width * 3 + 3) // 4 * 4
     frame_size = stride * height
 
@@ -231,16 +225,37 @@ def _avi_bytes(doc_id: int) -> bytes:
     hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
         + b"avih" + struct.pack("<I", len(avih)) + avih + strl
 
-    frames = []
-    for k in range(n_frames):
-        lum = (doc_id + 17 * k) % 256
-        row = bytes([lum] * (width * 3)) + b"\x00" * (stride - width * 3)
-        frames.append(b"00db" + struct.pack("<I", frame_size) + row * height)
-    movi = b"LIST" + struct.pack("<I", 4 + sum(len(f) for f in frames)) + b"movi" \
-        + b"".join(frames)
+    import numpy as np
+
+    chunks = []
+    for frame in frames:
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * 3] = frame.reshape(height, width * 3)
+        chunks.append(b"00db" + struct.pack("<I", frame_size) + padded.tobytes())
+    movi = b"LIST" + struct.pack("<I", 4 + sum(len(c) for c in chunks)) + b"movi" \
+        + b"".join(chunks)
 
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_bytes(doc_id: int) -> bytes:
+    """Fixture AVI: every parameter derives from doc_id so a SQL oracle
+    can predict exactly what a correct parser must recover — dimensions
+    and frame count from the avih header, duration from
+    MicroSecPerFrame * TotalFrames, and per-frame intensity from the
+    constant-luminance frame pixels lum_k = (doc_id + 17k) % 256."""
+    import numpy as np
+
+    width = 8 + doc_id % 16
+    height = 8 + (doc_id * 5) % 16
+    n_frames = 2 + doc_id % 9
+    fps = (4, 5, 8, 10)[doc_id % 4]  # all four rates divide 1e6 exactly
+    frames = [
+        np.full((height, width, 3), (doc_id + 17 * k) % 256, dtype=np.uint8)
+        for k in range(n_frames)
+    ]
+    return _avi_from_frames(frames, fps)
 
 
 def _parse_avi(payload: bytes) -> dict:
