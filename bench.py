@@ -121,6 +121,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_video_decode",
     "multimodal_video_frames",
+    "multimodal_video_thumbnails",
 ]
 
 

@@ -206,6 +206,47 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_frame_extract(media, every=1).drop("frame_bmp")
 
 
+# -- video -> per-frame thumbnails (oracle-checked composition) --------------
+# The two Arrow kernels compose through a plain binary column: frame BMPs
+# materialized by video_frame_extract are decoded again by resize_images on
+# the executors — no driver round-trip, no shuffle of pixel data (both ops
+# are map-only, so the composition is one fused scan-stage pipeline). Every
+# output value is still exactly predictable from the generator formulas.
+@register(
+    "multimodal_video_thumbnails",
+    oracle="""
+    WITH v AS (SELECT doc_id, 2 + doc_id % 9 AS n_frames
+               FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id AS video_id, CAST(t.u AS INT) AS frame_idx,
+           CAST(8 + doc_id % 16 AS INT) AS orig_width,
+           CAST(8 + (doc_id * 5) % 16 AS INT) AS orig_height,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(246 AS BIGINT) AS n_bytes,
+           CAST((doc_id + 17 * t.u) % 256 AS DOUBLE) / 255 AS mean_intensity
+    FROM v, unnest(generate_series(0, n_frames - 1)) AS t(u)
+    """,
+)
+def multimodal_video_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video -> frames -> 8x8 thumbnails: video_frame_extract's BMP
+    payloads feed resize_images directly (frame id packed into media_id,
+    recovered after). The training-data path for turning crawl video
+    into fixed-shape image tensors, end to end on executors."""
+    media = M.synthesize_real_video_media(load_table(spark, sf_dir, "documents"))
+    frames = M.video_frame_extract(media, every=1)
+    as_media = frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("frame_bmp").alias("payload"),
+    )
+    thumbs = M.resize_images(as_media, out_w=8, out_h=8)
+    return thumbs.select(
+        (F.col("media_id") / 1000).cast("long").alias("video_id"),
+        F.pmod(F.col("media_id"), F.lit(1000)).cast("int").alias("frame_idx"),
+        "orig_width", "orig_height", "width", "height", "n_bytes",
+        "mean_intensity",
+    )
+
+
 # -- REAL image resize (oracle-checked) -------------------------------------
 # The constant-luminance BMP fixtures make a resize exactly predictable:
 # nearest-neighbor sampling of a flat image is flat, so the resized mean
