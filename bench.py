@@ -122,6 +122,7 @@ HEADLINE = [
     "multimodal_video_decode",
     "multimodal_video_frames",
     "multimodal_video_thumbnails",
+    "multimodal_decode_errors",
 ]
 
 

@@ -425,3 +425,50 @@ def test_avi_roundtrip_randomized_frames():
         assert len(meta["frames"]) == nf
         for got, want in zip(meta["frames"], frames):
             assert (got == want).all()
+
+
+# -- corrupt-input validation and robust decode ----------------------------
+
+
+def test_decoder_validation_rejects_planted_corruption():
+    """Both corruption classes (mid-header truncation, flipped magic)
+    fail validation with ValueError for ALL three real formats."""
+    import pytest as _pytest
+
+    gens = {
+        "image": M._bmp_bytes,
+        "audio": M._wav_bytes,
+        "video": M._avi_bytes,
+    }
+    for kind, gen in gens.items():
+        for doc_id in (6, 29, 100):
+            clean = gen(doc_id)
+            with _pytest.raises(ValueError):
+                M._decode_real(kind, clean[:10])
+            with _pytest.raises(ValueError):
+                M._decode_real(kind, bytes([clean[0] ^ 0xFF]) + clean[1:])
+            # truncating the DATA region (not just the header) also fails
+            with _pytest.raises(ValueError):
+                M._decode_real(kind, clean[:-7])
+            M._decode_real(kind, clean)  # clean still decodes
+
+
+def test_extract_features_robust_distributed(spark, sf_dir):
+    """One corrupt payload costs one NULL row with the exception class,
+    never a task failure; clean rows keep exact features."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = M.synthesize_corrupt_media(docs)
+    rows = {r.media_id: r for r in M.extract_features_robust(media, "real").collect()}
+    assert len(rows) == 200
+    for mid, r in rows.items():
+        if mid % 11 == 0 or mid % 13 == 0:
+            assert r.decode_error == "ValueError", mid
+            assert r.width is None and r.mean_intensity is None
+        else:
+            assert r.decode_error is None, mid
+            if r.media_type == "image":
+                assert r.width == 8 + mid % 24
+                assert r.mean_intensity == (mid % 256) / 255.0
+            elif r.media_type == "video":
+                nf, fps = 2 + mid % 9, (4, 5, 8, 10)[mid % 4]
+                assert r.duration_sec == nf / fps

@@ -105,10 +105,16 @@ def _decode_real(media_type: str, payload: bytes) -> dict:
     if media_type == "image":
         if payload[:2] != b"BM":
             raise ValueError("not a BMP payload")
+        if len(payload) < 54:
+            raise ValueError("truncated BMP: header incomplete")
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = abs(int.from_bytes(payload[22:26], "little", signed=True))
         offset = int.from_bytes(payload[10:14], "little")
         stride = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        if width <= 0 or height <= 0:
+            raise ValueError("invalid BMP dimensions")
+        if offset + stride * height > len(payload):
+            raise ValueError("truncated BMP: pixel data incomplete")
         rows = np.frombuffer(
             payload[offset : offset + stride * height], dtype=np.uint8
         ).reshape(height, stride)[:, : width * 3]
@@ -119,9 +125,15 @@ def _decode_real(media_type: str, payload: bytes) -> dict:
             "mean_intensity": float(rows.mean()) / 255.0,
         }
     if media_type == "audio":
-        with _wave.open(io.BytesIO(payload)) as w:
-            n_frames, rate = w.getnframes(), w.getframerate()
-            samples = np.frombuffer(w.readframes(n_frames), dtype="<i2")
+        try:
+            with _wave.open(io.BytesIO(payload)) as w:
+                n_frames, rate = w.getnframes(), w.getframerate()
+                raw = w.readframes(n_frames)
+        except (_wave.Error, EOFError) as exc:
+            raise ValueError(f"invalid WAV payload: {exc}") from exc
+        if len(raw) < n_frames * 2:
+            raise ValueError("truncated WAV: sample data incomplete")
+        samples = np.frombuffer(raw, dtype="<i2")
         return {
             "width": None,
             "height": None,
@@ -300,7 +312,16 @@ def _parse_avi(payload: bytes) -> dict:
     if avih is None:
         raise ValueError("AVI payload missing avih header")
     usec, _, _, _, n_frames, _, _, _, width, height = avih[:10]
+    if width <= 0 or height <= 0:
+        raise ValueError("invalid AVI dimensions")
     stride = (width * 3 + 3) // 4 * 4
+    if len(frames_raw) != n_frames:
+        raise ValueError(
+            f"truncated AVI: header declares {n_frames} frames, "
+            f"found {len(frames_raw)}"
+        )
+    if any(len(raw) != stride * height for raw in frames_raw):
+        raise ValueError("truncated AVI: frame chunk size mismatch")
     frames = [
         np.frombuffer(raw, dtype=np.uint8)
         .reshape(height, stride)[:, : width * 3]
@@ -477,6 +498,103 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def extract_features_robust(media: DataFrame, decoder: str = "real") -> DataFrame:
+    """Decode-with-error-capture: like :func:`extract_features` but a
+    corrupt payload yields a row with NULL features and a ``decode_error``
+    class instead of killing the job — the behavior a 100 TB crawl
+    demands, where truncated downloads and mislabeled bytes are routine.
+    One bad file must cost one row, not a task retry storm (Spark retries
+    the whole partition on an uncaught executor exception, and four
+    failures kill the job).
+
+    ``decode_error`` is the exception CLASS name (deterministic and
+    groupable — 'ValueError' for malformed/truncated payloads,
+    'NotImplementedError' for honestly-unsupported codecs), never the
+    message (messages embed lengths/offsets and would explode the
+    group-by cardinality)."""
+    decode = DECODERS[decoder]
+    media = _spread(media)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, errs = [], []
+            for t, p in zip(pdf["media_type"], pdf["payload"]):
+                try:
+                    feats.append(decode(t, bytes(p)))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — per-row capture is the point
+                    feats.append(
+                        {
+                            "width": None,
+                            "height": None,
+                            "duration_sec": None,
+                            "mean_intensity": None,
+                        }
+                    )
+                    errs.append(type(exc).__name__)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                    "duration_sec": [f["duration_sec"] for f in feats],
+                    "mean_intensity": [f["mean_intensity"] for f in feats],
+                    "decode_error": errs,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, media_type string, n_bytes long, width int, "
+            "height int, duration_sec double, mean_intensity double, "
+            "decode_error string"
+        ),
+    )
+
+
+def synthesize_corrupt_media(docs: DataFrame) -> DataFrame:
+    """Real BMP/WAV/AVI media with DETERMINISTICALLY planted corruption —
+    the fixture for decode-error handling: doc_id % 11 == 0 rows are
+    truncated to 10 bytes (mid-header), else doc_id % 13 == 0 rows get
+    their magic bytes flipped; everything else is clean. Both corruption
+    classes fail every decoder's validation, so an oracle can predict
+    the exact ok/failed partition."""
+    src = docs.select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            kinds, payloads = [], []
+            for i in ids:
+                i = int(i)
+                k = ("image", "audio", "video")[i % 3]
+                p = (
+                    _bmp_bytes(i)
+                    if k == "image"
+                    else _wav_bytes(i) if k == "audio" else _avi_bytes(i)
+                )
+                if i % 11 == 0:
+                    p = p[:10]
+                elif i % 13 == 0:
+                    p = bytes([p[0] ^ 0xFF]) + p[1:]
+                kinds.append(k)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": kinds,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "source_doc_id": ids.values,
+                }
+            )
+
+    return _spread(src).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_sec: float = 1.0) -> DataFrame:

@@ -206,6 +206,53 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_frame_extract(media, every=1).drop("frame_bmp")
 
 
+# -- decode-error handling over planted corruption (oracle-checked) ---------
+# A 100 TB crawl has truncated downloads and mislabeled bytes; one bad file
+# must cost one NULL row, not a task-retry storm. The fixture plants two
+# corruption classes deterministically (doc_id % 11: truncation to 10
+# bytes; else doc_id % 13: flipped magic bytes) across all three REAL
+# formats, every decoder's validation rejects both with ValueError, and
+# the oracle predicts the exact ok/failed/error-class partition.
+@register(
+    "multimodal_decode_errors",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                      (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+                          AS media_type,
+                      CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                           THEN 1 ELSE 0 END AS failed
+               FROM documents)
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(failed) AS BIGINT) AS n_failed,
+           CAST(SUM(failed) AS BIGINT) AS n_valueerror,
+           CAST(COUNT(*) - SUM(failed) AS BIGINT) AS n_ok
+    FROM m GROUP BY media_type
+    """,
+)
+def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust decode over deliberately-corrupt real media
+    (operators/multimodal.py::extract_features_robust /
+    synthesize_corrupt_media): per-type totals, failures, failures
+    classified ValueError (all of them — validation rejects both planted
+    classes), and clean rows. n_valueerror == n_failed proves no
+    corruption escapes as a different exception class."""
+    media = M.synthesize_corrupt_media(load_table(spark, sf_dir, "documents"))
+    feats = M.extract_features_robust(media, decoder="real")
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(
+            F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_failed"),
+        F.sum(
+            F.when(F.col("decode_error") == "ValueError", 1).otherwise(0)
+        ).cast("long").alias("n_valueerror"),
+        F.sum(
+            F.when(F.col("decode_error").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_ok"),
+    )
+
+
 # -- video -> per-frame thumbnails (oracle-checked composition) --------------
 # The two Arrow kernels compose through a plain binary column: frame BMPs
 # materialized by video_frame_extract are decoded again by resize_images on
