@@ -239,3 +239,36 @@ def test_jsonl_staging_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == 200
     assert d.exceptAll(back).count() == 0
     assert back.exceptAll(d).count() == 0
+
+
+def test_jsonl_corrupt_record_preserves_raw_line(spark, sf_dir):
+    """PERMISSIVE ingest keeps the bad line's RAW TEXT in _corrupt_record
+    (auditable, re-parseable later) and parses every good line."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    line = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(F.lit('{"doc_id":'), F.col("doc_id"), F.lit("}")),
+    ).otherwise(F.concat(F.lit('{"doc_id":'), F.col("doc_id"), F.lit(',"x":"e')))
+    tmp = tempfile.mkdtemp(prefix="jsonl_raw_")
+    d.select(line.alias("value")).write.mode("overwrite").text(f"{tmp}/raw")
+    parsed = (
+        spark.read.schema("doc_id long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{tmp}/raw")
+    ).collect()
+    assert len(parsed) == 100
+    bad = [r for r in parsed if r._corrupt_record is not None]
+    good = [r for r in parsed if r._corrupt_record is None]
+    assert all(r.doc_id % 7 != 0 for r in good)
+    for r in bad:
+        # the raw malformed line is preserved verbatim and names its id
+        assert r._corrupt_record.startswith('{"doc_id":')
+        assert r._corrupt_record.endswith(',"x":"e')
+        assert int(r._corrupt_record.split(":")[1].split(",")[0]) % 7 == 0

@@ -942,6 +942,68 @@ def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/parquet")
 
 
+# -- JSONL ingest with corrupt-line capture (oracle-checked) ----------------
+# The robustness twin of jsonl_ingest_roundtrip: raw crawl JSONL always
+# contains malformed lines, and Spark's idiomatic answer is schema-on-read
+# PERMISSIVE mode with columnNameOfCorruptRecord — a bad line lands as one
+# row with the raw text in _corrupt_record and NULL fields, never a job
+# failure (FAILFAST) or silent loss (DROPMALFORMED, which would hide data
+# quality regressions). Corruption is planted deterministically (doc_id %
+# 7 == 0 lines are truncated mid-string), so the good/corrupt partition
+# and a value checksum over surviving rows are exactly SQL-predictable.
+@register(
+    "jsonl_ingest_errors",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END)
+                AS BIGINT) AS ok_id_sum
+    FROM documents
+    """,
+)
+def jsonl_ingest_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a JSONL file with deterministically-planted malformed lines,
+    read it back PERMISSIVE with _corrupt_record, and report the
+    good/corrupt partition plus an id checksum of the rows that survived
+    parsing — proof no good line is lost and no bad line kills the job."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(
+            F.lit('{"doc_id":'), F.col("doc_id"),
+            F.lit(',"lang":"'), F.col("lang"), F.lit('"}'),
+        ),
+    ).otherwise(
+        # truncated mid-string: unterminated JSON, guaranteed unparseable
+        F.concat(F.lit('{"doc_id":'), F.col("doc_id"), F.lit(',"lang":"e'))
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_err_")
+    d.select(line.alias("value")).write.mode("overwrite").text(f"{tmp}/raw")
+    parsed = (
+        spark.read.schema("doc_id long, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{tmp}/raw")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_ok"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("doc_id"))
+        ).cast("long").alias("ok_id_sum"),
+    )
+
+
 @register("corpus_dedup_summary")
 def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dedup funnel report: corpus size, survivors after exact
