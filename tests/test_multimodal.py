@@ -472,3 +472,33 @@ def test_extract_features_robust_distributed(spark, sf_dir):
             elif r.media_type == "video":
                 nf, fps = 2 + mid % 9, (4, 5, 8, 10)[mid % 4]
                 assert r.duration_sec == nf / fps
+
+
+def test_resize_and_frame_extract_skip_corrupt(spark, sf_dir):
+    """on_error='skip' drops exactly the corrupt rows; clean rows are
+    untouched; default mode still raises."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    media = M.synthesize_corrupt_media(docs)
+
+    imgs = M.resize_images(media, 8, 8, on_error="skip").collect()
+    got_img = {r.media_id for r in imgs}
+    want_img = {
+        i for i in range(120) if i % 3 == 0 and i % 11 != 0 and i % 13 != 0
+    }
+    assert got_img == want_img
+
+    frames = M.video_frame_extract(media, on_error="skip").collect()
+    got_vid = {r.media_id for r in frames}
+    want_vid = {
+        i for i in range(120) if i % 3 == 2 and i % 11 != 0 and i % 13 != 0
+    }
+    assert got_vid == want_vid
+
+    with _pytest.raises(Exception):
+        M.resize_images(media, 8, 8).collect()
+    with _pytest.raises(Exception):
+        M.video_frame_extract(media).collect()
+    with _pytest.raises(ValueError):
+        M.resize_images(media, 8, 8, on_error="bogus")

@@ -389,7 +389,9 @@ def synthesize_real_video_media(docs: DataFrame) -> DataFrame:
     return _spread(src).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def video_frame_extract(media: DataFrame, every: int = 1) -> DataFrame:
+def video_frame_extract(
+    media: DataFrame, every: int = 1, on_error: str = "raise"
+) -> DataFrame:
     """REAL frame extraction: parse each AVI payload, take every
     ``every``-th frame, and materialize it as a standalone BMP payload
     plus audit stats — the step that turns crawl video into per-frame
@@ -399,7 +401,12 @@ def video_frame_extract(media: DataFrame, every: int = 1) -> DataFrame:
 
     Output: (media_id, frame_idx, frame_ts_sec, frame_mean, frame_bmp).
     Scale shape: same as extract_features — per-row CPU work, input
-    spread to cluster parallelism, no joins over pixel data."""
+    spread to cluster parallelism, no joins over pixel data.
+
+    ``on_error='skip'`` drops videos whose container fails validation
+    instead of failing the task (see resize_images for the contract)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error mode: {on_error!r}")
     vids = media.filter(F.col("media_type") == "video").select(
         "media_id", "payload"
     )
@@ -410,7 +417,12 @@ def video_frame_extract(media: DataFrame, every: int = 1) -> DataFrame:
         for pdf in batches:
             mids, idxs, tss, means, bmps = [], [], [], [], []
             for mid, p in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
-                meta = _parse_avi(bytes(p))
+                try:
+                    meta = _parse_avi(bytes(p))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 usec = meta["usec_per_frame"]
                 for k, frame in enumerate(meta["frames"]):
                     if k % every:
@@ -629,10 +641,16 @@ def _bmp_pixels(payload: bytes):
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP: header incomplete")
     width = int.from_bytes(payload[18:22], "little", signed=True)
     height = abs(int.from_bytes(payload[22:26], "little", signed=True))
     offset = int.from_bytes(payload[10:14], "little")
     stride = (width * 3 + 3) // 4 * 4
+    if width <= 0 or height <= 0:
+        raise ValueError("invalid BMP dimensions")
+    if offset + stride * height > len(payload):
+        raise ValueError("truncated BMP: pixel data incomplete")
     rows = np.frombuffer(payload[offset : offset + stride * height], dtype=np.uint8)
     return rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
 
@@ -669,7 +687,12 @@ def resize_image_array(arr, out_w: int, out_h: int):
     return arr[ys][:, xs]
 
 
-def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+def resize_images(
+    media: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    on_error: str = "raise",
+) -> DataFrame:
     """Thumbnail/normalization resize over image payloads — the
     multimodal preprocessing step between raw crawl bytes and a
     fixed-shape training tensor. One Arrow mapInPandas pass per image:
@@ -683,7 +706,15 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
     No shuffle, no pixel data ever enters a join; downstream consumers
     keyed on media_id join the bounded audit columns only. Real codecs
     (PIL/ffmpeg) drop into the same decode seam without changing the
-    dataflow (DECODERS pattern, multimodal.py:137)."""
+    dataflow (DECODERS pattern, multimodal.py:137).
+
+    ``on_error='skip'`` drops rows whose payload fails decode validation
+    instead of failing the task (crawl-scale inputs are never fully
+    clean; route the corpus through extract_features_robust first when
+    you need the failure audit — skip here keeps the thumbnail pipeline
+    flowing)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error mode: {on_error!r}")
     imgs = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
     )
@@ -692,9 +723,15 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
         import numpy as np
 
         for pdf in batches:
-            ows, ohs, payloads, means = [], [], [], []
-            for p in pdf["payload"]:
-                arr = _bmp_pixels(bytes(p))
+            mids, ows, ohs, payloads, means = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                try:
+                    arr = _bmp_pixels(bytes(p))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                mids.append(int(mid))
                 ohs.append(arr.shape[0])
                 ows.append(arr.shape[1])
                 resized = resize_image_array(arr, out_w, out_h)
@@ -702,7 +739,7 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
                 means.append(float(resized.astype(np.float64).mean()) / 255.0)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].astype("int64").values,
+                    "media_id": np.array(mids, dtype=np.int64),
                     "orig_width": np.array(ows, dtype=np.int32),
                     "orig_height": np.array(ohs, dtype=np.int32),
                     "width": np.full(len(ows), out_w, dtype=np.int32),
