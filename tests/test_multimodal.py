@@ -502,3 +502,16 @@ def test_resize_and_frame_extract_skip_corrupt(spark, sf_dir):
         M.video_frame_extract(media).collect()
     with _pytest.raises(ValueError):
         M.resize_images(media, 8, 8, on_error="bogus")
+
+
+def test_resize_and_frame_extract_parameter_guards(spark, sf_dir):
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = M.synthesize_textured_media(docs)
+    with _pytest.raises(ValueError):
+        M.resize_images(media, 0, 8)
+    with _pytest.raises(ValueError):
+        M.resize_images(media, 8, -1)
+    with _pytest.raises(ValueError):
+        M.video_frame_extract(media, every=0)

@@ -407,6 +407,8 @@ def video_frame_extract(
     instead of failing the task (see resize_images for the contract)."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"unknown on_error mode: {on_error!r}")
+    if every < 1:
+        raise ValueError("frame sampling stride must be at least 1")
     vids = media.filter(F.col("media_type") == "video").select(
         "media_id", "payload"
     )
@@ -715,6 +717,8 @@ def resize_images(
     flowing)."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"unknown on_error mode: {on_error!r}")
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize target must be at least 1x1")
     imgs = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
     )
