@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_video_thumbnails",
     "multimodal_decode_errors",
+    "jsonl_ingest_errors",
 ]
 
 
