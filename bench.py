@@ -124,6 +124,7 @@ HEADLINE = [
     "multimodal_video_thumbnails",
     "multimodal_decode_errors",
     "jsonl_ingest_errors",
+    "corpus_quality_threshold_sweep",
 ]
 
 

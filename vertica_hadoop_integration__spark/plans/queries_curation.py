@@ -683,6 +683,83 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bloom_decontaminate(d, ev, shingle_n=5, m=65536, seeds=(101, 102, 103))
 
 
+# -- quality-gate threshold sweep (oracle-exact; one scan) ------------------
+# The operating-point tool: keep-rate as a function of the logistic gate
+# threshold — this is how pipeline_clean_corpus_portable's 0.25 cut was
+# chosen, now a first-class report. Scale shape: ONE corpus scan with 19
+# conditional sums (map-side partial aggregation to a single row), then a
+# literal explode to rows — no per-threshold rescan, no non-equi join, no
+# global window. Python t/20.0 and SQL CAST(t AS DOUBLE)/20 are the same
+# correctly-rounded double, so the >= comparisons agree to the last ulp.
+@register(
+    "corpus_quality_threshold_sweep",
+    oracle=r"""
+    WITH feat AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text,
+                   '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x)))
+                   AS sw
+        FROM documents),
+    z AS (
+        SELECT doc_id,
+               -1.5 + 0.6 * ln(CAST(n_tok AS DOUBLE))
+                    + 8.0 * (CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                    - 12.0 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                    - 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS z
+        FROM feat),
+    p AS (SELECT 1.0 / (1.0 + exp(-z)) AS prob FROM z),
+    th AS (SELECT u AS t FROM unnest(generate_series(1, 19)) AS s(u))
+    SELECT CAST(t AS DOUBLE) / 20 AS threshold,
+           CAST(SUM(CASE WHEN prob >= CAST(t AS DOUBLE) / 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN prob >= CAST(t AS DOUBLE) / 20
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_frac
+    FROM p CROSS JOIN th
+    GROUP BY t
+    """,
+)
+def corpus_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate curve of the logistic quality gate over 19 thresholds
+    (0.05..0.95): one conditional-aggregation scan to a single row, then
+    a literal explode — the tuning report behind the cleaning pipeline's
+    operating point."""
+    from ..operators.text import quality_logreg
+
+    d = load_table(spark, sf_dir, "documents")
+    probs = quality_logreg(d, "text", "doc_id").select("quality_prob")
+    ths = list(range(1, 20))
+    row = probs.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("quality_prob") >= F.lit(t / 20.0), 1).otherwise(0)
+            ).cast("long").alias(f"k{t}")
+            for t in ths
+        ],
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t / 20.0).alias("threshold"),
+                        F.col(f"k{t}").alias("n_keep"),
+                        (
+                            F.col(f"k{t}").cast("double")
+                            / F.col("n").cast("double")
+                        ).alias("keep_frac"),
+                    )
+                    for t in ths
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
 # -- global-quantile quality cut (two-pass threshold; oracle-exact) --------
 @register(
     "corpus_quality_cut_quantile",
