@@ -125,6 +125,7 @@ HEADLINE = [
     "multimodal_decode_errors",
     "jsonl_ingest_errors",
     "corpus_quality_threshold_sweep",
+    "text_langid_confusion",
 ]
 
 

@@ -734,6 +734,35 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.language_id(d)
 
 
+def _langid_confusion_sql() -> str:
+    pred = _lang_sql()
+    return f"""
+    WITH pred AS ({pred})
+    SELECT d.lang AS actual_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+# -- language-ID confusion matrix (oracle-checked evaluation report) --------
+# The documents fixture carries ground-truth `lang`, so the classifier can
+# be EVALUATED, not just run: actual x predicted counts are the report a
+# curation pipeline uses to decide whether the cheap n-gram heuristic is
+# good enough per language or a real model is needed. One scan + one
+# small-key aggregation; the oracle replays scoring, argmax tie-break,
+# and the join to truth end to end.
+@register("text_langid_confusion", oracle=_langid_confusion_sql())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pred = T.language_id(d).select("doc_id", "predicted_lang")
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("actual_lang")), on="doc_id")
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # -- full quality features (oracle-checked) --------------------------------
 @register(
     "text_quality_features",
