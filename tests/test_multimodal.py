@@ -515,3 +515,59 @@ def test_resize_and_frame_extract_parameter_guards(spark, sf_dir):
         M.resize_images(media, 8, -1)
     with _pytest.raises(ValueError):
         M.video_frame_extract(media, every=0)
+
+
+def test_fingerprint_dedup_skip_corrupt(spark, sf_dir):
+    """on_error='skip' in both fingerprint paths: a corrupt payload
+    leaves the signature table (so it can join no candidate pair), the
+    pairs among clean rows are exactly what a pre-filtered run yields,
+    and the default mode still raises."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+
+    def plant(media):
+        # truncate every 7th payload mid-header; flip magic on every 17th
+        return media.withColumn(
+            "payload",
+            F.when(
+                F.col("media_id") % 7 == 0,
+                F.substring(F.col("payload"), 1, 10).cast("binary"),
+            )
+            .when(
+                F.col("media_id") % 17 == 0,
+                F.concat(
+                    F.lit(bytes([0x00])),
+                    F.expr("substring(payload, 2, n_bytes - 1)"),
+                ).cast("binary"),
+            )
+            .otherwise(F.col("payload")),
+        )
+
+    for synth, dedup, hashed in (
+        (M.synthesize_textured_media, M.phash_dedup, M.perceptual_hash),
+        (M.synthesize_am_audio_media, M.audio_fingerprint_dedup, M.audio_fingerprint),
+    ):
+        clean = synth(docs)
+        corrupt = plant(clean)
+        bad_ids = {i for i in range(90) if i % 7 == 0 or i % 17 == 0}
+
+        sig_ids = {r.media_id for r in hashed(corrupt, on_error="skip").collect()}
+        assert sig_ids == set(range(90)) - bad_ids
+
+        got = {
+            (r.media_id_a, r.media_id_b)
+            for r in dedup(corrupt, on_error="skip").collect()
+        }
+        want = {
+            (r.media_id_a, r.media_id_b)
+            for r in dedup(
+                clean.filter(~F.col("media_id").isin(list(bad_ids)))
+            ).collect()
+        }
+        assert got == want and got  # non-trivial pair set survives
+
+        with _pytest.raises(Exception):
+            dedup(corrupt).collect()
+        with _pytest.raises(ValueError):
+            hashed(clean, on_error="bogus")

@@ -823,17 +823,12 @@ def synthesize_textured_media(docs: DataFrame) -> DataFrame:
 
 def _ahash64_from_bmp(payload: bytes) -> int:
     """Average-hash: decode BMP -> grayscale -> 8x8 block means -> one
-    bit per block (above/below the global mean) -> signed 64-bit int."""
+    bit per block (above/below the global mean) -> signed 64-bit int.
+    Decode goes through `_bmp_pixels`, so corrupt payloads fail its
+    validation with ValueError rather than hashing garbage bytes."""
     import numpy as np
 
-    width = int.from_bytes(payload[18:22], "little", signed=True)
-    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
-    offset = int.from_bytes(payload[10:14], "little")
-    stride = (width * 3 + 3) // 4 * 4
-    rows = np.frombuffer(
-        payload[offset : offset + stride * height], dtype=np.uint8
-    ).reshape(height, stride)[:, : width * 3]
-    gray = rows.reshape(height, width, 3).mean(axis=2)
+    gray = _bmp_pixels(payload).mean(axis=2)
     pooled = np.array(
         [
             [blk.mean() for blk in np.array_split(r, 8, axis=1)]
@@ -848,39 +843,54 @@ def _ahash64_from_bmp(payload: bytes) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def perceptual_hash(media: DataFrame) -> DataFrame:
+def perceptual_hash(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """(media_id, phash): aHash per image row, computed in one Arrow
     mapInPandas pass — the only Python step; everything downstream
-    (banding, pairing, Hamming verify) is JVM-side."""
+    (banding, pairing, Hamming verify) is JVM-side.
+
+    ``on_error='skip'`` drops rows whose payload fails BMP validation
+    (same contract as resize_images: one corrupt crawl file costs one
+    row, not a task-retry storm); default ``'raise'`` keeps corruption
+    loud for trusted fixtures."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error mode: {on_error!r}")
     imgs = media.filter(F.col("media_type") == "image").select(
         "media_id", "payload"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64").values,
-                    "phash": [
-                        _ahash64_from_bmp(bytes(p)) for p in pdf["payload"]
-                    ],
-                }
-            )
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                try:
+                    h = _ahash64_from_bmp(bytes(p))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                ids.append(int(mid))
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
     return _spread(imgs).mapInPandas(run, schema="media_id long, phash long")
 
 
-def phash_dedup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_dedup(
+    media: DataFrame, max_hamming: int = 3, on_error: str = "raise"
+) -> DataFrame:
     """Near-duplicate images via perceptual-hash banding: split the
     64-bit aHash into 4 x 16-bit bands — by pigeonhole, any pair within
     Hamming distance 3 agrees on at least one band — generate in-bucket
     candidate pairs without a self-join, verify with
     popcount(xor) <= max_hamming. The pixel data never joins anything:
     one Arrow pass reduces each image to 8 bytes, and the pair space is
-    cut by band buckets exactly like MinHash-LSH cuts shingle space."""
+    cut by band buckets exactly like MinHash-LSH cuts shingle space.
+    ``on_error='skip'`` forwards to :func:`perceptual_hash` — corrupt
+    payloads drop out of the signature table, so they can appear in no
+    candidate pair."""
     from .dedup import _in_bucket_pairs
 
-    sig = perceptual_hash(media).persist()
+    sig = perceptual_hash(media, on_error=on_error).persist()
     stacked = sig.select(
         "media_id",
         F.explode(
@@ -993,8 +1003,15 @@ def _envhash64_from_wav(payload: bytes) -> int:
 
     import numpy as np
 
-    with _wave.open(io.BytesIO(payload)) as w:
-        samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    try:
+        with _wave.open(io.BytesIO(payload)) as w:
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except (_wave.Error, EOFError) as exc:
+        raise ValueError(f"invalid WAV payload: {exc}") from exc
+    if len(raw) < n_frames * 2 or n_frames == 0:
+        raise ValueError("truncated WAV: sample data incomplete")
+    samples = np.frombuffer(raw, dtype="<i2")
     mag = np.abs(samples.astype(np.float64))
     pooled = np.array([c.mean() for c in np.array_split(mag, 64)])
     bits = (pooled > pooled.mean()).astype(np.uint8)
@@ -1004,23 +1021,29 @@ def _envhash64_from_wav(payload: bytes) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def audio_fingerprint(media: DataFrame) -> DataFrame:
+def audio_fingerprint(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """(media_id, afp): envelope hash per audio row — one Arrow pass,
-    same dataflow as :func:`perceptual_hash`."""
+    same dataflow as :func:`perceptual_hash`, including its
+    ``on_error='skip'`` drop-corrupt-rows contract."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error mode: {on_error!r}")
     clips = media.filter(F.col("media_type") == "audio").select(
         "media_id", "payload"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64").values,
-                    "afp": [
-                        _envhash64_from_wav(bytes(p)) for p in pdf["payload"]
-                    ],
-                }
-            )
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                try:
+                    h = _envhash64_from_wav(bytes(p))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                ids.append(int(mid))
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "afp": hashes})
 
     return _spread(clips).mapInPandas(run, schema="media_id long, afp long")
 
@@ -1083,13 +1106,16 @@ def audio_envelope_spectrum(media: DataFrame) -> DataFrame:
     )
 
 
-def audio_fingerprint_dedup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def audio_fingerprint_dedup(
+    media: DataFrame, max_hamming: int = 3, on_error: str = "raise"
+) -> DataFrame:
     """Near-duplicate audio via envelope-hash banding — identical
     candidate/verify machinery to :func:`phash_dedup` (4 x 16-bit
-    bands, pigeonhole-lossless at Hamming <= 3, popcount verify)."""
+    bands, pigeonhole-lossless at Hamming <= 3, popcount verify),
+    including the ``on_error='skip'`` drop-corrupt-rows forward."""
     from .dedup import _in_bucket_pairs
 
-    sig = audio_fingerprint(media).persist()
+    sig = audio_fingerprint(media, on_error=on_error).persist()
     stacked = sig.select(
         "media_id",
         F.explode(
