@@ -272,3 +272,41 @@ def test_jsonl_corrupt_record_preserves_raw_line(spark, sf_dir):
         assert r._corrupt_record.startswith('{"doc_id":')
         assert r._corrupt_record.endswith(',"x":"e')
         assert int(r._corrupt_record.split(":")[1].split(",")[0]) % 7 == 0
+
+
+def test_csv_corrupt_record_preserves_raw_line(spark, sf_dir):
+    """CSV twin: a typed-field parse failure (text in a BIGINT column)
+    lands the raw line in _corrupt_record; good lines parse fully."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    line = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(F.col("doc_id"), F.lit(","), F.col("lang")),
+    ).otherwise(
+        F.concat(F.lit("id_"), F.col("doc_id"), F.lit(","), F.col("lang"))
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_raw_")
+    d.select(line.alias("value")).write.mode("overwrite").text(f"{tmp}/raw")
+    parsed = (
+        spark.read.schema("doc_id long, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{tmp}/raw")
+    ).collect()
+    assert len(parsed) == 100
+    bad = [r for r in parsed if r._corrupt_record is not None]
+    good = [r for r in parsed if r._corrupt_record is None]
+    assert all(r.doc_id % 7 != 0 and r.lang is not None for r in good)
+    assert {int(r._corrupt_record[3:].split(",")[0]) for r in bad} == {
+        i for i in range(100) if i % 7 == 0
+    }
+    for r in bad:
+        # raw malformed line preserved verbatim: bad field AND the rest
+        assert r._corrupt_record.startswith("id_")
+        assert "," in r._corrupt_record
+        assert r.doc_id is None  # the unparseable typed field is NULL

@@ -1004,6 +1004,65 @@ def jsonl_ingest_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- CSV ingest with corrupt-line capture (oracle-checked) ------------------
+# The CSV-side twin of jsonl_ingest_errors — same PERMISSIVE +
+# columnNameOfCorruptRecord mechanism, different malformation class: a
+# typed-field parse failure (non-numeric text in a BIGINT column), the way
+# real-world CSV exports rot. The raw line survives verbatim in
+# _corrupt_record for audit/re-parse; the good/corrupt partition and an id
+# checksum over surviving rows are exactly SQL-predictable.
+@register(
+    "csv_ingest_errors",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END)
+                AS BIGINT) AS ok_id_sum
+    FROM documents
+    """,
+)
+def csv_ingest_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a CSV with deterministically-planted type-malformed lines
+    (doc_id % 7 == 0 rows carry a non-numeric doc_id field), read it
+    back PERMISSIVE with _corrupt_record, and report the good/corrupt
+    partition plus an id checksum of surviving rows — FAILFAST would
+    kill the job on line one, DROPMALFORMED would silently hide the
+    quality regression."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(F.col("doc_id"), F.lit(","), F.col("lang")),
+    ).otherwise(
+        # non-numeric text where the schema demands BIGINT
+        F.concat(F.lit("id_"), F.col("doc_id"), F.lit(","), F.col("lang"))
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_err_")
+    d.select(line.alias("value")).write.mode("overwrite").text(f"{tmp}/raw")
+    parsed = (
+        spark.read.schema("doc_id long, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{tmp}/raw")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_ok"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("doc_id"))
+        ).cast("long").alias("ok_id_sum"),
+    )
+
+
 @register("corpus_dedup_summary")
 def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dedup funnel report: corpus size, survivors after exact
