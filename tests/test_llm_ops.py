@@ -879,3 +879,46 @@ def test_pagerank_hub_outranks_leaf(spark):
     assert abs(total - 1.0) < 1e-9
     leaf_ranks = {r["l_partkey"]: r["pagerank"] for r in out if r["l_partkey"] != 1}
     assert len(set(round(v, 12) for v in leaf_ranks.values())) == 1  # symmetric leaves tie
+
+
+def test_logreg_train_step_matches_numpy_reference(spark, sf_dir):
+    """The distributed gradient step equals a driver-side numpy
+    computation over the same (oracle-checked) quality features, and a
+    step from the served weights moves every weight by -lr * gradient."""
+    import math
+
+    import numpy as np
+
+    from vertica_hadoop_integration__spark.operators.text import (
+        logreg_train_step,
+        quality_features,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(400)
+    feats = quality_features(d).toPandas()
+    X = np.column_stack(
+        [
+            np.ones(len(feats)),
+            np.log(feats["n_tokens"].astype(float)),
+            feats["stopword_ratio"],
+            feats["punct_ratio"],
+            feats["avg_token_len"],
+        ]
+    )
+    y = feats["quality_ok"].astype(float).to_numpy()
+    w = np.array([-1.5, 0.6, 8.0, -12.0, -0.35])
+    p = 1.0 / (1.0 + np.exp(-(X @ w)))
+    g = (X.T @ (p - y)) / len(feats)
+    want = w - 0.5 * g
+
+    got = {r.feature: r for r in logreg_train_step(d).collect()}
+    names = ["bias", "ln_tokens", "stopword_ratio", "punct_ratio", "avg_token_len"]
+    assert set(got) == set(names)
+    for j, name in enumerate(names):
+        assert got[name].w_old == w[j]
+        assert math.isclose(got[name].gradient, g[j], rel_tol=0, abs_tol=1e-9)
+        assert math.isclose(got[name].w_new, want[j], rel_tol=0, abs_tol=1e-9)
+    # the residual is informative: at least one gradient is materially
+    # non-zero, so the step actually moves the classifier
+    assert max(abs(r.gradient) for r in got.values()) > 1e-6

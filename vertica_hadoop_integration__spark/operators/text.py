@@ -695,6 +695,83 @@ def quality_logreg(
     )
 
 
+def logreg_train_step(
+    df: DataFrame,
+    weights: tuple[float, float, float, float, float] = (
+        -1.5, 0.6, 8.0, -12.0, -0.35
+    ),
+    lr: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One full-batch gradient-descent step of the logistic quality
+    classifier — training the model IN the engine, not just scoring
+    with it. The weak label is :func:`quality_features`' rule-based
+    ``quality_ok`` flag (classifier distillation: the learned model
+    replaces the hand-set rule at serving time), features are the
+    same four signals :func:`quality_logreg` scores with plus a bias.
+
+        p_i   = sigmoid(w . x_i)
+        g_j   = sum_i (p_i - y_i) * x_ij / N
+        w'_j  = w_j - lr * g_j
+
+    Scale shape: ONE scan-stage aggregation — the per-doc gradient
+    terms are projections, each term casts to DECIMAL(30,15) before
+    SUM so partial-agg order cannot move the last ulp (the same
+    order-free-sum discipline as `embedding_kmeans_step`), and the
+    5-feature result explodes from a single aggregate row. Per-step
+    cost at 100 TB is one corpus scan + a 5-value reduce; an epoch is
+    a driver loop over steps, exactly like the k-means loop.
+
+    Returns one row per feature: (feature, w_old, gradient, w_new),
+    deterministic and fully SQL-replayable (ln/exp bitwise parity)."""
+    text = F.col(text_col)
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    n_punct = punct_count(text)
+    sw = stopword_hits(text, LANG_MARKERS["en"])
+    x1 = F.log(n_tok.cast("double"))
+    x2 = sw.cast("double") / n_tok.cast("double")
+    x3 = n_punct.cast("double") / n_chars.cast("double")
+    x4 = n_chars.cast("double") / n_tok.cast("double")
+    y = (
+        F.when((n_chars >= 100) & (n_tok >= 20) & (n_punct * 5 <= n_chars), 1)
+        .otherwise(0)
+        .cast("double")
+    )
+    w0, w1, w2, w3, w4 = (F.lit(float(w)) for w in weights)
+    # association mirrors quality_logreg / the oracle: left-to-right adds
+    z = w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    r = p - y  # the residual every feature's gradient term shares
+    feats = [F.lit(1.0), x1, x2, x3, x4]
+    agg = df.select(
+        *[(r * f).cast("decimal(30,15)").alias(f"t{j}") for j, f in enumerate(feats)],
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"t{j}")).alias(f"s{j}") for j in range(5)],
+    )
+    names = ("bias", "ln_tokens", "stopword_ratio", "punct_ratio", "avg_token_len")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(names[j]).alias("feature"),
+                F.lit(float(weights[j])).alias("w_old"),
+                (F.col(f"s{j}").cast("double") / F.col("n").cast("double")).alias(
+                    "gradient"
+                ),
+                (
+                    F.lit(float(weights[j]))
+                    - F.lit(float(lr))
+                    * (F.col(f"s{j}").cast("double") / F.col("n").cast("double"))
+                ).alias("w_new"),
+            )
+            for j in range(5)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
 def bm25_search(
     df: DataFrame,
     terms: list[str],

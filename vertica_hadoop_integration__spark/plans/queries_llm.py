@@ -869,7 +869,68 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_logreg(d)
 
 
-# -- BM25-ranked search over posting lists (oracle-exact) ------------------
+# -- logistic-regression TRAINING step (oracle-exact) ----------------------
+# One full-batch gradient step distilling the rule-based quality_ok gate
+# into the logistic classifier text_quality_logreg serves with: the whole
+# step — sigmoid residuals, per-feature gradient terms, DECIMAL order-free
+# sums, the weight update — replays in SQL. VALUES-side literals are cast
+# DOUBLE explicitly (the dq_rules_orders lesson: DuckDB types bare VALUES
+# decimals as DECIMAL and the driver hash formats them differently).
+@register(
+    "text_logreg_train_step",
+    oracle=r"""
+    WITH t AS (
+        SELECT length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    f AS (
+        SELECT ln(CAST(n_tok AS DOUBLE)) AS x1,
+               CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE) AS x2,
+               CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x3,
+               CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS x4,
+               CASE WHEN n_chars >= 100 AND n_tok >= 20
+                         AND n_punct * 5 <= n_chars
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+               END AS y
+        FROM t),
+    r AS (
+        SELECT 1.0 / (1.0 + exp(-(-1.5 + 0.6 * x1 + 8.0 * x2
+                                  + -12.0 * x3 + -0.35 * x4))) - y AS res,
+               x1, x2, x3, x4
+        FROM f),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(res * 1.0 AS DECIMAL(30,15))) AS s0,
+               SUM(CAST(res * x1 AS DECIMAL(30,15))) AS s1,
+               SUM(CAST(res * x2 AS DECIMAL(30,15))) AS s2,
+               SUM(CAST(res * x3 AS DECIMAL(30,15))) AS s3,
+               SUM(CAST(res * x4 AS DECIMAL(30,15))) AS s4
+        FROM r)
+    SELECT u.feature, u.w_old,
+           CAST(u.sj AS DOUBLE) / CAST(n AS DOUBLE) AS gradient,
+           u.w_old - CAST(0.5 AS DOUBLE)
+               * (CAST(u.sj AS DOUBLE) / CAST(n AS DOUBLE)) AS w_new
+    FROM s, LATERAL (VALUES
+        ('bias',           CAST(-1.5  AS DOUBLE), s0),
+        ('ln_tokens',      CAST(0.6   AS DOUBLE), s1),
+        ('stopword_ratio', CAST(8.0   AS DOUBLE), s2),
+        ('punct_ratio',    CAST(-12.0 AS DOUBLE), s3),
+        ('avg_token_len',  CAST(-0.35 AS DOUBLE), s4)
+    ) AS u(feature, w_old, sj)
+    """,
+)
+def text_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gradient-descent step of the logistic quality classifier
+    (operators/text.py::logreg_train_step): sigmoid residuals against
+    the rule-based quality_ok weak label, per-feature gradients from
+    ONE scan-stage aggregation with DECIMAL(30,15) order-free sums,
+    and the updated weight vector — model training as an engine query,
+    the same per-step shape as embedding_kmeans_step."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.logreg_train_step(d)
 @register(
     "text_search_bm25",
     oracle=r"""
