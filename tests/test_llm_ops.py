@@ -922,3 +922,47 @@ def test_logreg_train_step_matches_numpy_reference(spark, sf_dir):
     # the residual is informative: at least one gradient is materially
     # non-zero, so the step actually moves the classifier
     assert max(abs(r.gradient) for r in got.values()) > 1e-6
+
+
+def test_logreg_train_loop_matches_numpy_reference(spark, sf_dir):
+    """The multi-step driver loop reproduces a numpy full-batch GD
+    trajectory (step 0 = initial weights; each round re-parameterizes
+    the next scan) — drift would compound, so tolerance stays tight."""
+    import math
+
+    import numpy as np
+
+    from vertica_hadoop_integration__spark.operators.text import (
+        logreg_train,
+        quality_features,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(300)
+    feats = quality_features(d).toPandas()
+    X = np.column_stack(
+        [
+            np.ones(len(feats)),
+            np.log(feats["n_tokens"].astype(float)),
+            feats["stopword_ratio"],
+            feats["punct_ratio"],
+            feats["avg_token_len"],
+        ]
+    )
+    y = feats["quality_ok"].astype(float).to_numpy()
+    w = np.array([-1.5, 0.6, 8.0, -12.0, -0.35])
+    names = ["bias", "ln_tokens", "stopword_ratio", "punct_ratio", "avg_token_len"]
+    want = {(0, names[j]): w[j] for j in range(5)}
+    for step in (1, 2):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - 0.5 * (X.T @ (p - y)) / len(feats)
+        want.update({(step, names[j]): w[j] for j in range(5)})
+
+    got = {(r.step, r.feature): r.weight for r in logreg_train(d, iters=2).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=1e-8), k
+    # training moved the weights
+    assert any(
+        not math.isclose(got[(2, n)], got[(0, n)], abs_tol=1e-12) for n in names
+    )

@@ -772,6 +772,46 @@ def logreg_train_step(
     return agg.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def logreg_train(
+    df: DataFrame,
+    iters: int = 5,
+    lr: float = 0.5,
+    weights: tuple[float, float, float, float, float] = (
+        -1.5, 0.6, 8.0, -12.0, -0.35
+    ),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-batch gradient-descent TRAINING LOOP over
+    :func:`logreg_train_step` — the iterative driver-loop shape of
+    `embedding_kmeans` applied to the quality classifier. Each round is
+    one corpus scan + a 5-value reduce; the 5 updated weights come back
+    to the driver (bounded by contract: always exactly 5 rows, the
+    same bounded-collect discipline as the k-means centroid table and
+    the BPE per-round argmax) and parameterize the next step's plan.
+
+    Returns the whole trajectory: (step, feature, weight) with step 0
+    = the initial weights, so convergence is inspectable. Rows-only by
+    design (iterative); per-step math is oracle-checked via
+    text_logreg_train_step and the loop is numpy-parity pytest-pinned."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = df.sparkSession
+    names = ("bias", "ln_tokens", "stopword_ratio", "punct_ratio", "avg_token_len")
+    w = tuple(float(x) for x in weights)
+    traj = [(0, names[j], w[j]) for j in range(5)]
+    for step in range(1, iters + 1):
+        got = {
+            r.feature: r.w_new
+            for r in logreg_train_step(
+                df, weights=w, lr=lr, text_col=text_col, id_col=id_col
+            ).collect()
+        }
+        w = tuple(got[n] for n in names)
+        traj += [(step, names[j], w[j]) for j in range(5)]
+    return spark.createDataFrame(traj, "step int, feature string, weight double")
+
+
 def bm25_search(
     df: DataFrame,
     terms: list[str],

@@ -931,6 +931,80 @@ def text_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same per-step shape as embedding_kmeans_step."""
     d = load_table(spark, sf_dir, "documents")
     return T.logreg_train_step(d)
+
+
+# -- logreg training loop (rows-only by design: iterative) -----------------
+@register("text_logreg_train")
+def text_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full-batch gradient rounds of the quality classifier
+    (operators/text.py::logreg_train): the k-means-style driver loop
+    over the oracle-checked step — one corpus scan + 5-value reduce per
+    round, weight trajectory out. Rows-only (iterative); the loop is
+    numpy-parity pytest-pinned and each step is individually
+    oracle-checked via text_logreg_train_step."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.logreg_train(d, iters=3)
+
+
+# -- quality-classifier confusion vs the rule gate (oracle-exact) ----------
+# The evaluation twin of text_langid_confusion for the quality model:
+# served-weights predictions cross-tabulated against the rule-based
+# quality_ok weak label. Disagreement cells are where distillation
+# changes behavior — the report a curation team reads before swapping
+# the rule gate for the model gate.
+@register(
+    "text_quality_confusion",
+    oracle=r"""
+    WITH t AS (
+        SELECT length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    z AS (
+        SELECT CASE WHEN n_chars >= 100 AND n_tok >= 20
+                         AND n_punct * 5 <= n_chars THEN 1 ELSE 0 END AS label,
+               -1.5 + 0.6 * ln(CAST(n_tok AS DOUBLE))
+                    + 8.0 * (CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                    - 12.0 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                    - 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS zv
+        FROM t)
+    SELECT CAST(label AS INT) AS rule_label,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-zv)) >= 0.5
+                     THEN 1 ELSE 0 END AS INT) AS model_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM z GROUP BY 1, 2
+    """,
+)
+def text_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of the served logistic gate's keep decision against the
+    rule-based quality_ok label. ONE pass: the score recomputes from
+    quality_features' own ratio columns (identical cast shapes, so the
+    probability matches text_quality_logreg to the ulp) — no self-join,
+    scoring and labeling both in the scan stage, the aggregate lands on
+    a <=4-cell key space."""
+    d = load_table(spark, sf_dir, "documents")
+    f = T.quality_features(d)
+    z = (
+        F.lit(-1.5)
+        + F.lit(0.6) * F.log(F.col("n_tokens").cast("double"))
+        + F.lit(8.0) * F.col("stopword_ratio")
+        - F.lit(12.0) * F.col("punct_ratio")
+        - F.lit(0.35) * F.col("avg_token_len")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        f.select(
+            F.col("quality_ok").cast("int").alias("rule_label"),
+            F.when(prob >= 0.5, 1).otherwise(0).cast("int").alias("model_keep"),
+        )
+        .groupBy("rule_label", "model_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# -- BM25-ranked search over posting lists (oracle-exact) ------------------
 @register(
     "text_search_bm25",
     oracle=r"""
