@@ -405,3 +405,39 @@ def test_clean_corpus_portable_invariants(spark, docs):
     # no contaminated survivors
     flags = decontaminate(kept_docs, ev, mode="flag")
     assert flags.filter("is_contaminated = 1").count() == 0
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector identical to an eval vector (a paraphrase in the
+    limit) is flagged at cos ~1 with the right eval id; an orthogonal
+    vector is not flagged; ties resolve to the larger eval id."""
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        semantic_decontaminate,
+    )
+
+    def vec(*nonzero):
+        v = [0.0] * 8
+        for i, x in nonzero:
+            v[i] = float(x)
+        return v
+
+    ev = spark.createDataFrame(
+        [(100, vec((0, 1.0))), (200, vec((1, 2.0)))],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, vec((0, 5.0))),       # parallel to eval 100 -> cos 1
+            (2, vec((2, 1.0))),       # orthogonal to both -> clean
+            (3, vec((0, 1.0), (1, 1.0))),  # 45 deg to both
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r for r in semantic_decontaminate(corpus, ev, 0.5).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1].best_eval_id == 100 and abs(got[1].cos_sim - 1.0) < 1e-12
+    # vec 3 is cos 0.7071 to BOTH eval vectors: the (cos, id) struct max
+    # must break the tie toward the larger eval id
+    assert got[3].best_eval_id == 200

@@ -29,6 +29,8 @@ BNLJ_OK = {
     "embedding_hard_negatives",  # broadcast anchor vectors vs corpus scan
     "embedding_label_noise",     # self-kNN verifier form (broadcast query
                                  # side; 100 TB path probes the IVF index)
+    "corpus_semantic_decontaminate",  # broadcast eval set (small by
+                                      # nature) vs map-side corpus scan
 }
 
 # A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /

@@ -702,3 +702,50 @@ def shuffle_shards(
     return df.withColumn("sort_key", key).withColumn(
         "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
     )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    min_cosine: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    similarity to ANY eval-set vector reaches ``min_cosine`` — the
+    semantic upgrade of the n-gram decontaminate members (paraphrased
+    eval leakage shares no shingles but lands close in embedding
+    space).
+
+    Scale shape: eval sets are small by nature (thousands of rows), so
+    the eval side is unit-normalized and BROADCAST; the corpus side
+    streams map-side through one dot fold per (corpus, eval) pair and
+    reduces to max-similarity per corpus vector — zero shuffle of
+    corpus data beyond the final vec_id aggregation, the same
+    broadcast-small-side shape as ann_cosine_topk. Both sides normalize
+    once (sequential fold, bitwise-replayable in SQL); the argmax eval
+    id is a struct max, deterministic under the (cos, id) total order.
+
+    Returns (vec_id, best_eval_id, cos_sim) for contaminated vectors
+    only — the drop list a cleaning pipeline anti-joins against."""
+    from ..functions.vector_fns import dot, normalize
+
+    ev = eval_emb.select(
+        F.col(id_col).alias("eval_id"), normalize(F.col(vec_col)).alias("ue")
+    )
+    corpus = corpus_emb.select(
+        F.col(id_col), normalize(F.col(vec_col)).alias("uc")
+    )
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        id_col,
+        F.struct(
+            dot(F.col("uc"), F.col("ue")).alias("cos_sim"),
+            F.col("eval_id").alias("eval_id"),
+        ).alias("s"),
+    )
+    best = scored.groupBy(id_col).agg(F.max("s").alias("b"))
+    return best.select(
+        id_col,
+        F.col("b.eval_id").alias("best_eval_id"),
+        F.col("b.cos_sim").alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= min_cosine)

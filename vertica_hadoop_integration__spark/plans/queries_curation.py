@@ -1207,3 +1207,44 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit in the oracle."""
     d = load_table(spark, sf_dir, "documents")
     return C.shuffle_shards(d, n_shards=16).select("doc_id", "sort_key", "shard")
+
+
+# -- embedding-space decontamination (oracle-exact) -------------------------
+# The semantic upgrade of the n-gram decontaminate members: paraphrased
+# eval leakage shares no shingles but lands close in embedding space.
+# Eval side = vec_id % 23 == 0 (~4% of vectors, standing in for the small
+# eval set); the oracle replays normalize-once-then-dot bitwise (the same
+# sequential folds as dedup_embedding_cosine) and picks the argmax eval
+# id under the identical (cos, id) total order.
+@register(
+    "corpus_semantic_decontaminate",
+    oracle="""
+    WITH n AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[])))
+                          AS u
+               FROM embeddings),
+    e AS (SELECT vec_id AS eval_id, u FROM n WHERE vec_id % 23 = 0),
+    c AS (SELECT vec_id, u FROM n WHERE vec_id % 23 <> 0),
+    s AS (SELECT c.vec_id, e.eval_id,
+                 list_dot_product(c.u, e.u) AS cs,
+                 row_number() OVER (PARTITION BY c.vec_id
+                                    ORDER BY list_dot_product(c.u, e.u) DESC,
+                                             e.eval_id DESC) AS rn
+          FROM c, e)
+    SELECT vec_id, eval_id AS best_eval_id, cs AS cos_sim
+    FROM s WHERE rn = 1 AND cs >= 0.3
+    """,
+)
+def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-list of corpus vectors within cosine 0.3 of ANY eval vector
+    (operators/corpus.py::semantic_decontaminate): eval side broadcast
+    and unit-normalized once, corpus streams map-side through one dot
+    fold per pair, max-similarity struct-reduced per vec_id — zero
+    corpus shuffle beyond the final aggregation; the cleaning pipeline
+    anti-joins this list exactly like the shingle-based drop lists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 23 == 0)
+    corpus = e.filter(F.col("vec_id") % 23 != 0)
+    return C.semantic_decontaminate(corpus, ev, min_cosine=0.3)
