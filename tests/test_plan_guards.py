@@ -31,6 +31,9 @@ BNLJ_OK = {
                                  # side; 100 TB path probes the IVF index)
     "corpus_semantic_decontaminate",  # broadcast eval set (small by
                                       # nature) vs map-side corpus scan
+    "ann_recall_report",        # composes ann_cosine_topk + ann_ivf_topk
+                                # (both rows above); report itself is
+                                # equi-join + per-query agg
 }
 
 # A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /

@@ -401,6 +401,99 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, q, k=5, every_nth=50, nprobe=3)
 
 
+# -- ANN recall evaluation (oracle-exact) -----------------------------------
+# The evaluation report for the ANN stack: recall@k of the IVF index
+# against the exact brute-force ranking, per query, computed IN the
+# engine (both rankings are existing oracle-checked pipelines; the
+# report is an equi-join + per-query aggregate over two k-row-per-query
+# frames). This is the number an indexing team watches when tuning
+# nprobe/every_nth — same evaluate-don't-just-run pattern as
+# text_langid_confusion and text_quality_confusion.
+@register(
+    "ann_recall_report",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM q, c WHERE c.vec_id <> q.query_id)
+        WHERE rn <= 5),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent)
+        WHERE rn = 1),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM q, cent)
+        WHERE rn <= 3),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id),
+    approx_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   row_number() OVER (PARTITION BY cand.query_id
+                       ORDER BY list_cosine_similarity(qc.v, nc.v) DESC,
+                                cand.neighbor_id) AS rnk
+            FROM cand
+            JOIN c qc ON qc.vec_id = cand.query_id
+            JOIN c nc ON nc.vec_id = cand.neighbor_id)
+        WHERE rnk <= 5)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN approx_topk a USING (query_id, neighbor_id)
+    GROUP BY 1
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF probe against the exact ranking:
+    two existing kernels (brute_force_topk, ivf_topk) reduced to
+    k-row-per-query id sets, one equi-join, one per-query aggregate.
+    The frames are #queries x k rows — evaluation cost is independent
+    of corpus size once the two rankings exist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(e, q, k=5, every_nth=50, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, on=["query_id", "neighbor_id"], how="left_semi")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.join(n_hits, on="query_id", how="left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 @register(
     "embedding_hard_negatives",
     oracle="""
