@@ -242,3 +242,47 @@ def test_kmv_set_ops_discriminates_overlap(spark):
 
     none = kmv_set_ops_portable(a, "k", b_none, "k", k=64).collect()[0]
     assert none.jaccard_est == 0.0 and none.est_intersection == 0.0
+
+
+def test_hll_partial_rollup_accuracy_and_union_consistency(spark, sf_dir):
+    """Day estimates from unioned hour partials stay within HLL error of
+    the exact per-day distincts, and equal the estimate of a sketch
+    built directly at day grain (union of partials loses nothing)."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        hll_partial_rollup,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        (r.event_type, str(r.day)): r.distinct_users
+        for r in hll_partial_rollup(e, "user_id", "ts", ("event_type",)).collect()
+    }
+    exact = {
+        (r.event_type, str(r.day)): r.n
+        for r in e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        # lg_k=12 -> rsd ~1.6%; allow 5x headroom on small counts
+        assert abs(got[k] - n) <= max(3, 0.08 * n), (k, got[k], n)
+
+    direct = {
+        (r.event_type, str(r.day)): r.est
+        for r in e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+            )
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    assert got == direct  # hour-partial union == direct day sketch

@@ -297,3 +297,43 @@ def kmv_set_ops_portable(
     return out.crossJoin(F.broadcast(est_a)).crossJoin(F.broadcast(est_b)).select(
         "est_a", "est_b", "est_union", "jaccard_est", "est_intersection"
     )
+
+
+def hll_partial_rollup(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable-sketch rollup: per-(group, HOUR) Datasketches HLL
+    partials, re-aggregated to per-(group, DAY) distinct estimates by
+    UNIONING the partials — the raw stream is scanned ONCE.
+
+    This is the distinct-count analogue of hypertable_rollup_events'
+    cascading sums: sums re-aggregate for free, but COUNT(DISTINCT)
+    does not — the hour partials of a naive distinct count cannot be
+    added. The sketch partial is the fix: at 100 TB the hour-level
+    sketch table (one ~2^lg_k-byte blob per group-hour) is the stored
+    continuous-aggregate state, and every coarser window (day, week,
+    month, all-time) is a cheap union over it; re-scanning the raw
+    events for each window would cost a full pass per rollup level.
+
+    Returns (group cols, day, distinct_users) with the day estimate
+    rounded to BIGINT. Rows-only by design (the Datasketches estimator
+    is not SQL-replayable); accuracy and union-consistency are
+    pytest-bounded."""
+    gcols = [F.col(g) for g in group_cols]
+    hourly = df.groupBy(
+        *gcols, F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sketch"))
+    daily = hourly.groupBy(
+        *gcols, F.to_date(F.col("hour")).alias("day")
+    ).agg(F.hll_union_agg(F.col("sketch")).alias("day_sketch"))
+    return daily.select(
+        *gcols,
+        "day",
+        F.round(F.hll_sketch_estimate(F.col("day_sketch")))
+        .cast("long")
+        .alias("distinct_users"),
+    )

@@ -3312,3 +3312,16 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return S.pca_topk(e, q, k=5, pca_k=16, oversample=4)
+
+
+@register("sketch_hll_rollup")
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL rollup (operators/sketches.py::hll_partial_rollup):
+    distinct users per (event_type, day) computed by UNIONING per-hour
+    Datasketches partials — one raw scan, every coarser window a cheap
+    sketch merge; the continuous-aggregate answer to COUNT(DISTINCT)
+    not being re-aggregable. Rows-only by design (the estimator is not
+    SQL-replayable); accuracy vs exact and partial-union consistency
+    are pytest-bounded (tests/test_sketches.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return K.hll_partial_rollup(e, "user_id", "ts", ("event_type",), lg_k=12)
