@@ -126,6 +126,13 @@ HEADLINE = [
     "jsonl_ingest_errors",
     "corpus_quality_threshold_sweep",
     "text_langid_confusion",
+    # round-5 continuation additions (additive): in-engine model
+    # training, semantic decontamination, ANN recall evaluation,
+    # mergeable HLL continuous aggregate
+    "text_logreg_train_step",
+    "corpus_semantic_decontaminate",
+    "ann_recall_report",
+    "sketch_hll_rollup",
 ]
 
 

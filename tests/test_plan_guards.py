@@ -34,6 +34,9 @@ BNLJ_OK = {
     "ann_recall_report",        # composes ann_cosine_topk + ann_ivf_topk
                                 # (both rows above); report itself is
                                 # equi-join + per-query agg
+    "text_hybrid_search",       # semantic leg = broadcast 1-vector query
+                                # (brute_force_topk); lexical leg carries
+                                # bm25's 1-row corpus scalars
 }
 
 # A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /
@@ -83,6 +86,8 @@ GLOBAL_WINDOW_OK = {
                                  # (relational.py::rank_newest_first —
                                  # O(#months) input by construction)
     "s8_skip_latest",            # same month-list rank, recency filter
+    "text_hybrid_search",        # rank over the two post-limit 50-row
+                                 # leg frames only
     "s10_pending_pipeline",      # flagship composes the same month rank
 }
 

@@ -1139,3 +1139,101 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject), never a global sort materialization."""
     d = load_table(spark, sf_dir, "documents")
     return T.bm25_search(d, ["data", "scan", "join"], k=20)
+
+
+# -- hybrid retrieval: BM25 x embedding cosine via RRF (oracle-exact) -------
+# The retrieval pattern a curation pipeline uses to source quality
+# documents: a lexical leg (BM25 top-50 for the query terms) and a
+# semantic leg (cosine top-50 against the seed document's embedding),
+# fused by reciprocal-rank fusion score = sum over legs of
+# 1/(60 + rank), absent leg contributing 0. Both legs are existing
+# oracle-replayed rankings; the fusion is integer-rank arithmetic, so
+# the ENTIRE hybrid ranking replays in SQL. Rank windows run over the
+# two post-limit 50-row frames only (bounded by construction).
+@register(
+    "text_hybrid_search",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    sc AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM dl),
+    hits AS (SELECT * FROM post WHERE term IN ('data', 'scan', 'join')),
+    dft AS (SELECT term, count(*) AS df_t FROM hits GROUP BY 1),
+    s AS (
+        SELECT h.doc_id,
+               CAST(
+                 ln(1.0 + ((CAST(sc.n_docs AS DOUBLE) - CAST(d.df_t AS DOUBLE) + 0.5)
+                           / (CAST(d.df_t AS DOUBLE) + 0.5)))
+                 * (CAST(h.tf AS DOUBLE) * 2.2)
+                 / (CAST(h.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) / sc.avgdl)))
+                 AS DECIMAL(30,15)) AS s
+        FROM hits h JOIN dft d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN sc),
+    pd AS (SELECT doc_id, SUM(s) AS score FROM s GROUP BY 1),
+    lex50 AS (SELECT doc_id, CAST(score AS DOUBLE) AS bm25 FROM pd
+              ORDER BY score DESC, doc_id LIMIT 50),
+    lexr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+             FROM lex50),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM c WHERE vec_id = 0),
+    semr AS (
+        SELECT vec_id AS doc_id, rn AS r_sem FROM (
+            SELECT c.vec_id,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(qv.q, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM c, qv WHERE c.vec_id <> 0)
+        WHERE rn <= 50)
+    SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+           CAST(r_lex AS INT) AS r_lex,
+           CAST(r_sem AS INT) AS r_sem,
+           COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / (60.0 + CAST(r_sem AS DOUBLE)), 0.0)
+               AS rrf_score
+    FROM lexr FULL OUTER JOIN semr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and embedding-cosine
+    semantic top-50 (seed = vec 0), fused by reciprocal-rank fusion
+    1/(60+rank) per leg. Legs reuse the oracle-checked bm25_search and
+    brute_force_topk kernels; ranks come from windows over the
+    post-limit 50-row frames (bounded), the fusion is one full-outer
+    equi-join of two 50-row frames + TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = T.bm25_search(d, ["data", "scan", "join"], k=50)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    qv = e.filter(F.col("vec_id") == 0)
+    sem = S.brute_force_topk(e, qv, k=50)
+    semr = sem.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    fused = lexr.join(semr, on="doc_id", how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_lex").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_sem").cast("double")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_sem").cast("int").alias("r_sem"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+    )
