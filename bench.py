@@ -133,6 +133,7 @@ HEADLINE = [
     "corpus_semantic_decontaminate",
     "ann_recall_report",
     "sketch_hll_rollup",
+    "text_hybrid_search",
 ]
 
 
