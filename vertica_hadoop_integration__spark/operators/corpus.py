@@ -582,7 +582,12 @@ def bloom_decontaminate(
             F.col(f"_p{idx}") == F.col(f"_b{idx}"),
             "inner",
         )
-    cand_ids = probe.select(id_col).distinct()
+    # no false negatives: every exact-hit shingle passes all k bloom
+    # positions, so both the candidate set AND the verify step read the
+    # probe's survivors — the corpus is shingled exactly once, not once
+    # per phase
+    pass_sh = probe.select(id_col, "shingle")
+    cand_ids = pass_sh.select(id_col).distinct()
     cand = (
         df.select(id_col)
         .join(cand_ids.withColumn("_c", F.lit(1)), on=id_col, how="left")
@@ -592,8 +597,7 @@ def bloom_decontaminate(
         )
     )
     hits = (
-        doc_sh.join(cand_ids, on=id_col, how="left_semi")
-        .join(F.broadcast(eval_shingles), on="shingle", how="left_semi")
+        pass_sh.join(F.broadcast(eval_shingles), on="shingle", how="left_semi")
         .select(id_col)
         .distinct()
     )
