@@ -134,6 +134,11 @@ HEADLINE = [
     "ann_recall_report",
     "sketch_hll_rollup",
     "text_hybrid_search",
+    # published data-selection recipes: DSIR importance resampling,
+    # CCNet perplexity triage, quality-aware dedup canonicals
+    "corpus_dsir_sample",
+    "corpus_ccnet_buckets",
+    "dedup_keep_best",
 ]
 
 

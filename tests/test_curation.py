@@ -441,3 +441,124 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
     # vec 3 is cos 0.7071 to BOTH eval vectors: the (cos, id) struct max
     # must break the tie toward the larger eval id
     assert got[3].best_eval_id == 200
+
+
+# -- quality-aware canonical selection (dedup_keep_best) --------------------
+
+
+def test_keep_best_picks_highest_quality_with_id_tiebreak(spark):
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (5, 1, 3), (7, 7, 2), (9, 7, 2)],
+        "doc_id long, canonical_id long, cluster_size long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (5, 0.9), (7, 0.5), (9, 0.4)],
+        "doc_id long, quality_prob double",
+    )
+    rows = {r.canonical_id: r for r in keep_best_per_cluster(clusters, scores).collect()}
+    assert set(rows) == {1, 7}
+    # ties on quality break toward the smaller id (2 beats 5)
+    assert rows[1].kept_doc_id == 2 and rows[1].kept_quality == 0.9
+    assert rows[1].cluster_size == 3 and rows[1].n_dropped == 2
+    assert rows[7].kept_doc_id == 7 and rows[7].n_dropped == 1
+
+
+def test_keep_best_kept_member_maximizes_cluster_quality(spark, docs):
+    from vertica_hadoop_integration__spark.operators import dedup as D
+    from vertica_hadoop_integration__spark.operators import graph as G
+    from vertica_hadoop_integration__spark.operators import text as T
+
+    pairs = D.minhash_dedup_portable(
+        docs, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
+    )
+    clusters = G.dedup_clusters(pairs)
+    scores = T.quality_logreg(docs)
+    kept = D.keep_best_per_cluster(clusters, scores)
+    # the kept member's quality equals the cluster's max quality
+    best = (
+        clusters.join(scores.select("doc_id", "quality_prob"), on="doc_id")
+        .groupBy("canonical_id")
+        .agg(F.max("quality_prob").alias("max_q"), F.count(F.lit(1)).alias("n"))
+    )
+    j = kept.join(best, on="canonical_id").collect()
+    assert len(j) == kept.count() and len(j) > 0
+    for r in j:
+        assert r.kept_quality == r.max_q
+        assert r.cluster_size == r.n
+    # every kept doc is a member of its own cluster
+    member = kept.join(
+        clusters,
+        (kept.kept_doc_id == clusters.doc_id)
+        & (kept.canonical_id == clusters.canonical_id),
+        "left_semi",
+    )
+    assert member.count() == kept.count()
+
+
+# -- DSIR importance resampling ---------------------------------------------
+
+
+def _dsir_fixture(spark):
+    target_like = "alpha beta gamma delta epsilon zeta eta theta"
+    off_dist = "zulu yankee xray whiskey victor uniform tango sierra"
+    rows = []
+    for i in range(30):
+        # target split: lang='en', on-distribution text
+        rows.append((i, target_like + f" alpha beta {i % 3}", "en"))
+    for i in range(30, 60):
+        # raw-only docs that LOOK like the target
+        rows.append((i, target_like + f" gamma delta {i % 3}", "xx"))
+    for i in range(60, 90):
+        # raw-only docs far from the target
+        rows.append((i, off_dist + f" zulu yankee {i % 3}", "xx"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    df = _dsir_fixture(spark)
+    # n >= corpus so every doc's weight is visible
+    out = C.dsir_sample(df, F.col("lang") == "en", n=1000).collect()
+    w = {r.doc_id: r.log_weight for r in out}
+    assert len(w) == 90
+    on_dist = [w[i] for i in range(30, 60)]
+    off = [w[i] for i in range(60, 90)]
+    # every target-like raw doc outweighs every off-distribution doc
+    assert min(on_dist) > max(off)
+    spark.catalog.clearCache()
+
+
+def test_dsir_top_k_deterministic_and_target_heavy(spark):
+    df = _dsir_fixture(spark)
+    a = [r.doc_id for r in C.dsir_sample(df, F.col("lang") == "en", n=20).collect()]
+    spark.catalog.clearCache()
+    b = [r.doc_id for r in C.dsir_sample(df, F.col("lang") == "en", n=20).collect()]
+    assert a == b  # md5-derived Gumbel draw, no RNG state
+    # the far-off-distribution docs should not crowd the sample
+    assert sum(1 for i in a if 60 <= i < 90) <= 2
+    spark.catalog.clearCache()
+
+
+# -- CCNet perplexity buckets -----------------------------------------------
+
+
+def test_ccnet_buckets_cover_and_order(spark, docs):
+    out = C.ccnet_perplexity_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.avg_nll)
+    assert set(b for d in by_lang.values() for b in d) <= {"head", "middle", "tail"}
+    for lang, d in by_lang.items():
+        # threshold semantics: head <= ql < middle <= qh < tail
+        if "head" in d and "middle" in d:
+            assert max(d["head"]) <= min(d["middle"])
+        if "middle" in d and "tail" in d:
+            assert max(d["middle"]) <= min(d["tail"])
+        n = sum(len(v) for v in d.values())
+        if n >= 8:
+            # the head is a minority slice, never the bulk
+            assert len(d.get("head", [])) <= n * 0.5

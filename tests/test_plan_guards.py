@@ -63,6 +63,10 @@ SCALAR_BROADCAST_OK = {
     "corpus_mixture_rebalance",     # 1-row token-total + kept-total scalars
     "sketch_kmv_set_ops",           # three 1-row sketch-estimate scalars
     "dq_referential_integrity",     # 1-row orphan-count x 1-row total join
+    "corpus_dsir_sample",           # two 1-row split-total scalars (tt, tr)
+    "corpus_ccnet_buckets",         # 1-row corpus-token-total scalar
+                                    # (unigram LM) under the lang-keyed
+                                    # threshold equi-join
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -753,3 +753,171 @@ def semantic_decontaminate(
         F.col("b.eval_id").alias("best_eval_id"),
         F.col("b.cos_sim").alias("cos_sim"),
     ).filter(F.col("cos_sim") >= min_cosine)
+
+
+def dsir_sample(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    n: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): rank raw documents by how target-like their
+    hashed n-gram profile is, then draw a fixed-size sample with
+    Gumbel-top-k — the published recipe for selecting pretraining data
+    that matches a small high-quality target distribution.
+
+    * Features: unigrams + word bigrams, hashed into ``num_buckets``
+      via the portable md5-60 hash (vocabulary-free, like
+      text.feature_hashing — the hashed-ngram generative model of the
+      paper).
+    * Importance weight: bag-of-buckets log-ratio
+      ``log w(x) = sum_f tf_f * (ln p_target(b_f) - ln p_raw(b_f))``
+      with add-1 smoothed bucket probabilities fit on the target split
+      (``target_pred`` rows) and the full raw corpus respectively.
+      Per-feature terms cast to DECIMAL(30,15) before the per-doc sum,
+      so partial-agg order cannot move the last ulp.
+    * Sampling: Gumbel-top-k — key = log w + g, g = -ln(-ln(u)) with u
+      drawn from md5("dsir:"||id) exactly like corpus_weighted_sample;
+      the top-``n`` keys are a weighted sample without replacement and
+      reruns return the identical set.
+
+    Scale shape: two scan-stage feature passes reduced to a
+    ``num_buckets``-row model table (KB-sized, broadcast back), one
+    map-side broadcast join to score, one doc-keyed partial-agg sum,
+    one mergeable TakeOrderedAndProject top-k. No corpus-sized shuffle
+    besides the (id, bucket) tf aggregation; the model table is
+    fixed-size regardless of corpus scale."""
+    from ..functions.text_fns import md5_hash60, shingles, tokens
+
+    text = F.col(text_col)
+    uni = df.select(
+        F.col(id_col), F.explode(tokens(text)).alias("_f")
+    )
+    bi = df.select(
+        F.col(id_col), F.explode(shingles(text, 2)).alias("_f")
+    )
+    feats = (
+        uni.unionByName(bi)
+        .select(
+            F.col(id_col),
+            F.pmod(md5_hash60(F.col("_f")), F.lit(num_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tgt_ids = df.filter(target_pred).select(id_col)
+    cnt_t = (
+        feats.join(tgt_ids, on=id_col, how="left_semi")
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    cnt_r = feats.groupBy("bucket").agg(F.sum("tf").alias("cr"))
+    tot_t = cnt_t.agg(F.sum("ct").alias("tt"))
+    tot_r = cnt_r.agg(F.sum("cr").alias("tr"))
+    model = (
+        cnt_r.join(cnt_t, on="bucket", how="left")
+        .join(F.broadcast(tot_t))
+        .join(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("tt") + F.lit(num_buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    / (F.col("tr") + F.lit(num_buckets)).cast("double")
+                )
+            ).alias("lnr"),
+        )
+    )
+    log_w = (
+        feats.join(F.broadcast(model), on="bucket")
+        .select(
+            F.col(id_col),
+            (F.col("tf").cast("double") * F.col("lnr"))
+            .cast("decimal(30,15)")
+            .alias("_ll"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_ll").alias("_lw"))
+        .select(F.col(id_col), F.col("_lw").cast("double").alias("log_weight"))
+    )
+    u = (
+        md5_hash60(F.concat_ws(":", F.lit("dsir"), F.col(id_col))).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(1152921504606846976.0)
+    keyed = log_w.select(
+        F.col(id_col),
+        "log_weight",
+        (F.col("log_weight") + -F.log(-F.log(u))).alias("gumbel_key"),
+    )
+    out = (
+        keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(n)
+        .select(id_col, "log_weight", "gumbel_key")
+    )
+    # top-k is eager enough to compute before unpersist only if the
+    # caller collects immediately; keep lineage safe instead by leaving
+    # the persisted frame to session cache hygiene (caller clearCache),
+    # matching _containment_stage's contract.
+    return out
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    q_low: float = 0.25,
+    q_high: float = 0.75,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359): score every document with a language-model
+    perplexity proxy, then label it head / middle / tail WITHIN its
+    language by exact quantile thresholds — the standard crawl-quality
+    triage that downstream pipelines sample from (head-heavy for
+    pretraining, tail for contrast sets).
+
+    The LM is the corpus's own unigram model (text.unigram_logprob —
+    the same avg_nll the perplexity-proxy query verifies); CCNet's
+    KenLM 5-gram slots in here without changing the dataflow. Cut
+    points are EXACT per-language percentiles (Spark `percentile` =
+    DuckDB `quantile_cont` bit-for-bit, the corpus_quality_cut_quantile
+    pattern) computed in one tiny groupBy-per-lang aggregate and
+    broadcast back — the corpus never sorts globally and never enters
+    a per-language window, so one dominant language (English at 100 TB)
+    costs a partial-agg, not a single-partition sort. Production swaps
+    `percentile_approx` into the threshold pass; exactness here keeps
+    the oracle hash-comparable.
+
+    Returns (id, lang, avg_nll, bucket) with bucket in
+    {'head','middle','tail'}; head = lowest-perplexity ``q_low``
+    fraction per language."""
+    from .text import unigram_logprob
+
+    nll = unigram_logprob(df, text_col=text_col, id_col=id_col).select(
+        id_col, "avg_nll"
+    )
+    scored = df.select(F.col(id_col), F.col(lang_col)).join(nll, on=id_col)
+    thr = scored.groupBy(lang_col).agg(
+        F.expr(f"percentile(avg_nll, CAST({q_low!r} AS DOUBLE))").alias("_ql"),
+        F.expr(f"percentile(avg_nll, CAST({q_high!r} AS DOUBLE))").alias("_qh"),
+    )
+    return (
+        scored.join(F.broadcast(thr), on=lang_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("avg_nll"),
+            F.when(F.col("avg_nll") <= F.col("_ql"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("_qh"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

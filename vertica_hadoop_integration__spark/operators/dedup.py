@@ -1316,3 +1316,45 @@ def fuzzy_match_pairs(
         .filter(F.col("edit_dist") <= max_edit)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """Quality-aware canonical selection: given duplicate clusters
+    (graph.dedup_clusters output) and per-doc quality scores, pick the
+    HIGHEST-scoring member of each cluster as the one to keep — the
+    production dedup keep rule (min-id canonicals throw away the best
+    copy whenever a cleaner duplicate has a larger id; real pipelines
+    keep the best-quality member and drop the rest).
+
+    Tie-break on ascending id makes the pick total and rerun-stable.
+    Returns one row per cluster: (canonical_id, kept_doc_id,
+    kept_quality, cluster_size, n_dropped). The corpus keep-set is
+    (all docs not in any cluster) + kept_doc_id rows — an anti-join of
+    cluster members minus winners, exactly like clean_corpus's drops.
+
+    Scale shape: clusters is duplicate-member-sized (far smaller than
+    the corpus), the score join is one id-keyed equi-join, and the pick
+    is a window PARTITIONED by canonical_id — per-cluster partitions,
+    never a global sort."""
+    j = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col)), on=id_col
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("canonical_id"),
+            F.col(id_col).alias("kept_doc_id"),
+            F.col(score_col).alias("kept_quality"),
+            F.col("cluster_size"),
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+    )

@@ -1248,3 +1248,115 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = e.filter(F.col("vec_id") % 23 == 0)
     corpus = e.filter(F.col("vec_id") % 23 != 0)
     return C.semantic_decontaminate(corpus, ev, min_cosine=0.3)
+
+
+# -- DSIR importance resampling (oracle-exact end to end) -------------------
+@register(
+    "corpus_dsir_sample",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS f FROM tk),
+    bi AS (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS f
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+              FROM tk)),
+    feats AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(f),1,15)) AS BIGINT) % 1024 AS bucket,
+               count(*) AS tf
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        GROUP BY 1, 2),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    ct AS (SELECT bucket, sum(tf) AS ct FROM feats
+           JOIN tgt USING (doc_id) GROUP BY 1),
+    cr AS (SELECT bucket, sum(tf) AS cr FROM feats GROUP BY 1),
+    tt AS (SELECT sum(ct) AS tt FROM ct),
+    tr AS (SELECT sum(cr) AS tr FROM cr),
+    model AS (
+        SELECT cr.bucket,
+               ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  / CAST(tt.tt + 1024 AS DOUBLE))
+             - ln(CAST(cr.cr + 1 AS DOUBLE)
+                  / CAST(tr.tr + 1024 AS DOUBLE)) AS lnr
+        FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tt CROSS JOIN tr),
+    lw AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(CAST(tf AS DOUBLE) * lnr AS DECIMAL(30,15)))
+                    AS DOUBLE) AS log_weight
+        FROM feats JOIN model USING (bucket) GROUP BY 1),
+    keyed AS (
+        SELECT doc_id, log_weight,
+               log_weight + -ln(-ln(
+                   (CAST(('0x'||substr(md5('dsir:'||doc_id),1,15)) AS BIGINT) + 1)
+                   / 1152921504606846976.0)) AS gumbel_key
+        FROM lw)
+    SELECT doc_id, log_weight, gumbel_key FROM (
+        SELECT doc_id, log_weight, gumbel_key,
+               row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rn
+        FROM keyed) WHERE rn <= 100
+    """,
+)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/corpus.py::dsir_sample;
+    Xie et al. 2023): select raw documents whose hashed unigram+bigram
+    profile looks like the target split (lang='en' here; any predicate
+    works) — add-1 smoothed bucket log-ratios fit on both splits, bag-
+    of-buckets log importance weights with DECIMAL order-free sums, and
+    a deterministic Gumbel-top-100 draw from md5-derived uniforms. The
+    model table is 1024 rows at any corpus size and broadcasts; the
+    oracle replays hashing, both fits, the weights, and the draw."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.dsir_sample(d, F.col("lang") == "en", num_buckets=1024, n=100)
+
+
+# -- CCNet-style per-language perplexity buckets (oracle-exact) -------------
+@register(
+    "corpus_ccnet_buckets",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    counts AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+    total AS (SELECT sum(cnt) AS total FROM counts),
+    contrib AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(CAST(tf.tf AS DOUBLE)
+                    * ln(CAST(counts.cnt AS DOUBLE)
+                         / CAST(total.total AS DOUBLE))
+                    AS DECIMAL(30,15)) AS ll
+        FROM tf JOIN counts USING (term) CROSS JOIN total),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               sum(ll) AS sum_ll
+        FROM contrib GROUP BY 1),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               -CAST(p.sum_ll AS DOUBLE) / p.n_tokens AS avg_nll
+        FROM documents d JOIN per_doc p USING (doc_id)),
+    thr AS (
+        SELECT lang, quantile_cont(avg_nll, 0.25) AS ql,
+               quantile_cont(avg_nll, 0.75) AS qh
+        FROM scored GROUP BY 1)
+    SELECT s.doc_id, s.lang, s.avg_nll,
+           CASE WHEN s.avg_nll <= t.ql THEN 'head'
+                WHEN s.avg_nll <= t.qh THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN thr t USING (lang)
+    """,
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style crawl triage (operators/corpus.py::
+    ccnet_perplexity_buckets; Wenzek et al. 2020): head/middle/tail
+    label per document by LM-perplexity proxy WITHIN its language —
+    exact per-language percentile cut points (Spark percentile =
+    DuckDB quantile_cont bit-for-bit) broadcast back over the scan, so
+    a dominant language never forces a global sort or a one-partition
+    window. The oracle replays the unigram LM, the thresholds, and the
+    bucket comparisons end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.ccnet_perplexity_buckets(d, q_low=0.25, q_high=0.75)

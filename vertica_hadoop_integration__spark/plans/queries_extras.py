@@ -3325,3 +3325,69 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pytest-bounded (tests/test_sketches.py)."""
     e = load_table(spark, sf_dir, "events")
     return K.hll_partial_rollup(e, "user_id", "ts", ("event_type",), lg_k=12)
+
+
+# -- quality-aware canonical selection over duplicate clusters --------------
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_portable_oracle()}),
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    labels AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY 1),
+    qt AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(
+                   -1.5 + 0.6 * ln(CAST(n_tok AS DOUBLE))
+                        + 8.0 * (CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                        - 12.0 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                        - 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))
+               ))) AS quality_prob
+        FROM qt),
+    j AS (
+        SELECT l.node AS doc_id, l.component AS canonical_id,
+               s.cluster_size, q.quality_prob
+        FROM labels l JOIN sizes s USING (component)
+                      JOIN q ON q.doc_id = l.node)
+    SELECT canonical_id, doc_id AS kept_doc_id, quality_prob AS kept_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM (SELECT *, row_number() OVER (PARTITION BY canonical_id
+              ORDER BY quality_prob DESC, doc_id) AS rn FROM j)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep rule (operators/dedup.py::
+    keep_best_per_cluster): duplicate clusters from the portable MinHash
+    pair path, canonical member chosen by HIGHEST logistic quality
+    probability (id-ascending tie-break) instead of min id — the
+    production selection rule that keeps the cleanest copy of every
+    near-dup group. The oracle replays the entire stack: MinHash pairs,
+    recursive-CTE transitive closure, the logreg probability, and the
+    per-cluster argmax pick."""
+    from ..operators import dedup as D
+    from ..operators import graph as G
+    from ..operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_portable(
+        d, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
+    )
+    clusters = G.dedup_clusters(pairs)
+    scores = T.quality_logreg(d)
+    return D.keep_best_per_cluster(clusters, scores)
