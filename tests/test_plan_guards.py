@@ -24,7 +24,11 @@ BNLJ_OK = {
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
     "ann_ivf_kmeans_topk",      # same probe, k-means-refined centroid table
     "ann_ivf_pq_topk",          # broadcast centroid table (probe selection)
-    "dedup_embedding_cosine",   # documented exact oracle path (sf0.01)
+    "dedup_embedding_cosine_exact_smalln",  # bounded-input contract: the
+                                # crossJoin build side is structurally
+                                # capped (vec_id < 1000) in the plan
+                                # itself; scale path is
+                                # dedup_embedding_lsh
     "embedding_kmeans",         # broadcast centroid table
     "embedding_hard_negatives",  # broadcast anchor vectors vs corpus scan
     "embedding_label_noise",     # self-kNN verifier form (broadcast query
@@ -147,3 +151,17 @@ def test_plan_has_no_accidental_all_pairs_join(spark, name):
             "orderBy+limit / partitioned window, or extend GLOBAL_WINDOW_OK "
             f"with a boundedness justification: {bad[0]}"
         )
+
+
+def test_exact_cosine_baseline_is_structurally_bounded(spark):
+    """The only all-pairs cosine query must carry its vec_id cap INTO the
+    scan (pushed filter on both crossJoin inputs), so the quadratic step
+    is bounded at any scale factor — not just documented as such.  (The
+    r05 verdict flagged the unbounded predecessor as the repo's one
+    scale-killer plan; this pins the fix.)"""
+    df = QUERIES["dedup_embedding_cosine_exact_smalln"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LessThan(vec_id,1000)") >= 2 or \
+        plan.count("vec_id#") and plan.count("< 1000") >= 2, (
+        "vec_id < 1000 cap not pushed to both scan sides:\n" + plan
+    )

@@ -13,6 +13,37 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def _kind(type_name: str) -> str:
+    """Collapse a Spark dtype / DuckDB type string to a comparison kind.
+
+    The driver's value hasher serializes typed values, so a DuckDB
+    HUGEINT/DECIMAL column vs a Spark BIGINT column hash-mismatches even
+    when numerically identical (r04 dq_rules_orders and r05
+    text_bpe_merge_step were both this class).  String-normalizing the
+    cells can't see it; comparing type kinds does.
+    """
+    t = type_name.lower()
+    if "decimal" in t or "hugeint" in t or "int128" in t:
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "short", "byte", "int8", "int16", "int32", "int64",
+             "ubigint", "uinteger", "usmallint", "utinyint"):
+        return "int"
+    if t in ("float", "double", "real", "float32", "float64"):
+        return "float"
+    if t in ("string", "varchar", "text", "str"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if "timestamp" in t or t == "datetime":
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t.startswith(("array", "list")) or "[]" in t:
+        return "array"
+    return t.split("(")[0].split("<")[0]
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -72,9 +103,10 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -84,6 +116,14 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = dict(sdf.dtypes)
+            for col in scols:
+                sk, ok = _kind(stypes[col]), _kind(otypes[col])
+                if sk != ok:
+                    problems.append(
+                        f"type-kind {col}: spark={stypes[col]}({sk}) "
+                        f"oracle={otypes[col]}({ok})")
         if not problems:
             sn, on = _normalize(srows, scols), _normalize(orows, ocols)
             if sn != on:

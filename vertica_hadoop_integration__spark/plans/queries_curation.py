@@ -1214,7 +1214,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eval leakage shares no shingles but lands close in embedding space.
 # Eval side = vec_id % 23 == 0 (~4% of vectors, standing in for the small
 # eval set); the oracle replays normalize-once-then-dot bitwise (the same
-# sequential folds as dedup_embedding_cosine) and picks the argmax eval
+# sequential folds as dedup_embedding_cosine_exact_smalln); argmax eval
 # id under the identical (cos, id) total order.
 @register(
     "corpus_semantic_decontaminate",

@@ -232,7 +232,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(w, CAST(i + 1 AS INT), 1) AS right_sym, wc
         FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
               FROM wc WHERE length(w) >= 2)),
-    pc AS (SELECT left_sym, right_sym, sum(wc) AS pair_count
+    pc AS (SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
            FROM pairs GROUP BY 1, 2)
     SELECT left_sym, right_sym, pair_count
     FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20

@@ -150,7 +150,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT th.threshold, CAST(SUM(CASE WHEN f.jac >= th.threshold
                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
     FROM f CROSS JOIN (
-        SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) th
+        SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+               AS threshold) th
     GROUP BY 1
     """,
 )
@@ -209,7 +210,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- embedding near-dup: exact threshold (oracle-checked) ------------------
 @register(
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact_smalln",
     # normalized-dot form, matching the engine's normalize-once-then-dot
     # pipeline bitwise (same sequential folds both sides)
     oracle="""
@@ -218,17 +219,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                                          embedding::DOUBLE[])))
                           AS u
-               FROM embeddings)
+               FROM embeddings
+               WHERE vec_id < 1000)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_dot_product(a.u, b.u) AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.u, b.u) >= 0.4
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine threshold — the sf0.01 correctness oracle
-    for dedup_embedding_lsh below, NOT the scale path (quadratic)."""
-    e = load_table(spark, sf_dir, "embeddings")
+def dedup_embedding_cosine_exact_smalln(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact all-pairs cosine threshold, BOUNDED-INPUT CONTRACT.
+
+    This is the O(n^2) baseline, deliberately structural-capped at
+    vec_id < 1000 so the crossJoin's build side is bounded (and
+    broadcastable) at ANY scale factor — the name states the contract.
+    The 100 TB near-dup path is dedup_embedding_lsh (bucketed candidate
+    generation, linear in rows); this entry exists as the exact recall
+    oracle for it at test scale and for bounded ad-hoc audits.  The cap
+    covers the full fixture at the driver's sf0.01 (vec_id 0..499), so
+    correctness comparison is unaffected."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return D.embedding_near_dup_exact(e, min_cosine=0.4)
 
 
@@ -303,7 +315,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-duplicates exercise the verify-reject path. The low-threshold
     regime (0.4, where LSH cannot prune and degenerates toward all
     pairs) stays covered by the recall pytest at test scale
-    (tests/test_llm_ops.py) and by dedup_embedding_cosine as the exact
+    (tests/test_llm_ops.py) and by dedup_embedding_cosine_exact_smalln as the
     bounded baseline."""
     e = load_table(spark, sf_dir, "embeddings")
     planted = e.filter(F.col("vec_id") % 5 == 0).withColumn(
