@@ -59,3 +59,54 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_auto_spreads_hot_keys(spark):
+    """Data-driven salting (relational.salted_join_auto): result equals
+    the plain join, and — with broadcast disabled so the shuffle is
+    observable — the join's partitioning includes the salt column, so a
+    hot key's rows spread over fanout>1 shuffle partitions instead of
+    funneling through one task."""
+    from vertica_hadoop_integration__spark.operators import relational as R
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    dim = e.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+
+    plain = e.join(dim, on="event_type").orderBy("event_id")
+    salted = R.salted_join_auto(
+        e, dim, on=["event_type"], salt_src=F.col("event_id"),
+        rows_per_bucket=128,
+    ).orderBy("event_id")
+    assert [tuple(r) for r in salted.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+    # fanout map: every hot key split proportionally to its frequency
+    fan = {
+        r["event_type"]: r["_fanout"]
+        for r in R.skew_fanout(e, ["event_type"], 128).collect()
+    }
+    counts = {r["event_type"]: r["cnt"] for r in
+              e.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    import math
+    for k, c in counts.items():
+        if c > 128:
+            assert fan[k] == math.ceil(c / 128.0), (k, c, fan[k])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = R.salted_join_auto(
+            e, dim, on=["event_type"], salt_src=F.col("event_id"),
+            rows_per_bucket=128,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        join_lines = [l for l in plan.splitlines()
+                      if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+        assert any("_salt" in l and "event_type" in l for l in join_lines), (
+            "final join not keyed on (event_type, _salt):\n" + plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -24,6 +24,7 @@ oldest-first selection (S1, sqoop_table.py:41) sorts lexically.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from .locking import FileLock
@@ -83,6 +84,34 @@ class Ledger:
         except FileNotFoundError:
             return None
 
+    # Snapshot retention: every mutation writes a NEW immutable version
+    # dir, so without pruning the ledger path accumulates one dir per
+    # mutation forever (at one mutation per table-partition per run this
+    # is thousands of small dirs a day at 100 TB scale — a namenode /
+    # object-listing burden, not a data-size one).  After each pointer
+    # swap (still under the writer lock) all but the newest _RETAIN
+    # versions are deleted.  _RETAIN > 1 keeps a window for lock-free
+    # readers that resolved the pointer just before a swap: a reader
+    # would have to lag _RETAIN consecutive mutations behind to see its
+    # version vanish.
+    _RETAIN = 10
+
+    def _prune_old_versions(self) -> None:
+        live = self._current_version()
+        versions = [
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v-")
+            and d != live
+            and os.path.isdir(os.path.join(self.path, d))
+        ]
+        versions.sort(
+            key=lambda d: os.path.getmtime(os.path.join(self.path, d)),
+            reverse=True,
+        )
+        for stale in versions[self._RETAIN - 1 :]:
+            shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
+
     def _write_snapshot(self, df: DataFrame) -> None:
         version = f"v-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.path, version)
@@ -92,6 +121,7 @@ class Ledger:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer_path())  # atomic pointer swap
+        self._prune_old_versions()
 
     def read(self) -> DataFrame:
         version = self._current_version()

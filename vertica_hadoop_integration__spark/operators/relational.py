@@ -195,6 +195,80 @@ def salted_join(
     return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
 
 
+# --- data-driven skew salting (extension; S12's adaptive twin) -------------
+def skew_fanout(
+    df: DataFrame, key_cols: list[str], rows_per_bucket: int, hot_only: bool = True
+) -> DataFrame:
+    """Per-key salt fan-out PROPORTIONAL to observed frequency: one
+    counting pass over ``df``, then ``fanout = ceil(cnt / rows_per_bucket)``
+    for keys exceeding the bucket target (tail keys keep fanout 1 and are
+    not materialized when ``hot_only``).
+
+    This is S12's (salt_round_robin) adaptive twin for skewed JOIN/AGG
+    keys: the fixed round-robin spreads rows blindly; this reads the data
+    first and splits only the hot keys, exactly as wide as they are hot.
+    The result is by construction tiny (only keys hotter than
+    rows_per_bucket — at 100 TB with a 10M-row bucket target that is at
+    most ~10M/|cluster| keys, broadcastable by definition: #hot_keys <=
+    total_rows / rows_per_bucket)."""
+    freq = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    if hot_only:
+        freq = freq.filter(F.col("_cnt") > rows_per_bucket)
+    return freq.select(
+        *key_cols,
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_cnt") / F.lit(float(rows_per_bucket)))
+        )
+        .cast("long")
+        .alias("_fanout"),
+    )
+
+
+def salted_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_src: Column,
+    rows_per_bucket: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with DATA-DRIVEN key salting: hot left keys (observed
+    ``> rows_per_bucket`` rows) are split over ``ceil(cnt/rows_per_bucket)``
+    salt buckets, the right side is replicated per-key exactly that many
+    times; tail keys pay nothing (fanout 1, no replication).  Contrast
+    ``salted_join`` (fixed fan-out, replicates the whole right side) —
+    here replication cost is confined to the rows of the few hot keys.
+
+    ``salt_src`` must be a deterministic column expression on the left
+    (e.g. an id column) so results — and the salt layout — are exactly
+    reproducible (and SQL-replayable for the oracle twin).
+
+    Result-identical to ``left.join(right, on, how)``; the fanout map is
+    broadcast (bounded by total_rows/rows_per_bucket keys, see
+    skew_fanout).  AQE's runtime skew split handles the single-shuffle
+    case; this is the deterministic-layout form for join loops and for
+    keys too hot for one task even after AQE's byte-based splitting."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join_auto supports inner/left")
+    fan = skew_fanout(left, on, rows_per_bucket, hot_only=True)
+    l = (
+        left.join(F.broadcast(fan), on=on, how="left")
+        .withColumn("_fanout", F.coalesce(F.col("_fanout"), F.lit(1)))
+        .withColumn("_salt", F.pmod(salt_src, F.col("_fanout")))
+        .drop("_fanout")
+    )
+    r = (
+        right.join(F.broadcast(fan), on=on, how="left")
+        .withColumn("_fanout", F.coalesce(F.col("_fanout"), F.lit(1)))
+        .withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_fanout") - 1)),
+        )
+        .drop("_fanout")
+    )
+    return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
+
+
 # --- MERGE / SCD (extension; the set-mutation surface past S14/S15) -------
 def merge_upsert(
     target: DataFrame,

@@ -56,6 +56,7 @@ WINDOW = [
     "text_bpe_merge_step", "dedup_threshold_sweep",
     "dedup_embedding_cosine_exact_smalln",
     # --- new r06 queries get appended here as they are registered ---
+    "skew_rebalance_report", "skew_salted_join_events",
 ]
 assert len(WINDOW) <= 50 and len(set(WINDOW)) == len(WINDOW)
 _missing = [n for n in WINDOW if n not in QUERIES]

@@ -961,3 +961,101 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = upd.unionByName(dele).unionByName(ins)
     return cdc_apply(o, log, key_cols=["o_orderkey"])
+
+
+# -- data-driven skew rebalance: S12's adaptive twin (r06 verdict item) -----
+@register(
+    "skew_rebalance_report",
+    oracle="""
+    WITH freq AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1),
+    fan AS (
+        SELECT event_type,
+               CAST(greatest(1, ceil(cnt / 512.0)) AS BIGINT) AS fanout
+        FROM freq WHERE cnt > 512),
+    salted AS (
+        SELECT e.event_type,
+               e.event_id % coalesce(f.fanout, 1) AS salt,
+               e.value
+        FROM events e LEFT JOIN fan f USING (event_type))
+    SELECT event_type, CAST(salt AS BIGINT) AS salt,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM salted GROUP BY 1, 2
+    """,
+)
+def skew_rebalance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven repartitioning for skewed keys — the adaptive twin of
+    the reference's fixed ``sequence % N`` salting (S12,
+    create_hcatalog_tables.py:24 rowId round-robin): one counting pass
+    observes per-key frequency, hot keys (> rows_per_bucket) get a salt
+    fan-out proportional to how hot they are, tail keys pay nothing.
+    The report shows the post-rebalance (key, salt) bucket profile — at
+    sf0.01 each of the 5 event_types (~2000 rows) splits into
+    ceil(2000/512)=4 near-even buckets, bounding any one task's share of
+    a hot key at rows_per_bucket regardless of cluster size.  The salt
+    (event_id % fanout) is deterministic, so the whole rebalance is
+    SQL-replayable.  100 TB: the fanout map is bounded by
+    total_rows/rows_per_bucket keys — broadcastable by construction."""
+    e = load_table(spark, sf_dir, "events")
+    fan = R.skew_fanout(e, ["event_type"], rows_per_bucket=512)
+    salted = (
+        e.join(F.broadcast(fan), on=["event_type"], how="left")
+        .withColumn("_fanout", F.coalesce(F.col("_fanout"), F.lit(1)))
+        .withColumn("salt", F.pmod(F.col("event_id"), F.col("_fanout")))
+    )
+    return salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "skew_salted_join_events",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS type_avg
+        FROM events GROUP BY 1)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_avg
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end salted join on a low-cardinality (hence skewed-by-
+    construction) key: 5 event_types mean a plain hash join uses at most
+    5 reduce tasks at ANY cluster size.  salted_join_auto splits each
+    hot key over ceil(cnt/512) salt buckets (data-driven, one counting
+    pass) and replicates the 5-row dimension per-key exactly that wide —
+    result-identical to the plain join (this oracle replays the PLAIN
+    join; the driver hash-match proves equivalence end-to-end)."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("type_avg")
+    )
+    joined = R.salted_join_auto(
+        e.select("event_type", "event_id", "value"),
+        dim,
+        on=["event_type"],
+        salt_src=F.col("event_id"),
+        rows_per_bucket=512,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_above_avg"),
+    )
