@@ -562,3 +562,46 @@ def test_ccnet_buckets_cover_and_order(spark, docs):
         if n >= 8:
             # the head is a minority slice, never the bulk
             assert len(d.get("head", [])) <= n * 0.5
+
+
+def test_split_leakage_flags_cross_split_near_dup(spark):
+    """A planted near-dup pair whose members hash into different splits
+    must surface with is_leak=true; a same-split near-dup pair must
+    appear flagged false (the leak RATE needs both populations)."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        hash_split,
+        split_leakage_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight"
+    )
+    # find doc ids landing in different splits under the real hash
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids, id_col="doc_id").collect()
+    }
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    other = next((i, s) for i, s in splits.items() if s != "train")
+    a, b = train_ids[0], other[0]          # cross-split near-dup pair
+    c, d = train_ids[1], train_ids[2]      # same-split near-dup pair
+    rows = [
+        (a, base), (b, base + " extra"),
+        (c, base.replace("fox", "cat")), (d, base.replace("fox", "cat") + " extra"),
+    ] + [
+        (i, f"unique filler document number {i} with nothing shared {i * 7}")
+        for i in train_ids[3:10]
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["is_leak"]
+        for r in split_leakage_pairs(docs).collect()
+    }
+    key_ab = (min(a, b), max(a, b))
+    key_cd = (min(c, d), max(c, d))
+    assert out.get(key_ab) is True, out
+    assert out.get(key_cd) is False, out

@@ -71,6 +71,8 @@ SCALAR_BROADCAST_OK = {
     "corpus_ccnet_buckets",         # 1-row corpus-token-total scalar
                                     # (unigram LM) under the lang-keyed
                                     # threshold equi-join
+    "skew_range_rebalance",         # 1-row percentile-cuts scalar
+    "layout_zorder_profile",        # 1-row column-bounds scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -921,3 +921,63 @@ def ccnet_perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def split_leakage_pairs(
+    df: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-split LEAKAGE audit: near-duplicate pairs that straddle the
+    train/val/test boundary.  Decontamination (:func:`decontaminate`)
+    protects against an EXTERNAL eval set; this guards the corpus's own
+    held-out splits — a near-dup of a test doc sitting in train inflates
+    eval scores exactly like external contamination, and hash-splitting
+    alone cannot prevent it (near-dups hash independently).
+
+    Composition: :func:`hash_split` (deterministic md5 split) x
+    ``dedup.minhash_dedup_portable`` (banded MinHash candidates + exact
+    Jaccard verify) -> each near-dup pair tagged with both splits and an
+    ``is_leak`` flag (splits differ).  All pairs are returned, flagged —
+    the leak RATE is as important as the leak list.  Scale: the pair
+    generation is the banded-LSH path (no self-join, bucket-confined);
+    the split tag joins pair ids against the tiny (id, split)
+    projection — at 100 TB both sides shuffle once on doc_id."""
+    from .dedup import minhash_dedup_portable
+
+    pairs = minhash_dedup_portable(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        shingle_n=shingle_n,
+    )
+    splits = hash_split(
+        df.select(id_col), val_pct=val_pct, test_pct=test_pct, id_col=id_col
+    ).select(F.col(id_col), F.col("split"))
+    sa = splits.select(
+        F.col(id_col).alias("doc_id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("doc_id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, on="doc_id_a")
+        .join(sb, on="doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )

@@ -269,6 +269,42 @@ def salted_join_auto(
     return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
 
 
+def range_rebalance(
+    df: DataFrame, value_col: str, num_buckets: int, exact: bool = False
+) -> DataFrame:
+    """Data-driven RANGE repartitioning: compute num_buckets-quantile cut
+    points of ``value_col`` in one aggregate pass, broadcast them, and
+    assign each row its range bucket by counting cuts below its value —
+    the distributed ntile: near-even buckets that respect sort order
+    (unlike hash salting), without ntile's single-partition global
+    window.  This is what ``repartitionByRange`` does internally via
+    sampling; exposing it as a column makes the layout deterministic,
+    auditable, and reusable across stages.
+
+    exact=False (default, the 100 TB path) uses approx_percentile —
+    mergeable sketch, bounded memory.  exact=True uses the exact
+    interpolated percentile (collects per-group values — test/oracle
+    scale only; bit-identical to DuckDB quantile_cont, verified)."""
+    fracs = [i / num_buckets for i in range(1, num_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    fr = ", ".join(repr(f) for f in fracs)
+    cuts = df.agg(
+        F.expr(f"{fn}({value_col}, array({fr}))").alias("_cuts")
+    )
+    return (
+        df.join(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.size(
+                F.filter(
+                    F.col("_cuts"), lambda c: F.col(value_col) > c
+                )
+            ),
+        )
+        .drop("_cuts")
+    )
+
+
 # --- MERGE / SCD (extension; the set-mutation surface past S14/S15) -------
 def merge_upsert(
     target: DataFrame,

@@ -3391,3 +3391,39 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = G.dedup_clusters(pairs)
     scores = T.quality_logreg(d)
     return D.keep_best_per_cluster(clusters, scores)
+
+
+@register(
+    "corpus_split_leakage",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT * FROM ({_minhash_portable_oracle()})),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '0ccccccd' THEN 'val'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '1999999a' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents)
+    SELECT p.doc_id_a, p.doc_id_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b,
+           sa.split <> sb.split AS is_leak
+    FROM pairs p
+    JOIN s sa ON sa.doc_id = p.doc_id_a
+    JOIN s sb ON sb.doc_id = p.doc_id_b
+    """,
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit (operators/corpus.py::
+    split_leakage_pairs): near-dup pairs straddling the train/val/test
+    boundary — the in-corpus twin of decontamination (an eval-split
+    near-dup sitting in train inflates eval scores exactly like external
+    contamination, and hash-splitting cannot prevent it: near-dups hash
+    independently).  Full pipeline — md5 90/5/5 split, portable-MinHash
+    banding, exact-Jaccard verify, split tagging — is SQL-replayed by
+    the oracle."""
+    from ..operators.corpus import split_leakage_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return split_leakage_pairs(d)

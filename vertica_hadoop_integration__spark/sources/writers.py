@@ -181,29 +181,15 @@ def write_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def write_zorder(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    num_files: int | None = None,
-    bits: int = 16,
-    output_format: str = "parquet",
-    **kwargs,
-) -> None:
-    """Multi-dimensional data-skipping layout: rows ordered by the
-    Z-order (Morton) interleave of 2-3 numeric columns, so parquet
-    footer min/max stats are tight on EVERY clustered column at once —
-    where ``write_sorted`` prunes on the leading column only, a
-    box-filter on any clustered dimension skips most files here (the
-    engine-side analogue of Delta/Iceberg OPTIMIZE ZORDER BY).
-
-    Each column is min-max scaled to ``bits``-bit integers off a 1-row
-    broadcast of the column bounds (no global rank window — skewed
-    columns degrade gracefully to coarser cells, they never serialize
-    the write); the interleave is a pure shift/mask Catalyst expression
-    (codegen-friendly, no UDF); the final placement is one
-    ``repartitionByRange`` + in-file sort on the z-value, exactly
-    ``write_sorted``'s single paid-once shuffle."""
+def zorder_stage(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Attach the Z-order (Morton) key ``_z`` for 2-3 numeric columns:
+    each column min-max scaled to ``bits``-bit integers off a 1-row
+    broadcast of the column bounds, then bit-interleaved with pure
+    shift/mask Catalyst expressions (codegen-friendly, no UDF, no global
+    rank window — skewed columns degrade to coarser cells, they never
+    serialize the computation).  Shared by :func:`write_zorder` (the
+    sink) and the oracle-checked ``layout_zorder_profile`` query (the
+    same arithmetic is deterministic IEEE-double both engines)."""
     if not 2 <= len(cols) <= 3:
         raise ValueError("z-order wants 2-3 columns")
     n = len(cols)
@@ -229,9 +215,35 @@ def write_zorder(
                     F.shiftright(scaled(c), i).bitwiseAND(F.lit(1)), i * n + j
                 )
             )
-    staged = staged.withColumn("_z", z).drop(
+    return staged.withColumn("_z", z).drop(
         *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
     )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 16,
+    output_format: str = "parquet",
+    **kwargs,
+) -> None:
+    """Multi-dimensional data-skipping layout: rows ordered by the
+    Z-order (Morton) interleave of 2-3 numeric columns, so parquet
+    footer min/max stats are tight on EVERY clustered column at once —
+    where ``write_sorted`` prunes on the leading column only, a
+    box-filter on any clustered dimension skips most files here (the
+    engine-side analogue of Delta/Iceberg OPTIMIZE ZORDER BY).
+
+    Each column is min-max scaled to ``bits``-bit integers off a 1-row
+    broadcast of the column bounds (no global rank window — skewed
+    columns degrade gracefully to coarser cells, they never serialize
+    the write); the interleave is a pure shift/mask Catalyst expression
+    (codegen-friendly, no UDF); the final placement is one
+    ``repartitionByRange`` + in-file sort on the z-value, exactly
+    ``write_sorted``'s single paid-once shuffle."""
+    staged = zorder_stage(df, cols, bits=bits)
     nf = num_files or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         staged.repartitionByRange(nf, F.col("_z"))
