@@ -142,6 +142,14 @@ HEADLINE = [
     "corpus_dsir_sample",
     "corpus_ccnet_buckets",
     "dedup_keep_best",
+    # r06: data-driven skew tactics, layout clustering, split leakage
+    "skew_rebalance_report",
+    "skew_salted_join_events",
+    "skew_range_rebalance",
+    "corpus_split_leakage",
+    "layout_zorder_profile",
+    "text_kn_bigram_logprob",
+    "text_gopher_rules",
 ]
 
 

@@ -141,19 +141,35 @@ def test_write_zorder_prunes_on_both_dimensions(spark, tmp_path):
         )
         assert touched <= len(spans) * 0.75, (col, touched, len(spans))
 
-    # the 2-D box intersects only a handful of files
-    boxes = {}
+    # 2-D boxes intersect a minority of files ON AVERAGE.  Averaged over
+    # several positions, not one: repartitionByRange's sampler is seeded
+    # by the RDD id (a session-global counter), so file boundaries shift
+    # slightly with session history, and a single box straddling the
+    # Morton top-bit seam (the 0.45-0.55 center) can flip a marginal
+    # count — the locality PROPERTY is positional-average, and a random
+    # (unclustered) layout would put every file in every box (ratio 1.0).
+    bounds = {}
     for col in ("l_extendedprice", "l_quantity"):
         glo = min(s[col][0] for s in spans)
         ghi = max(s[col][1] for s in spans)
-        w = ghi - glo
-        boxes[col] = (glo + 0.45 * w, glo + 0.55 * w)
-    touched2d = sum(
-        1
-        for s in spans
-        if all(s[c][1] >= boxes[c][0] and s[c][0] <= boxes[c][1] for c in boxes)
-    )
-    assert touched2d <= len(spans) // 2, (touched2d, len(spans))
+        bounds[col] = (glo, ghi - glo)
+    total = 0
+    positions = (0.10, 0.30, 0.45, 0.60, 0.80)
+    for p in positions:
+        boxes = {
+            c: (lo + p * w, lo + (p + 0.10) * w)
+            for c, (lo, w) in bounds.items()
+        }
+        total += sum(
+            1
+            for s in spans
+            if all(
+                s[c][1] >= boxes[c][0] and s[c][0] <= boxes[c][1]
+                for c in boxes
+            )
+        )
+    mean_touched = total / len(positions)
+    assert mean_touched <= 0.45 * len(spans), (mean_touched, len(spans))
 
 
 def test_write_partitioned_prunes_and_dynamic_overwrite(spark, tmp_path):

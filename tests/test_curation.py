@@ -605,3 +605,34 @@ def test_split_leakage_flags_cross_split_near_dup(spark):
     key_cd = (min(c, d), max(c, d))
     assert out.get(key_ab) is True, out
     assert out.get(key_cd) is False, out
+
+
+def test_gopher_rules_planted_violations(spark):
+    """Each Gopher rule must fire on a document engineered to violate
+    exactly it (and pass on a clean one) — the fixture corpus is
+    single-line so the line-based rules are only exercised here."""
+    from vertica_hadoop_integration__spark.operators.text import gopher_rules
+
+    good_words = ("the cat and the dog have been to many of those "
+                  "places that we know with great joy ") * 3  # 60 words
+    docs = [
+        (1, good_words),
+        (2, "short text that ends now"),                     # word_count
+        (3, " ".join(["ab"] * 60)),                          # mean_word_length (and stop_words)
+        (4, good_words + " " + "#tag " * 12),                # symbol_ratio
+        (5, "\n".join(["- bullet item here now"] * 10)),     # bullet_lines
+        (6, "\n".join([good_words, "trailing thing...", "another one...",
+                       "third line..."])),                   # ellipsis_lines
+        (7, good_words + " " + "1234 5678 " * 30),           # alpha_words
+        (8, " ".join(["zebra", "quartz", "mango"] * 20)),    # stop_words
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[1]["gate_reason"] == "pass", out[1]
+    assert out[2]["gate_reason"] == "word_count"
+    assert not out[3]["ok_mean_word_length"]
+    assert out[4]["gate_reason"] == "symbol_ratio"
+    assert out[5]["ok_word_count"] and not out[5]["ok_bullet_lines"]
+    assert not out[6]["ok_ellipsis_lines"]
+    assert out[7]["gate_reason"] == "alpha_words"
+    assert out[8]["gate_reason"] == "stop_words"

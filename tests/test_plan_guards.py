@@ -73,6 +73,7 @@ SCALAR_BROADCAST_OK = {
                                     # threshold equi-join
     "skew_range_rebalance",         # 1-row percentile-cuts scalar
     "layout_zorder_profile",        # 1-row column-bounds scalar
+    "text_kn_bigram_logprob",       # 1-row bigram-type-total scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -890,3 +890,151 @@ def bm25_search(
         .limit(k)
         .select(F.col(id_col), F.col("_score").cast("double").alias("bm25"))
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an (interpolated)
+    KNESER-NEY smoothed bigram LM trained on the corpus itself —
+    the published step up from :func:`bigram_logprob`'s fixed-mix
+    interpolation (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.28):
+
+        p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                   + (D * N1+(w1,*)/c(w1)) * N1+(*,w2)/N1+(*,*)
+
+    The continuation probability N1+(*,w2)/N1+(*,*) scores w2 by how
+    many DISTINCT histories it follows, not how often it occurs — the
+    classic fix for high-frequency-but-bound words ("Francisco" is
+    frequent yet follows only "San", so its continuation weight is
+    tiny).  D = 0.75: exact binary fraction, no oracle ulp trap.
+
+    All model tables are group-by aggregates of the bigram-type frame
+    (types, not token streams — vocabulary-sized working sets); the
+    1-row type total broadcasts.  Same scan-stage bigram construction,
+    DECIMAL(30,15) order-free per-doc summation, and <2-token dropout
+    as bigram_logprob."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_tk") >= 2,
+                F.arrays_zip(
+                    F.slice("_tk", 1, F.size("_tk") - 1).alias("w1"),
+                    F.slice("_tk", 2, F.size("_tk") - 1).alias("w2"),
+                ),
+            ).otherwise(F.array())
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    tfbg = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cbg = tfbg.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
+    hist = cbg.groupBy("w1").agg(
+        F.sum("cbg").alias("cw1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    prec = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1prec"))
+    types = cbg.agg(F.count(F.lit(1)).alias("_types"))
+    d_ = F.lit(0.75)
+    p = (
+        F.greatest(F.col("cbg").cast("double") - d_, F.lit(0.0))
+        / F.col("cw1").cast("double")
+    ) + (
+        (d_ * F.col("n1w1").cast("double") / F.col("cw1").cast("double"))
+        * (F.col("n1prec").cast("double") / F.col("_types").cast("double"))
+    )
+    contrib = (
+        tfbg.join(cbg, on=["w1", "w2"])
+        .join(hist, on="w1")
+        .join(prec, on="w2")
+        .crossJoin(F.broadcast(types))
+        .withColumn(
+            "_ll", (F.col("tf").cast("double") * F.log(p)).cast("decimal(30,15)")
+        )
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_ll").alias("_sum_ll"),
+    )
+    avg_nll = -(F.col("_sum_ll").cast("double")) / F.col("n_bigrams")
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.exp(avg_nll).alias("ppl_proxy"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The published Gopher quality-filter rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A) as ONE map-only conditional
+    scan — each document labeled with every rule verdict plus the
+    priority-ordered first-fail reason:
+
+      * word count in [50, 100000]
+      * mean word length in [3, 10]
+      * symbol-to-word ratio ('#' and '...') <= 0.1
+      * <= 90% of lines starting with a bullet ('-' or '*')
+      * <= 30% of lines ending with '...'
+      * >= 80% of words containing an alphabetic character
+      * >= 2 of the 8 Gopher stop words present
+        (the, be, to, of, and, that, have, with)
+
+    Pure projection (scan-stage, zero shuffle); integer counts divide as
+    doubles with fixed association so the oracle replays bit-exactly.
+    The thresholds are the paper's, unmodified — this is the
+    recognizable baseline gate corpora are compared on; the engine's
+    tunable gates live in corpus.quality_* / corpus_quality_reasons."""
+    t = F.trim(F.col(text_col))
+    tk = F.split(t, r"\s+")
+    n_words = F.size(tk)
+    sum_word_len = F.expr(
+        f"aggregate(transform(split(trim({text_col}), '\\\\s+'), "
+        "x -> length(x)), 0L, (a, x) -> a + x)"
+    )
+    mean_word_len = sum_word_len.cast("double") / n_words.cast("double")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*"))
+    ).cast("double") / n_lines.cast("double")
+    ellipsis_line_frac = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("double") / n_lines.cast("double")
+    alpha_frac = F.size(
+        F.filter(tk, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("double") / n_words.cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(tk, lambda w: F.lower(w)),
+            F.array(*[F.lit(w) for w in
+                      ("the", "be", "to", "of", "and", "that", "have", "with")]),
+        )
+    )
+    checks = [
+        ("word_count", (n_words >= 50) & (n_words <= 100000)),
+        ("mean_word_length", (mean_word_len >= 3.0) & (mean_word_len <= 10.0)),
+        ("symbol_ratio", symbol_ratio <= 0.1),
+        ("bullet_lines", bullet_frac <= 0.9),
+        ("ellipsis_lines", ellipsis_line_frac <= 0.3),
+        ("alpha_words", alpha_frac >= 0.8),
+        ("stop_words", stop_hits >= 2),
+    ]
+    reason = F.lit("pass")
+    for name, ok in reversed(checks):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    return df.select(
+        F.col(id_col),
+        *[ok.alias(f"ok_{name}") for name, ok in checks],
+        reason.alias("gate_reason"),
+    )

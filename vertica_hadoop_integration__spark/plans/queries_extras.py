@@ -3427,3 +3427,122 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return split_leakage_pairs(d)
+
+
+@register(
+    "text_kn_bigram_logprob",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+    pairs AS (
+        SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM base WHERE len(tk) >= 2)),
+    tfbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY 1,2,3),
+    cbg AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cbg
+            FROM tfbg GROUP BY 1,2),
+    hist AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw1,
+                    CAST(count(*) AS BIGINT) AS n1w1
+             FROM cbg GROUP BY 1),
+    prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1prec
+             FROM cbg GROUP BY 1),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cbg),
+    contrib AS (
+        SELECT tfbg.doc_id, tfbg.tf,
+               CAST(CAST(tfbg.tf AS DOUBLE) * ln(
+                   (greatest(CAST(cbg.cbg AS DOUBLE) - 0.75, 0.0)
+                       / CAST(hist.cw1 AS DOUBLE))
+                   + ((0.75 * CAST(hist.n1w1 AS DOUBLE)
+                           / CAST(hist.cw1 AS DOUBLE))
+                      * (CAST(prec.n1prec AS DOUBLE)
+                             / CAST(types.t AS DOUBLE)))
+               ) AS DECIMAL(30,15)) AS ll
+        FROM tfbg JOIN cbg USING (w1, w2)
+                  JOIN hist USING (w1)
+                  JOIN prec ON prec.w2 = tfbg.w2
+                  CROSS JOIN types),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               sum(ll) AS sum_ll
+        FROM contrib GROUP BY 1)
+    SELECT doc_id, n_bigrams,
+           -CAST(sum_ll AS DOUBLE) / n_bigrams AS avg_nll,
+           exp(-CAST(sum_ll AS DOUBLE) / n_bigrams) AS ppl_proxy
+    FROM per_doc
+    """,
+)
+def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram perplexity proxy (operators/text.py::
+    kn_bigram_logprob; Kneser & Ney 1995) — continuation-probability
+    smoothing over the corpus-trained bigram LM; the published upgrade
+    of text_bigram_logprob's fixed interpolation.  Model tables are
+    bigram-TYPE aggregates (vocabulary-sized), the type total is a
+    1-row broadcast scalar."""
+    from ..operators.text import kn_bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return kn_bigram_logprob(d)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text, trim(text) AS tt,
+               string_split_regex(trim(text), '\s+') AS tk,
+               string_split_regex(text, '\n') AS lines
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(tk) AS n_words,
+               CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                   / CAST(len(tk) AS DOUBLE) AS mean_wl,
+               CAST((length(tt) - length(replace(tt, '#', '')))
+                    + ((length(tt) - length(replace(tt, '...', ''))) / 3)
+                    AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+               CAST(len(list_filter(lines,
+                        l -> starts_with(l, '-') OR starts_with(l, '*')))
+                    AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+               CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+                    AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+               CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS alpha_frac,
+               len(list_intersect(list_transform(tk, w -> lower(w)),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                   AS stop_hits
+        FROM t),
+    v AS (
+        SELECT doc_id,
+               (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+               (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_length,
+               (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+               (bullet_frac <= 0.9) AS ok_bullet_lines,
+               (ellipsis_frac <= 0.3) AS ok_ellipsis_lines,
+               (alpha_frac >= 0.8) AS ok_alpha_words,
+               (stop_hits >= 2) AS ok_stop_words
+        FROM m)
+    SELECT doc_id, ok_word_count, ok_mean_word_length, ok_symbol_ratio,
+           ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stop_words,
+           CASE WHEN NOT ok_word_count THEN 'word_count'
+                WHEN NOT ok_mean_word_length THEN 'mean_word_length'
+                WHEN NOT ok_symbol_ratio THEN 'symbol_ratio'
+                WHEN NOT ok_bullet_lines THEN 'bullet_lines'
+                WHEN NOT ok_ellipsis_lines THEN 'ellipsis_lines'
+                WHEN NOT ok_alpha_words THEN 'alpha_words'
+                WHEN NOT ok_stop_words THEN 'stop_words'
+                ELSE 'pass' END AS gate_reason
+    FROM v
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule battery (Rae et al. 2021 App. A)
+    as one map-only scan (operators/text.py::gopher_rules): per-rule
+    verdicts + priority-ordered first-fail reason per document.  The
+    recognizable industry-baseline gate alongside the engine's tunable
+    corpus_quality_* family; fully SQL-replayed by the oracle."""
+    from ..operators.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rules(d)
