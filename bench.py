@@ -150,6 +150,8 @@ HEADLINE = [
     "layout_zorder_profile",
     "text_kn_bigram_logprob",
     "text_gopher_rules",
+    "ann_pq_rerank_topk",
+    "pipeline_training_set_summary",
 ]
 
 

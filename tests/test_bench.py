@@ -22,7 +22,14 @@ def test_per_query_budget_vs_round5():
     (reports/bench_budget.json); set SPARK_GRAFT_SKIP_BENCH_GATE=1 to
     skip when the host is known-loaded.  Queries added after round 5
     have no budget row and are not gated (they enter the budget when it
-    is refrozen)."""
+    is refrozen).
+
+    Known sensitivity: Arrow/Python-worker-bound queries (multimodal_*)
+    pay worker-pool spin-up that host-level ambient load inflates far
+    more than JVM queries, so they can trip this gate without a code
+    change; the confirmation protocol is an interleaved A/B in a fresh
+    session (see reports/NOTES.md round 6) before treating a flag as a
+    regression."""
     import json
     import os
 

@@ -192,3 +192,52 @@ def test_pca_topk_full_rank_is_lossless(spark, emb):
         (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows
     )
     assert key(approx) == key(exact)
+
+
+def test_pq_rerank_stage2_exactness_and_recall_floor(spark):
+    """What the two-stage operator GUARANTEES: the re-rank stage is
+    EXACT — its output equals the brute-force cosine ranking restricted
+    to the PQ shortlist, score-bitwise (same kernel).  Recall vs the
+    unrestricted exact top-5 is a property of the quantizer AND the
+    data — the synthetic near-uniform fixture is adversarial for any
+    16-code PQ (measured: 40% @ shortlist 20, 72% @ 100) — so only a
+    catastrophic-regression floor is pinned here; real recall tuning is
+    the shortlist/codebook knobs."""
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+        pq_topk,
+    )
+    from vertica_hadoop_integration__spark.functions.vector_fns import (
+        normalize,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    rr = pq_rerank_topk(e, q, k=5, shortlist=20).collect()
+    rr_pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in rr}
+
+    # reference: exact ranking restricted to the same shortlist
+    un_c = e.select("vec_id", normalize(F.col("embedding")).alias("embedding"))
+    un_q = q.select("vec_id", normalize(F.col("embedding")).alias("embedding"))
+    short = {}
+    for r in pq_topk(un_c, un_q, k=20).collect():
+        short.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact_all = brute_force_topk(e, q, k=500).collect()
+    expect = {}
+    for qid, members in short.items():
+        ranked = sorted(
+            (r for r in exact_all
+             if r["query_id"] == qid and r["neighbor_id"] in members),
+            key=lambda r: (-r["cos_sim"], r["neighbor_id"]),
+        )[:5]
+        for r in ranked:
+            expect[(qid, r["neighbor_id"])] = r["cos_sim"]
+    assert rr_pairs == expect  # stage 2 exact, scores bitwise
+
+    # catastrophic floor on end-to-end recall@5
+    exact5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    assert len(exact5 & set(rr_pairs)) >= 0.2 * len(exact5)

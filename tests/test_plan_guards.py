@@ -24,6 +24,8 @@ BNLJ_OK = {
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
     "ann_ivf_kmeans_topk",      # same probe, k-means-refined centroid table
     "ann_ivf_pq_topk",          # broadcast centroid table (probe selection)
+    "ann_pq_rerank_topk",       # PQ stage broadcasts codebook/LUT; rerank
+                                # stage broadcasts the tiny shortlist
     "dedup_embedding_cosine_exact_smalln",  # bounded-input contract: the
                                 # crossJoin build side is structurally
                                 # capped (vec_id < 1000) in the plan

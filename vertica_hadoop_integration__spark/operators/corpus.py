@@ -981,3 +981,75 @@ def split_leakage_pairs(
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+def prepare_training_set(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+    min_jaccard: float = 0.5,
+    gate: str = "basic",
+) -> DataFrame:
+    """Training-set preparation capstone composing the curation stack:
+
+    1. GATE — ``gate='gopher'`` applies :func:`text.gopher_rules` (the
+       published battery; English-corpus calibrated — its stop-word and
+       50-word rules reject the whole synthetic fixture, which is the
+       correct verdict for that input, but a 0-row summary demonstrates
+       nothing, so the registered query uses ``gate='basic'``: the
+       corpus_quality_reasons thresholds — n_chars >= 100, n_tokens >=
+       20, chars/token <= 12).
+    2. SPLIT — :func:`hash_split` assigns deterministic train/val/test.
+    3. DECONTAMINATE SPLITS — :func:`split_leakage_pairs` over the gated
+       corpus; the TRAIN member of every cross-split near-dup pair is
+       dropped (the held-out member is kept: eval sets stay intact, the
+       train side loses its leaked copy — standard practice).
+    4. SUMMARY — per split: surviving docs + whitespace-token total.
+
+    Every stage is individually oracle-checked; this composition is too
+    (the SQL oracle replays gate, split, MinHash leakage, the drop, and
+    the aggregate end to end).  Scale: gate is map-only, split is a
+    projection, leakage is the banded-LSH path, the drop is a broadcast
+    anti-join of a pair-bounded id list."""
+    if gate == "gopher":
+        from .text import gopher_rules
+
+        gated = df.join(
+            gopher_rules(df, text_col=text_col, id_col=id_col)
+            .filter(F.col("gate_reason") == "pass")
+            .select(id_col),
+            on=id_col,
+        )
+    elif gate == "basic":
+        n_chars = F.length(text_col)
+        n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        gated = df.filter(
+            (n_chars >= 100)
+            & (n_tokens >= 20)
+            & (n_chars.cast("double") / n_tokens.cast("double") <= 12.0)
+        )
+    else:
+        raise ValueError(f"unknown gate: {gate!r}")
+    split = hash_split(gated, val_pct=val_pct, test_pct=test_pct, id_col=id_col)
+    leaks = split_leakage_pairs(
+        gated, val_pct=val_pct, test_pct=test_pct,
+        text_col=text_col, id_col=id_col, min_jaccard=min_jaccard,
+    ).filter(F.col("is_leak"))
+    drop = (
+        leaks.filter(F.col("split_a") == "train")
+        .select(F.col("doc_id_a").alias(id_col))
+        .unionByName(
+            leaks.filter(F.col("split_b") == "train")
+            .select(F.col("doc_id_b").alias(id_col))
+        )
+        .distinct()
+    )
+    final = split.join(F.broadcast(drop), on=id_col, how="left_anti")
+    return final.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )

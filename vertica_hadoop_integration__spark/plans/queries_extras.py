@@ -24,7 +24,7 @@ from ..operators import similarity as S
 from ..operators import sketches as K
 from ..sources import load_table
 from .queries_temporal import _BANDS, _BANDS_SQL
-from .registry import register
+from .registry import ORACLES, register
 
 
 @register("ann_cosine_topk_arrow")
@@ -2167,7 +2167,8 @@ def sketch_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle(
-    num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.5
+    num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.5,
+    src: str = "documents",
 ) -> str:
     """SQL replay of minhash_dedup_portable: word-3-gram shingles, eight
     seeded md5-60 signature mins, 4x2 banding on raw signature tuples,
@@ -2189,7 +2190,7 @@ def _minhash_portable_oracle(
     return rf"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      FROM documents),
+      FROM {src}),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -3546,3 +3547,63 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return gopher_rules(d)
+
+
+def _training_set_oracle() -> str:
+    """Composition oracle: basic quality gate -> md5 split -> MinHash
+    cross-split leakage (train member dropped) -> per-split doc/token
+    summary.  Uses the parametrized MinHash replay pointed at the gated
+    CTE (DuckDB CTE scoping makes the outer `gated` visible inside the
+    nested WITH)."""
+    pairs = _minhash_portable_oracle(src="gated")
+    return rf"""
+    WITH gated AS (
+        SELECT doc_id, text
+        FROM documents
+        WHERE length(text) >= 100
+          AND len(string_split_regex(trim(text), '\s+')) >= 20
+          AND CAST(length(text) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\s+')) <= 12.0),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '0ccccccd' THEN 'val'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '1999999a' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM gated),
+    pairs AS (SELECT * FROM ({pairs})),
+    leaks AS (
+        SELECT p.doc_id_a, p.doc_id_b, sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN s sa ON sa.doc_id = p.doc_id_a
+        JOIN s sb ON sb.doc_id = p.doc_id_b
+        WHERE sa.split <> sb.split),
+    drop_ids AS (
+        SELECT doc_id_a AS doc_id FROM leaks WHERE split_a = 'train'
+        UNION
+        SELECT doc_id_b AS doc_id FROM leaks WHERE split_b = 'train'),
+    final AS (
+        SELECT s.doc_id, s.split, g.text
+        FROM s JOIN gated g USING (doc_id)
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM drop_ids))
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+                AS BIGINT) AS n_tokens
+    FROM final GROUP BY 1
+    """
+
+
+@register("pipeline_training_set_summary", oracle=_training_set_oracle())
+def pipeline_training_set_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set preparation capstone (operators/corpus.py::
+    prepare_training_set): quality gate -> deterministic md5 split ->
+    cross-split near-dup leakage removal (train member dropped, eval
+    members kept) -> per-split doc + token summary.  Composes four
+    individually-oracle-checked stages and replays the WHOLE composition
+    in SQL."""
+    from ..operators.corpus import prepare_training_set
+
+    d = load_table(spark, sf_dir, "documents")
+    return prepare_training_set(d)

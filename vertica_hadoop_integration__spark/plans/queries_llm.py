@@ -17,7 +17,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
 from ..sources import load_table
-from .registry import register
+from .registry import ORACLES, register
 
 
 # -- exact dedup (hash groupBy) --------------------------------------------
@@ -1249,3 +1249,53 @@ def text_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(20)
     )
+
+
+def _pq_rerank_oracle(k: int = 5, shortlist: int = 20) -> str:
+    """Rerank oracle: reuse ann_pq_topk's full PQ/ADC replay with the
+    cut widened to the shortlist, then exact-cosine rerank those pairs
+    only (list_cosine_similarity matches the engine's dot/(norm*norm)
+    fold bitwise — same parity every cosine oracle relies on)."""
+    base = ORACLES["ann_pq_topk"]
+    assert "WHERE rnk <= 5" in base
+    widened = base.replace("WHERE rnk <= 5", f"WHERE rnk <= {shortlist}")
+    # stage 1 runs on unit vectors (see pq_rerank_topk): swap the raw
+    # vector CTE for the normalized form (same fold the engine uses)
+    raw_cte = "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    assert raw_cte in widened
+    widened = widened.replace(
+        raw_cte,
+        "WITH c AS (SELECT vec_id,"
+        " list_transform(embedding::DOUBLE[],"
+        " x -> x / sqrt(list_dot_product(embedding::DOUBLE[],"
+        " embedding::DOUBLE[]))) AS v FROM embeddings)",
+    )
+    return f"""
+    WITH short AS (SELECT query_id, neighbor_id FROM ({widened})),
+    cvecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_cosine_similarity(q.v, n.v) AS cos_sim
+        FROM short s
+        JOIN cvecs q ON q.vec_id = s.query_id
+        JOIN cvecs n ON n.vec_id = s.neighbor_id),
+    ranked2 AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM rr)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked2 WHERE rnk <= {k}
+    """
+
+
+@register("ann_pq_rerank_topk", oracle=_pq_rerank_oracle())
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/similarity.py::pq_rerank_topk):
+    PQ/ADC over 8-byte codes shortlists 20 candidates/query, exact
+    cosine re-ranks the top 5 — float vectors touched only for
+    shortlist pairs.  The production ANN serving shape (FAISS-style
+    IVF-PQ + refine); whole pipeline oracle-replayed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.pq_rerank_topk(e, q, k=5, shortlist=20)
