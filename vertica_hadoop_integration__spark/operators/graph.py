@@ -40,7 +40,12 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    # symmetrize once; messages then flow both directions via one join
+    # symmetrize once; messages then flow both directions via one join.
+    # localCheckpoint on purpose: it TRUNCATES lineage, so each
+    # iteration's plan is tiny no matter how expensive the edge
+    # pipeline was.  (A persist-chain variant was measured 10x slower
+    # on containment clusters — every iteration re-analyzed the full
+    # containment logical plan through the cached layers.)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint()
     labels = (
@@ -55,23 +60,27 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # the new generation carries its own change flag, so the
+        # stability probe after the checkpoint is a cached-scan +
+        # limit(1) — the previous shape re-JOINED old vs new labels,
+        # paying a full extra shuffle per iteration just to test
+        # convergence
+        new_gen = (
             labels.join(nbr_min, on="node", how="left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label"))
+                    < F.col("label")
+                ).alias("_changed"),
             )
         ).localCheckpoint()
-        stable = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .isEmpty()
-        )
-        labels = new_labels
+        stable = new_gen.filter(F.col("_changed")).limit(1).isEmpty()
+        labels = new_gen.select("node", "label")
         if stable:
             converged = True
             break
