@@ -665,11 +665,15 @@ def _pq_codes_and_lut(
         .groupBy(id_col, "s", "j")
         .agg(F.sum("_t").alias("dist"))
     )
-    wenc = Window.partitionBy(id_col, "s").orderBy("dist", "j")
-    codes = (
-        ed.withColumn("_rn", F.row_number().over(wenc))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), "s", F.col("j").alias("code"))
+    # per-(vector, sub-space) argmin as a MERGEABLE aggregate: min_by
+    # over the (dist, j) struct picks the same code as the previous
+    # rank-1 window (struct ordering is field-wise, so the j ascending
+    # tie-break is identical on exact DECIMAL dists) while replacing the
+    # sort window with a hash agg that combines map-side
+    codes = ed.groupBy(id_col, "s").agg(
+        F.min_by(F.col("j"), F.struct(F.col("dist"), F.col("j"))).alias(
+            "code"
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
