@@ -82,12 +82,14 @@ def clean_corpus(
     if keep_langs is not None:
         gated = gated.filter(F.col("predicted_lang").isin(*keep_langs))
 
-    # exact dedup, keeping the smallest id per normalized text
-    w = Window.partitionBy(F.md5(F.lower(F.trim(text)))).orderBy(F.col(id_col).asc())
+    # exact dedup, keeping the smallest id per normalized text — as a
+    # min_by hash aggregate, not a rank window: the aggregate combines
+    # map-side, so duplicate text payloads are dropped BEFORE the
+    # shuffle (the window shipped every copy to the sort)
     exact_canon = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        gated.groupBy(F.md5(F.lower(F.trim(text))).alias("_th"))
+        .agg(F.min_by(F.struct(*gated.columns), F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )
 
     pairs = minhash_dedup(
@@ -657,17 +659,16 @@ def clean_corpus_portable(
     # consumes the gate/decon lineage TWICE (two corpus scans) for the
     # same shuffle bytes — interleaved A/B at sf0.1 is a wash (4.04 vs
     # 4.05s median; containment pair generation dominates) but at
-    # 100 TB one corpus scan is strictly better than two
-    exact_w = Window.partitionBy("_th").orderBy(F.col(id_col).asc())
+    # 100 TB one corpus scan is strictly better than two; min_by combines
+    # map-side so duplicate payloads never reach the shuffle
     # the survivor frame feeds three consumers (containment's shingle
     # stage, its per-doc sets, and the final anti-join) — persist so the
     # gate/decon/exact lineage (two doc scans + a 5-gram explode) runs
     # once, not per consumer
     exact = (
-        decon.withColumn("_th", F.md5(F.lower(F.trim(F.col(text_col)))))
-        .withColumn("_rn", F.row_number().over(exact_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_th", "_rn")
+        decon.groupBy(F.md5(F.lower(F.trim(F.col(text_col)))).alias("_th"))
+        .agg(F.min_by(F.struct(*decon.columns), F.col(id_col)).alias("_r"))
+        .select("_r.*")
         .persist()
     )
     pairs = containment_pairs_portable(
