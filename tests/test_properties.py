@@ -466,3 +466,58 @@ def test_salted_join_parity_on_zipf_skew(spark):
     plain = agg(fact.join(dim, on="k"))
     salted = agg(R.salted_join(fact, dim, on=["k"], salt=32))
     assert (plain.s, plain.n) == (salted.s, salted.n)
+
+
+@given(
+    n_rows=st.integers(min_value=50, max_value=400),
+    buckets=st.integers(min_value=2, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=6, deadline=None)
+def test_range_rebalance_buckets_ordered_and_even(spark, n_rows, buckets, seed):
+    """range_rebalance (exact percentile cuts): bucket value-ranges are
+    disjoint and ordered, every row is bucketed, and sizes are near-even
+    (each bucket within 2x of the ideal share for continuous-ish data)."""
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id") + seed), F.lit(100_000)).cast("double")
+         / 7.0).alias("x"),
+    )
+    out = R.range_rebalance(df, "x", buckets, exact=True)
+    rows = out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+    ).orderBy("bucket").collect()
+    assert sum(r["n"] for r in rows) == n_rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["bucket"] == a["bucket"] + 1
+        assert a["hi"] <= b["lo"]  # ordered, disjoint ranges
+    ideal = n_rows / buckets
+    for r in rows:
+        assert r["n"] <= 2 * ideal + 1, (r["bucket"], r["n"], ideal)
+
+
+@given(
+    rows_per_bucket=st.integers(min_value=10, max_value=200),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=6, deadline=None)
+def test_skew_fanout_proportional_and_bounded(spark, rows_per_bucket, seed):
+    """skew_fanout: fanout = ceil(cnt / rows_per_bucket) for every hot
+    key, no tail keys materialized, and the map size is bounded by
+    total_rows / rows_per_bucket (the broadcastability contract)."""
+    import math
+
+    df = spark.range(500).select(
+        F.pmod(F.xxhash64(F.col("id") + seed), F.lit(7)).alias("k")
+    )
+    counts = {r["k"]: r["n"] for r in
+              df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fan = {r["k"]: r["_fanout"] for r in
+           R.skew_fanout(df, ["k"], rows_per_bucket).collect()}
+    for k, c in counts.items():
+        if c > rows_per_bucket:
+            assert fan[k] == math.ceil(c / rows_per_bucket), (k, c, fan[k])
+        else:
+            assert k not in fan
+    assert len(fan) <= 500 / rows_per_bucket
