@@ -152,6 +152,7 @@ HEADLINE = [
     "text_gopher_rules",
     "ann_pq_rerank_topk",
     "pipeline_training_set_summary",
+    "sketch_hll_portable",
 ]
 
 

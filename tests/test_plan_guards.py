@@ -76,6 +76,7 @@ SCALAR_BROADCAST_OK = {
     "skew_range_rebalance",         # 1-row percentile-cuts scalar
     "layout_zorder_profile",        # 1-row column-bounds scalar
     "text_kn_bigram_logprob",       # 1-row bigram-type-total scalar
+    "corpus_dedup_summary",         # three 1-row funnel-count scalars
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 
@@ -108,7 +109,11 @@ GLOBAL_WINDOW_OK = {
 def _unpartitioned_windows(plan: str) -> list[str]:
     """Lines whose WindowExec has NO partition spec: the node prints
     ``Window [functions], [orderSpec]`` (2 depth-0 bracket groups) when
-    unpartitioned vs ``Window [functions], [partSpec], [orderSpec]``."""
+    unpartitioned vs ``Window [functions], [partSpec], [orderSpec]``.
+    A partitioned-but-UNORDERED window (e.g. max() over partitionBy with
+    no orderBy) also prints 2 groups, so for 2-group lines the
+    windowspecdefinition args are inspected: partition columns carry no
+    ASC/DESC marker, order columns always do."""
     bad = []
     for line in plan.splitlines():
         idx = line.find("Window [")
@@ -122,8 +127,17 @@ def _unpartitioned_windows(plan: str) -> list[str]:
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            bad.append(line.strip())
+        if groups >= 3:
+            continue
+        spec_at = line.find("windowspecdefinition(")
+        if spec_at >= 0:
+            frame_at = line.find("specifiedwindowframe", spec_at)
+            args = line[spec_at + len("windowspecdefinition(") : frame_at]
+            if args.strip().rstrip(",").strip() and (
+                " ASC" not in args and " DESC" not in args
+            ):
+                continue  # partitioned, just unordered
+        bad.append(line.strip())
     return bad
 
 # Queries whose FUNCTION performs driver-side iteration or side-effect

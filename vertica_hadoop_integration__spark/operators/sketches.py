@@ -337,3 +337,88 @@ def hll_partial_rollup(
         .cast("long")
         .alias("distinct_users"),
     )
+
+
+def hll_distinct_portable(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Classic HyperLogLog (Flajolet et al. 2007) through the portable
+    md5-60 hash — the HLL family's oracle-checked representative (the
+    production default stays the built-in HLL++
+    ``approx_count_distinct``, whose Spark-internal hash an external
+    engine cannot replay).
+
+    m = 2^p registers; bucket = top p hash bits; rho = leading-zero
+    count of the remaining (60-p) bits + 1; register = max rho.  The
+    harmonic sum is computed INTEGER-EXACT: sum(2^-rho_j) is scaled by
+    2^R (R = the group's max register) so each term 2^(R-rho_j) is a
+    BIGINT — with p=8 and 60-bit hashes the sum is <= 2^61, no overflow
+    and no float-order drift; the single double division happens at the
+    end.  Small-range correction (E <= 2.5m with empty registers ->
+    linear counting m*ln(m/V)) matches the published estimator; ln/exp
+    double parity with DuckDB is already relied on by the logreg oracle.
+
+    Scale shape: one scan, partial max per (group, bucket) combines
+    map-side; per-group state is <= m rows regardless of input size —
+    the mergeable-sketch contract, same as hll_partial_rollup."""
+    from ..functions.text_fns import md5_hash60
+
+    m = 1 << p
+    h = md5_hash60(F.col(col).cast("string"))
+    bucket = F.shiftright(h, 60 - p)
+    rest = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
+    # rho: 1-based position of the highest set bit counted from the MSB
+    # of the (60-p)-bit field; all-zero field -> (60-p)+1.  bit_length
+    # comes from the base-2 string (conv strips leading zeros), which is
+    # INTEGER-EXACT — floor(log2(double)) can be off by one exactly at
+    # register boundaries
+    width = 60 - p
+    rho = (
+        F.when(rest == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - F.length(F.conv(rest, 10, 2)) + 1)
+        .cast("int")
+    )
+    regs = (
+        df.select(*[F.col(g) for g in group_cols], bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*[F.col(g) for g in group_cols], F.col("_b"))
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    gcols = [F.col(g) for g in group_cols]
+    # integer-exact harmonic sum: each register contributes 2^(R - reg)
+    # with R = the group's max register, so the sum is a plain BIGINT
+    # (<= m * 2^R <= 2^61 for p=8 / 60-bit hashes) — float summation
+    # would round order-dependently once the term span exceeds the
+    # 53-bit mantissa.  R comes from a window over the register table,
+    # which is <= m rows per group by construction (bounded input).
+    wr = Window.partitionBy(*[F.col(g) for g in group_cols])
+    staged = regs.withColumn("_R", F.max("_reg").over(wr)).withColumn(
+        "_term", F.expr("shiftleft(CAST(1 AS BIGINT), _R - _reg)")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per_group = staged.groupBy(*gcols).agg(
+        F.max("_reg").alias("_R"),
+        F.count(F.lit(1)).alias("_nonempty"),
+        F.sum("_term").cast("long").alias("_sum_int"),
+    )
+    # E = alpha * m^2 / sum(2^-reg_j over ALL m registers); empty
+    # registers contribute 2^0 = 1 each -> add (m - nonempty) * 2^R to
+    # the scaled integer sum
+    scaled = F.col("_sum_int") + (
+        F.lit(m).cast("long") - F.col("_nonempty")
+    ) * F.expr("shiftleft(CAST(1 AS BIGINT), _R)")
+    e_raw = (
+        F.lit(alpha * float(m) * float(m))
+        * F.pow(F.lit(2.0), F.col("_R").cast("double"))
+        / scaled.cast("double")
+    )
+    empties = F.lit(m).cast("long") - F.col("_nonempty")
+    e_corr = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (empties > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empties.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *gcols, e_corr.alias("distinct_est")
+    )

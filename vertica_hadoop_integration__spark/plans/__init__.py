@@ -59,7 +59,8 @@ WINDOW = [
     "skew_rebalance_report", "skew_salted_join_events",
     "skew_range_rebalance", "corpus_split_leakage", "layout_zorder_profile",
     "text_kn_bigram_logprob", "text_gopher_rules", "ann_pq_rerank_topk",
-    "pipeline_training_set_summary",
+    "pipeline_training_set_summary", "sketch_hll_portable",
+    "corpus_dedup_summary",  # upgraded rows-only -> oracle this round
 ]
 assert len(WINDOW) <= 50 and len(set(WINDOW)) == len(WINDOW)
 _missing = [n for n in WINDOW if n not in QUERIES]

@@ -1063,41 +1063,6 @@ def csv_ingest_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_dedup_summary")
-def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row dedup funnel report: corpus size, survivors after exact
-    dedup, survivors after MinHash near-dedup, and the implied drop
-    counts — the operational dashboard row every cleaning run logs.
-    Rows-only (LSH inside); stage counts are plain aggregates of the
-    same frames the pipeline materializes anyway."""
-    from pyspark.sql import Window
-
-    from ..operators.dedup import minhash_dedup
-
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
-        F.col("doc_id").asc()
-    )
-    exact = (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    near_drops = (
-        minhash_dedup(exact, min_jaccard=0.8)
-        .select(F.col("doc_id_b").alias("doc_id"))
-        .distinct()
-    )
-    clean = exact.join(near_drops, on="doc_id", how="left_anti")
-    n_input = d.count()
-    n_exact = exact.count()
-    n_clean = clean.count()
-    return spark.createDataFrame(
-        [(n_input, n_exact, n_clean, n_input - n_exact, n_exact - n_clean)],
-        ["n_input", "n_after_exact", "n_after_near", "n_exact_dups", "n_near_dups"],
-    )
-
-
 @register(
     "q6_forecast_revenue",
     oracle="""
@@ -3607,3 +3572,128 @@ def pipeline_training_set_summary(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents")
     return prepare_training_set(d)
+
+
+def _hll_portable_oracle(p: int = 8) -> str:
+    """SQL replay of sketches.hll_distinct_portable over orders:
+    md5-60 hash, top-p bucket, exact bit-length rho, integer-scaled
+    harmonic sum, published small-range correction."""
+    m = 1 << p
+    width = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = alpha * float(m) * float(m)
+    h = _H60.format(x="CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT o_orderstatus, {h} AS h FROM orders),
+    rho AS (
+        SELECT o_orderstatus, h >> {width} AS b,
+               CASE WHEN (h & {(1 << width) - 1}) = 0 THEN {width + 1}
+                    ELSE {width} - length(bin(h & {(1 << width) - 1})) + 1
+               END AS rho
+        FROM hashed),
+    regs AS (
+        SELECT o_orderstatus, b, CAST(max(rho) AS INT) AS reg
+        FROM rho GROUP BY 1, 2),
+    g AS (
+        SELECT o_orderstatus, max(reg) AS r, count(*) AS ne,
+               list(reg) AS regs
+        FROM regs GROUP BY 1),
+    est AS (
+        SELECT o_orderstatus, r, ne,
+               CAST(list_sum(list_transform(regs,
+                        x -> (CAST(1 AS BIGINT) << (r - x))))
+                    + ({m} - ne) * (CAST(1 AS BIGINT) << r) AS BIGINT)
+                   AS scaled
+        FROM g),
+    raw AS (
+        SELECT o_orderstatus, r, ne,
+               {amm!r} * pow(2.0, CAST(r AS DOUBLE))
+                   / CAST(scaled AS DOUBLE) AS e
+        FROM est)
+    SELECT o_orderstatus,
+           CASE WHEN e <= {2.5 * m!r} AND ({m} - ne) > 0
+                THEN {float(m)!r} * ln({float(m)!r}
+                         / CAST({m} - ne AS DOUBLE))
+                ELSE e END AS distinct_est
+    FROM raw
+    """
+
+
+@register("sketch_hll_portable", oracle=_hll_portable_oracle())
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic HLL through the portable md5-60 hash (operators/
+    sketches.py::hll_distinct_portable) — the HLL family's oracle-
+    checked representative: DuckDB recomputes hash, buckets, exact
+    bit-length rho, the integer-scaled harmonic sum, and the published
+    small-range correction bit-for-bit.  Production default stays the
+    built-in HLL++ (sketch_hll_distinct / sketch_hll_rollup)."""
+    from ..operators.sketches import hll_distinct_portable
+
+    o = load_table(spark, sf_dir, "orders")
+    return hll_distinct_portable(o, "o_custkey", ("o_orderstatus",))
+
+
+def _dedup_summary_oracle() -> str:
+    """Funnel oracle: exact dedup (min-id per normalized-text md5) ->
+    portable-MinHash near-dup drops -> three scalar counts."""
+    pairs = _minhash_portable_oracle(src="exact")
+    return f"""
+    WITH exact AS (
+        SELECT doc_id, text FROM (
+            SELECT d.*, row_number() OVER (
+                PARTITION BY md5(lower(trim(text)))
+                ORDER BY doc_id) AS rn
+            FROM documents d) WHERE rn = 1),
+    pairs AS (SELECT * FROM ({pairs})),
+    drops AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs),
+    clean AS (SELECT * FROM exact
+              WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+        (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_after_exact,
+        (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_after_near,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents)
+            - (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_dups,
+        (SELECT CAST(count(*) AS BIGINT) FROM exact)
+            - (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_near_dups
+    """
+
+
+@register("corpus_dedup_summary", oracle=_dedup_summary_oracle())
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup funnel report: corpus size, survivors after exact
+    dedup, survivors after portable-MinHash near-dedup, and the implied
+    drop counts — the operational dashboard row every cleaning run logs.
+    Upgraded r06 from rows-only to fully oracle-replayed by switching to
+    the portable hash pipeline AND to a single distributed plan: the
+    previous form ran three driver-side .count() actions + a
+    createDataFrame — three job round-trips for one dashboard row."""
+    from ..operators.dedup import minhash_dedup_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("_th"))
+        .agg(F.min_by(F.struct(*d.columns), F.col("doc_id")).alias("_r"))
+        .select("_r.*")
+    )
+    drops = (
+        minhash_dedup_portable(exact)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = exact.join(drops, on="doc_id", how="left_anti")
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_after_exact")))
+        .crossJoin(clean.agg(F.count(F.lit(1)).alias("n_after_near")))
+        .select(
+            "n_input",
+            "n_after_exact",
+            "n_after_near",
+            (F.col("n_input") - F.col("n_after_exact")).alias("n_exact_dups"),
+            (F.col("n_after_exact") - F.col("n_after_near")).alias(
+                "n_near_dups"
+            ),
+        )
+    )
