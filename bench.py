@@ -153,6 +153,8 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "pipeline_training_set_summary",
     "sketch_hll_portable",
+    "text_dedup_lines",
+    "dq_freshness",
 ]
 
 

@@ -636,3 +636,26 @@ def test_gopher_rules_planted_violations(spark):
     assert not out[6]["ok_ellipsis_lines"]
     assert out[7]["gate_reason"] == "alpha_words"
     assert out[8]["gate_reason"] == "stop_words"
+
+
+def test_dedup_lines_within_doc_planted(spark):
+    """Repeated lines drop, first occurrence kept in order; unique docs
+    pass through unchanged (the fixture corpus is single-line, so the
+    semantics live here)."""
+    from vertica_hadoop_integration__spark.operators.text import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\ngamma\nbeta"),
+            (2, "only one line"),
+            (3, "x\nx\nx\nx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines_within_doc(docs).collect()}
+    assert out[1]["text"] == "alpha\nbeta\ngamma"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
+    assert out[2]["text"] == "only one line"
+    assert out[3] == {"doc_id": 3, "text": "x", "n_lines": 4, "n_kept": 1}

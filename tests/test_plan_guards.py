@@ -77,6 +77,7 @@ SCALAR_BROADCAST_OK = {
     "layout_zorder_profile",        # 1-row column-bounds scalar
     "text_kn_bigram_logprob",       # 1-row bigram-type-total scalar
     "corpus_dedup_summary",         # three 1-row funnel-count scalars
+    "dq_freshness",                 # 1-row corpus-max-timestamp anchor
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -1038,3 +1038,40 @@ def gopher_rules(
         *[ok.alias(f"ok_{name}") for name, ok in checks],
         reason.alias("gate_reason"),
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style INTRA-document line dedup (Raffel et al. 2020 §2.2
+    "we discard ... duplicate lines within a page"): drop repeated lines
+    inside each document, keeping the first occurrence in order.  The
+    cross-corpus twin is corpus.paragraph_dedup; this one is a pure
+    map-only projection (array fold inside the scan stage, zero shuffle
+    at any corpus size).
+
+    Output: id, deduped text, original/kept line counts."""
+    # keep line i iff array_position of its value equals its own index
+    # (first occurrence); filter's (value, index) lambda keeps order.
+    # The filtered array is projected ONCE and re-referenced by name:
+    # reusing one lambda-HOF Column object in several expressions of the
+    # same select rebinds lambda-variable IDs and silently corrupts the
+    # second use (observed: array_join correct, size() off by one).
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\n").alias("_lines")
+    )
+    staged = staged.withColumn(
+        "_kept",
+        F.filter(
+            F.col("_lines"),
+            lambda l, i: F.array_position(F.col("_lines"), l) == i + F.lit(1),
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(F.col("_kept"), "\n").alias("text"),
+        F.size(F.col("_lines")).alias("n_lines"),
+        F.size(F.col("_kept")).alias("n_kept"),
+    )

@@ -3697,3 +3697,72 @@ def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_dedup_lines",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\n') AS lines
+        FROM documents),
+    k AS (
+        SELECT doc_id, lines,
+               list_filter(lines,
+                   (l, i) -> list_position(lines, l) = i) AS kept
+        FROM t)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept
+    FROM k
+    """,
+)
+def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style intra-document line dedup (operators/text.py::
+    dedup_lines_within_doc; Raffel et al. 2020 §2.2): repeated lines
+    dropped within each doc, first occurrence kept in order — map-only,
+    zero shuffle; the cross-corpus twin is corpus_paragraph_dedup."""
+    from ..operators.text import dedup_lines_within_doc
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_lines_within_doc(d)
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, CAST(max(ts) AS TIMESTAMP) AS latest_ts,
+               count(*) AS n_events
+        FROM events GROUP BY 1),
+    anchor AS (SELECT CAST(max(ts) AS TIMESTAMP) AS corpus_max FROM events)
+    SELECT p.event_type,
+           p.latest_ts,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           CAST(date_diff('second', p.latest_ts, a.corpus_max)
+                AS BIGINT) AS staleness_seconds,
+           date_diff('second', p.latest_ts, a.corpus_max)
+               > 1800 AS is_stale
+    FROM per_type p CROSS JOIN anchor a
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA check: per-source latest event vs the corpus
+    max timestamp — the staleness dashboard every ingest pipeline pages
+    on (a feed whose latest event lags >24h behind the rest of the
+    corpus is marked stale; threshold 1800s here — the fixture spans
+    ~33min of trailing lag).  Two partial aggregates + a 1-row anchor
+    broadcast; scan-stage everywhere."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    anchor = e.agg(F.max("ts").alias("corpus_max"))
+    lag = F.col("corpus_max").cast("long") - F.col("latest_ts").cast("long")
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        lag.alias("staleness_seconds"),
+        (lag > 1800).alias("is_stale"),
+    )
