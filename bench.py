@@ -155,6 +155,7 @@ HEADLINE = [
     "sketch_hll_portable",
     "text_dedup_lines",
     "dq_freshness",
+    "asof_join_tolerance",
 ]
 
 

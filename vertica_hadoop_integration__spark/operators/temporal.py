@@ -36,6 +36,7 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: tuple[str, ...] = ("value",),
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the matching right row sharing the join
     key: the newest with ``right.ts <= left.ts`` (``backward``, the
@@ -59,7 +60,13 @@ def asof_join(
     Output: every left row + ``asof_ts`` + ``asof_<v>`` for each value
     col (NULL when no match in the direction — left-join semantics).
     ``interpolate`` instead emits ``asof_prev_ts``/``asof_next_ts`` (the
-    bracketing timestamps) + blended ``asof_<v>``."""
+    bracketing timestamps) + blended ``asof_<v>``.
+
+    ``tolerance_seconds`` (backward/forward/nearest only — pandas
+    merge_asof's third knob): a match farther than the tolerance is
+    NULLed out, left-join semantics preserved."""
+    if tolerance_seconds is not None and direction == "interpolate":
+        raise ValueError("tolerance_seconds unsupported for interpolate")
     if direction not in ("backward", "forward", "nearest", "interpolate"):
         raise ValueError(f"unknown direction: {direction}")
     lcols = left.columns
@@ -151,11 +158,33 @@ def asof_join(
             F.col("_f_ts").alias("asof_next_ts"),
             *[blend(v).alias(f"asof_{v}") for v in value_cols],
         )
-    return out.select(
+    out = out.select(
         *[F.col(c) for c in lcols],
+        F.col("_t").alias("_left_t"),
         F.col("asof_ts"),
         *[F.col(f"asof_{v}") for v in value_cols],
     )
+    if tolerance_seconds is not None:
+        # pandas merge_asof's third knob: a match farther than the
+        # tolerance is no match (asof_* columns NULL). Exact long-micros
+        # gap — abs() so one expression serves all three directions.
+        gap_ok = (
+            F.abs(
+                F.unix_micros(F.col("_left_t"))
+                - F.unix_micros(F.col("asof_ts"))
+            )
+            <= F.lit(int(tolerance_seconds) * 1_000_000)
+        )
+        out = out.select(
+            *[F.col(c) for c in lcols],
+            F.col("_left_t"),
+            F.when(gap_ok, F.col("asof_ts")).alias("asof_ts"),
+            *[
+                F.when(gap_ok, F.col(f"asof_{v}")).alias(f"asof_{v}")
+                for v in value_cols
+            ],
+        )
+    return out.drop("_left_t")
 
 
 def range_join_point(

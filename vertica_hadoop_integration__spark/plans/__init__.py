@@ -61,7 +61,7 @@ WINDOW = [
     "text_kn_bigram_logprob", "text_gopher_rules", "ann_pq_rerank_topk",
     "pipeline_training_set_summary", "sketch_hll_portable",
     "corpus_dedup_summary",  # upgraded rows-only -> oracle this round
-    "text_dedup_lines", "dq_freshness",
+    "text_dedup_lines", "dq_freshness", "asof_join_tolerance",
 ]
 assert len(WINDOW) <= 50 and len(set(WINDOW)) == len(WINDOW)
 _missing = [n for n in WINDOW if n not in QUERIES]

@@ -121,3 +121,35 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # sketch_hll_distinct / sketch_approx_quantiles moved to queries_extras.py
 # (below the correctness window; kmv stays here as the family's checked row)
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN date_diff('second', asof_ts, ts) <= 1800
+                THEN asof_ts END AS asof_ts,
+           CASE WHEN date_diff('second', asof_ts, ts) <= 1800
+                THEN asof_value END AS asof_value
+    FROM ({_ASOF_SQL})
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join_purchase_click with pandas merge_asof's third knob: a
+    click more than 30 minutes before the purchase is NO match (asof_*
+    NULL) — attribution windows are the canonical use.  Same one-shuffle
+    union+window plan; the tolerance is a map-side mask on the carried
+    columns (operators/temporal.py::asof_join tolerance_seconds)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return T.asof_join(
+        purchases, clicks, on="user_id", value_cols=("value",),
+        tolerance_seconds=1800,
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
