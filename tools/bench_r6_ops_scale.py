@@ -36,8 +36,15 @@ def main() -> None:
         salted_join_auto,
     )
     from vertica_hadoop_integration__spark.operators.text import (
+        dedup_lines_within_doc,
         gopher_rules,
         kn_bigram_logprob,
+    )
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        hll_distinct_portable,
+    )
+    from vertica_hadoop_integration__spark.operators.temporal import (
+        asof_join,
     )
     from vertica_hadoop_integration__spark.session import get_session
     from vertica_hadoop_integration__spark.sources.writers import zorder_stage
@@ -92,6 +99,20 @@ def main() -> None:
             .agg(F.sum("n_bigrams")).collect(),
             "gopher_rules": lambda: gopher_rules(dc)
             .groupBy("gate_reason").count().collect(),
+            "dedup_lines_within_doc": lambda: dedup_lines_within_doc(dc)
+            .agg(F.sum("n_kept")).collect(),
+            "hll_portable": lambda: hll_distinct_portable(
+                ev, "user_id", ("event_type",)
+            ).collect(),
+            "asof_tolerance": lambda: asof_join(
+                ev.filter(F.col("event_type") == "purchase")
+                .select("event_id", "user_id", "ts", "value"),
+                ev.filter(F.col("event_type") == "click")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("value")),
+                on="user_id", value_cols=("value",),
+                tolerance_seconds=1800,
+            ).filter("asof_ts IS NOT NULL").count(),
         }
 
     out = {}

@@ -168,10 +168,13 @@ def asof_join(
         # pandas merge_asof's third knob: a match farther than the
         # tolerance is no match (asof_* columns NULL). Exact long-micros
         # gap — abs() so one expression serves all three directions.
+        # unix_micros rejects TIMESTAMP_NTZ inputs; the cast is a no-op
+        # on TIMESTAMP and applies the same session-tz shift to both
+        # sides of the difference on NTZ, so the gap is unchanged.
         gap_ok = (
             F.abs(
-                F.unix_micros(F.col("_left_t"))
-                - F.unix_micros(F.col("asof_ts"))
+                F.unix_micros(F.col("_left_t").cast("timestamp"))
+                - F.unix_micros(F.col("asof_ts").cast("timestamp"))
             )
             <= F.lit(int(tolerance_seconds) * 1_000_000)
         )
