@@ -96,6 +96,30 @@ class Ledger:
     # version vanish.
     _RETAIN = 10
 
+    @staticmethod
+    def _version_seq(d: str) -> int:
+        """Explicit version order: the zero-padded sequence prefix baked
+        into the dir name at write time.  mtime ordering (the previous
+        scheme) ties/misorders under coarse filesystem timestamp
+        granularity, which could delete a newer non-live version first
+        and shrink the _RETAIN reader-safety window.  Legacy unordered
+        names (v-<uuid>) parse as -1 -> pruned first."""
+        parts = d.split("-")
+        try:
+            return int(parts[1])
+        except (IndexError, ValueError):
+            return -1
+
+    def _next_seq(self) -> int:
+        try:
+            existing = os.listdir(self.path)
+        except FileNotFoundError:
+            return 0
+        return 1 + max(
+            (self._version_seq(d) for d in existing if d.startswith("v-")),
+            default=-1,
+        )
+
     def _prune_old_versions(self) -> None:
         live = self._current_version()
         versions = [
@@ -105,15 +129,12 @@ class Ledger:
             and d != live
             and os.path.isdir(os.path.join(self.path, d))
         ]
-        versions.sort(
-            key=lambda d: os.path.getmtime(os.path.join(self.path, d)),
-            reverse=True,
-        )
+        versions.sort(key=self._version_seq, reverse=True)
         for stale in versions[self._RETAIN - 1 :]:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
 
     def _write_snapshot(self, df: DataFrame) -> None:
-        version = f"v-{uuid.uuid4().hex[:12]}"
+        version = f"v-{self._next_seq():012d}-{uuid.uuid4().hex[:6]}"
         out_dir = os.path.join(self.path, version)
         # coalesce(1): the ledger is tiny by design; one file per snapshot
         df.coalesce(1).write.mode("overwrite").parquet(out_dir)

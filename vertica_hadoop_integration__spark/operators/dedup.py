@@ -1344,26 +1344,49 @@ def keep_best_per_cluster(
     j = clusters.join(
         scores.select(F.col(id_col), F.col(score_col)), on=id_col
     )
-    # argmax as a mergeable max_by aggregate (map-side combine) rather
-    # than a per-cluster rank window; ordering identical: maximize
-    # (score, -id) = score desc, id asc tie-break
-    return (
-        j.groupBy("canonical_id")
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col(id_col).alias("_kid"),
-                    F.col(score_col).alias("_kq"),
-                    F.col("cluster_size").alias("_cs"),
-                ),
-                F.struct(F.col(score_col), (-F.col(id_col)).cast("long")),
-            ).alias("_r")
+    from pyspark.sql.types import NumericType
+
+    id_numeric = isinstance(
+        j.schema[id_col].dataType, NumericType
+    )
+    if id_numeric:
+        # argmax as a mergeable max_by aggregate (map-side combine)
+        # rather than a per-cluster rank window; ordering identical:
+        # maximize (score, -id) = score desc, id asc tie-break.  The
+        # negated-id trick needs a NUMERIC id (negating a string casts
+        # to NULL under non-ANSI, making the tie nondeterministic) —
+        # non-numeric ids take the type-agnostic window below.
+        return (
+            j.groupBy("canonical_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(id_col).alias("_kid"),
+                        F.col(score_col).alias("_kq"),
+                        F.col("cluster_size").alias("_cs"),
+                    ),
+                    F.struct(F.col(score_col), (-F.col(id_col)).cast("long")),
+                ).alias("_r")
+            )
+            .select(
+                F.col("canonical_id"),
+                F.col("_r._kid").alias("kept_doc_id"),
+                F.col("_r._kq").alias("kept_quality"),
+                F.col("_r._cs").alias("cluster_size"),
+                (F.col("_r._cs") - F.lit(1)).alias("n_dropped"),
+            )
         )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .select(
             F.col("canonical_id"),
-            F.col("_r._kid").alias("kept_doc_id"),
-            F.col("_r._kq").alias("kept_quality"),
-            F.col("_r._cs").alias("cluster_size"),
-            (F.col("_r._cs") - F.lit(1)).alias("n_dropped"),
+            F.col(id_col).alias("kept_doc_id"),
+            F.col(score_col).alias("kept_quality"),
+            F.col("cluster_size"),
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
         )
     )

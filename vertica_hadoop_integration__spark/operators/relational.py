@@ -254,7 +254,14 @@ def salted_join_auto(
     l = (
         left.join(F.broadcast(fan), on=on, how="left")
         .withColumn("_fanout", F.coalesce(F.col("_fanout"), F.lit(1)))
-        .withColumn("_salt", F.pmod(salt_src, F.col("_fanout")))
+        # coalesce(..., 0): a NULL salt_src would otherwise yield a NULL
+        # salt that matches nothing, silently dropping the row (inner)
+        # or nulling its right columns (left) — breaking the
+        # result-identical contract for null-keyed hot rows
+        .withColumn(
+            "_salt",
+            F.coalesce(F.pmod(salt_src, F.col("_fanout")), F.lit(0)),
+        )
         .drop("_fanout")
     )
     r = (

@@ -630,6 +630,25 @@ def pq_topk(
     )
 
 
+def _pq_cbl(
+    corpus: DataFrame,
+    n_codes: int,
+    every_nth: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exploded PQ codebook (j, d, cv): deterministic every-Nth corpus
+    rows (vec_id = j*every_nth, j < n_codes), one row per dimension.
+    Tiny by construction (n_codes x dim rows) — always broadcast."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cb = c.filter(
+        (F.col(id_col) % every_nth == 0) & (F.col(id_col) < n_codes * every_nth)
+    ).select((F.col(id_col) / every_nth).cast("int").alias("j"), "v")
+    return cb.select("j", F.posexplode("v").alias("d", "cv"))
+
+
 def _pq_codes_and_lut(
     corpus: DataFrame,
     queries: DataFrame,
@@ -647,10 +666,7 @@ def _pq_codes_and_lut(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cb = c.filter(
-        (F.col(id_col) % every_nth == 0) & (F.col(id_col) < n_codes * every_nth)
-    ).select((F.col(id_col) / every_nth).cast("int").alias("j"), "v")
-    cbl = cb.select("j", F.posexplode("v").alias("d", "cv"))
+    cbl = _pq_cbl(corpus, n_codes, every_nth, id_col, vec_col)
     xl = c.select(F.col(id_col), F.posexplode("v").alias("d", "xv"))
     ed = (
         xl.join(F.broadcast(cbl), on="d")
@@ -675,12 +691,27 @@ def _pq_codes_and_lut(
             "code"
         )
     )
+    lut = _pq_lut(queries, cbl, sub, id_col, vec_col)
+    return codes, lut
+
+
+def _pq_lut(
+    queries: DataFrame,
+    cbl: DataFrame,
+    sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-DECIMAL per-query ADC lookup table: LUT[query, s, j] =
+    squared L2 between the query's sub-vector s and code j of that
+    sub-space.  n_queries x m x n_codes rows — broadcast-sized."""
+    dec = "decimal(30,15)"
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     ql = q.select("query_id", F.posexplode("qv").alias("d", "xv"))
-    lut = (
+    return (
         ql.join(F.broadcast(cbl), on="d")
         .select(
             "query_id",
@@ -693,7 +724,6 @@ def _pq_codes_and_lut(
         .groupBy("query_id", "s", "j")
         .agg(F.sum("_t").alias("qdist"))
     )
-    return codes, lut
 
 
 def ivf_pq_topk(
@@ -1261,17 +1291,74 @@ def pq_rerank_topk(
     cosine retrieval): on unit vectors L2 order IS cosine order
     (l2sq = 2 - 2cos), so the shortlist loses pairs only to PQ
     quantization, never to metric mismatch — on the raw fixture
-    vectors the L2-vs-cosine disagreement alone cost recall@5 60%."""
+    vectors the L2-vs-cosine disagreement alone cost recall@5 60%.
+
+    Stage-1 encoding goes through the PRODUCTION encoder
+    (pq_encode_arrow: one numpy argmin per Arrow batch) instead of
+    pq_topk's exact long form — the long form explodes the corpus by
+    dim and pays a DECIMAL aggregate per (vector, sub-space, code),
+    ~2x the whole query's budget when composed with the rerank.  The
+    oracle stays bit-identical because (a) the Arrow argmin picks the
+    SAME code as the DECIMAL argmin (first-minimal-index == smallest-id
+    tie-break, parity pytest-pinned), (b) the codebook is COLLECTED
+    from the Spark-normalized frame (n_codes rows — bounded), never
+    recomputed in numpy, and (c) the LUT and the ADC sum stay exact
+    DECIMAL, so identical codes give identical shortlist ordering."""
+    import numpy as np
+
     unit_c = corpus.select(
         F.col(id_col), normalize(F.col(vec_col)).alias(vec_col)
     )
     unit_q = queries.select(
         F.col(id_col), normalize(F.col(vec_col)).alias(vec_col)
     )
-    short = pq_topk(
-        unit_c, unit_q, k=shortlist, m=m, n_codes=n_codes,
-        every_nth=every_nth, dim=dim, id_col=id_col, vec_col=vec_col,
-    ).select("query_id", "neighbor_id")
+    sub = dim // m
+    cbl = _pq_cbl(unit_c, n_codes, every_nth, id_col, vec_col)
+    # bounded collect: the codebook is n_codes unit vectors (a centroid
+    # table, not data) — collected from the SAME Spark-normalized frame
+    # the exploded oracle replay reads, so the doubles the encoder sees
+    # are bit-identical (cbl is just posexplode of these arrays)
+    cb_rows = (
+        unit_c.filter(
+            (F.col(id_col) % every_nth == 0)
+            & (F.col(id_col) < n_codes * every_nth)
+        )
+        .select(
+            (F.col(id_col) / every_nth).cast("int").alias("j"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .collect()
+    )
+    assert len(cb_rows) == n_codes, "codebook incomplete: corpus must " \
+        f"contain ids {{0, {every_nth}, ..., {(n_codes-1)*every_nth}}}"
+    flat = np.zeros((n_codes, dim))
+    for r in cb_rows:
+        flat[r.j] = r.v
+    cbs = np.stack([flat[:, s * sub:(s + 1) * sub] for s in range(m)])
+    codes_w = pq_encode_arrow(unit_c, cbs, m=m, id_col=id_col,
+                              vec_col=vec_col)
+    codes = codes_w.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"code_{s}") for s in range(m)])
+        ).alias("s", "code"),
+    )
+    lut = _pq_lut(unit_q, cbl, sub, id_col, vec_col)
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.j),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("_adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("_adc", "neighbor_id")
+    short = (
+        adc.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("_qn", l2_norm(F.col("q_vec")))

@@ -366,6 +366,11 @@ def hll_distinct_portable(
     the mergeable-sketch contract, same as hll_partial_rollup."""
     from ..functions.text_fns import md5_hash60
 
+    # NULL values are ignored (approx_count_distinct semantics): a NULL
+    # hashes to a NULL bucket that would otherwise form a phantom
+    # register — counted in _nonempty but contributing NULL to the
+    # harmonic sum, skewing both the empty-register credit and the sum
+    df = df.filter(F.col(col).isNotNull())
     m = 1 << p
     h = md5_hash60(F.col(col).cast("string"))
     bucket = F.shiftright(h, 60 - p)

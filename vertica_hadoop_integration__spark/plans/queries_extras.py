@@ -24,7 +24,7 @@ from ..operators import similarity as S
 from ..operators import sketches as K
 from ..sources import load_table
 from .queries_temporal import _BANDS, _BANDS_SQL
-from .registry import ORACLES, register
+from .registry import register
 
 
 @register("ann_cosine_topk_arrow")
@@ -3585,7 +3585,8 @@ def _hll_portable_oracle(p: int = 8) -> str:
     h = _H60.format(x="CAST(o_custkey AS VARCHAR)")
     return f"""
     WITH hashed AS (
-        SELECT o_orderstatus, {h} AS h FROM orders),
+        SELECT o_orderstatus, {h} AS h FROM orders
+        WHERE o_custkey IS NOT NULL),
     rho AS (
         SELECT o_orderstatus, h >> {width} AS b,
                CASE WHEN (h & {(1 << width) - 1}) = 0 THEN {width + 1}
