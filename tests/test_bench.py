@@ -15,6 +15,23 @@ def test_headline_names_registered():
     assert len(HEADLINE) == len(set(HEADLINE)), "duplicate bench entries"
 
 
+def test_every_headline_query_has_budget_row():
+    """r06 verdict item 8: a query enters the headline and the budget
+    file in the SAME commit — otherwise it runs unguarded until the next
+    budget refreeze.  Budget for a new query = 2x its best-known min
+    (bench a quiet host, take min of trials)."""
+    import json
+    import os
+
+    from bench import HEADLINE
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "reports", "bench_budget.json")) as fh:
+        budget = json.load(fh)["budget_seconds"]
+    unbudgeted = [q for q in HEADLINE if q not in budget]
+    assert not unbudgeted, f"headline queries without budget: {unbudgeted}"
+
+
 def test_per_query_budget_vs_round5():
     """Per-query perf regression gate (r05 verdict item 5): every
     headline query's min-of-trials in the LATEST bench report must stay

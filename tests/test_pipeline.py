@@ -231,7 +231,7 @@ def test_compact_path_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
 
 def test_jsonl_staging_roundtrip(spark, sf_dir, tmp_path):
     """JSONL write -> schema-on-read -> values identical (the ingest
-    format of jsonl_ingest_roundtrip; registered query is rows-only)."""
+    format of jsonl_ingest_roundtrip, oracle-checked since r07)."""
     d = load_table(spark, sf_dir, "documents").limit(200)
     path = str(tmp_path / "jsonl")
     d.write.mode("overwrite").json(path)

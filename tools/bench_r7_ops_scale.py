@@ -1,0 +1,90 @@
+"""Scaling measurement for the round-7 verdict items the r06 harness
+missed: the two-stage PQ rerank ANN path and DSIR importance
+resampling.  Runs each op at 1x (sf0.1 fixtures) and 10x (id-offset
+replica frames), best-of-2 with clearCache between trials; JSON out +
+reports/scale_new_ops_round7.json.
+
+Replica semantics per op:
+* pq_rerank_topk — the CORPUS grows 10x (replica vec_ids offset by 1M,
+  so the deterministic every-Nth codebook stays the original 16 rows);
+  the query side stays 5 vectors.  The scale claim: stage 1 touches
+  8-byte codes for the whole corpus (linear map work, constant
+  shuffle), stage 2 touches floats only for q x shortlist rows
+  (constant), so end-to-end growth must be well under 10x.
+* dsir_sample — the raw corpus grows 10x while the model table stays
+  1024 rows (broadcast); growth must be sublinear.
+
+Usage: python tools/bench_r7_ops_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.1"
+REP = 10
+OFF = 1_000_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.corpus import dsir_sample
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+    from vertica_hadoop_integration__spark.session import get_session
+
+    spark = get_session("r7-scale")
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+    def replicate(df, id_col):
+        out = [df]
+        for r in range(1, REP):
+            out.append(df.withColumn(id_col, F.col(id_col) + F.lit(r * OFF)))
+        u = out[0]
+        for d in out[1:]:
+            u = u.unionByName(d)
+        return u
+
+    def run(fn):
+        best = None
+        trials = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            trials.append(dt)
+            best = dt if best is None else min(best, dt)
+        return {"best": best, "trials": trials}
+
+    def suite(e, dc):
+        q = e.filter(F.col("vec_id") < 5)
+        return {
+            "pq_rerank_topk": lambda: pq_rerank_topk(
+                e, q, k=5, shortlist=20
+            ).count(),
+            "dsir_sample": lambda: dsir_sample(
+                dc, F.col("lang") == "en", num_buckets=1024, n=100
+            ).count(),
+        }
+
+    out = {}
+    out["1x"] = {k: run(v) for k, v in suite(emb, docs).items()}
+    emb10 = replicate(emb, "vec_id")
+    docs10 = replicate(docs, "doc_id")
+    out["10x"] = {k: run(v) for k, v in suite(emb10, docs10).items()}
+    with open("/root/repo/reports/scale_new_ops_round7.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,14 +143,19 @@ def _decode_real(media_type: str, payload: bytes) -> dict:
         }
     if media_type == "video":
         meta = _parse_avi(payload)
-        total = np.concatenate(
-            [f.reshape(-1).astype(np.float64) for f in meta["frames"]]
-        )
+        # integer pixel sums are exact (<= 255 * size << 2^53), so
+        # sum/size division is bit-identical to a concatenated float64
+        # mean without materializing one big copy of all frames
+        tot = 0
+        cnt = 0
+        for f in meta["frames"]:
+            tot += int(f.sum(dtype=np.int64))
+            cnt += f.size
         return {
             "width": meta["width"],
             "height": meta["height"],
             "duration_sec": meta["n_frames"] * meta["usec_per_frame"] / 1e6,
-            "mean_intensity": float(total.mean()) / 255.0,
+            "mean_intensity": float(tot) / cnt / 255.0,
         }
     raise NotImplementedError(f"unknown media type: {media_type!r}")
 
@@ -484,34 +489,49 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
+def extract_features(
+    media: DataFrame, decoder: str = "stub", with_hash: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas (iterator of batches — one worker handles many batches
     without python-call-per-row). Input is spread to cluster parallelism
-    first: decode is the per-row CPU cost, so parallelism = partitions."""
+    first: decode is the per-row CPU cost, so parallelism = partitions.
+
+    ``with_hash=False`` omits the sha256 content_hash column: Catalyst
+    cannot prune columns INSIDE a mapInPandas kernel, so a downstream
+    ``.drop('content_hash')`` would still pay a full-payload digest per
+    row — callers that don't need the hash must opt out here."""
     decode = DECODERS[decoder]
     media = _spread(media)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decode(t, bytes(p)) for t, p in zip(pdf["media_type"], pdf["payload"])]
-            out = pd.DataFrame(
+            cols = {
+                "media_id": pdf["media_id"].values,
+                "media_type": pdf["media_type"].values,
+                "n_bytes": pdf["n_bytes"].values,
+            }
+            if with_hash:
+                cols["content_hash"] = [
+                    hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                ]
+            cols.update(
                 {
-                    "media_id": pdf["media_id"].values,
-                    "media_type": pdf["media_type"].values,
-                    "n_bytes": pdf["n_bytes"].values,
-                    "content_hash": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
                     "width": pd.array([f["width"] for f in feats], dtype="Int32"),
                     "height": pd.array([f["height"] for f in feats], dtype="Int32"),
                     "duration_sec": [f["duration_sec"] for f in feats],
                     "mean_intensity": [f["mean_intensity"] for f in feats],
                 }
             )
-            yield out
+            yield pd.DataFrame(cols)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    schema = (
+        FEATURE_SCHEMA
+        if with_hash
+        else StructType([f for f in FEATURE_SCHEMA if f.name != "content_hash"])
+    )
+    return media.mapInPandas(run, schema=schema)
 
 
 def extract_features_robust(media: DataFrame, decoder: str = "real") -> DataFrame:

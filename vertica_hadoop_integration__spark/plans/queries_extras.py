@@ -922,24 +922,47 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("jsonl_ingest_roundtrip")
+@register(
+    "jsonl_ingest_roundtrip",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(length(text)) AS BIGINT) AS len_sum,
+           CAST(sum(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT))
+                AS DECIMAL(38,0)) AS text_checksum
+    FROM documents WHERE doc_id < 400
+    """,
+)
 def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingest path (the wire format most raw LLM corpora arrive
     in): write a documents slice as JSON-lines, read it back with an
     explicit schema (schema-on-read, no inference scan at scale), land
-    it columnar, return the parquet scan. Rows-only like
-    s19_csv_orc_roundtrip (file side effects aren't SQL); value parity
-    pytest-asserted."""
+    it columnar, and summarize the PARQUET read-back — count, id sum,
+    text length sum, and a portable-md5 checksum over every text value.
+    The oracle computes the same summary from the original parquet, so
+    any row loss or text mangling across JSON escape/unescape + the
+    columnar hop breaks the value hash (was rows-only until r07; the
+    deterministic ``doc_id < 400`` slice replaced an unordered
+    ``limit(400)`` to make the content oracle-predictable)."""
     import tempfile
 
+    from ..functions.text_fns import md5_hash60
     from ..sources.writers import write_columnar
 
-    d = load_table(spark, sf_dir, "documents").limit(400)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     tmp = tempfile.mkdtemp(prefix="jsonl_")
     d.write.mode("overwrite").json(f"{tmp}/staging")
     staged = spark.read.schema(d.schema).json(f"{tmp}/staging")
     write_columnar(staged, f"{tmp}/parquet", output_format="parquet")
-    return spark.read.parquet(f"{tmp}/parquet")
+    back = spark.read.parquet(f"{tmp}/parquet")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("len_sum"),
+        F.sum(md5_hash60(F.col("text")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("text_checksum"),
+    )
 
 
 # -- JSONL ingest with corrupt-line capture (oracle-checked) ----------------

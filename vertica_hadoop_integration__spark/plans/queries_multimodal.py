@@ -135,7 +135,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_real_media_from_documents(
         load_table(spark, sf_dir, "documents")
     )
-    return M.extract_features(media, decoder="real").drop("content_hash")
+    return M.extract_features(media, decoder="real", with_hash=False)
 
 
 # -- REAL video decode (oracle-checked) -------------------------------------
@@ -175,7 +175,7 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Compressed codecs remain honestly gated (the strf compression check
     raises); the container path is fully real."""
     media = M.synthesize_real_video_media(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(media, decoder="real").drop("content_hash")
+    return M.extract_features(media, decoder="real", with_hash=False)
 
 
 # -- REAL per-frame extraction (oracle-checked) ------------------------------
@@ -329,8 +329,43 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_images(media, out_w=16, out_h=16).drop("payload")
 
 
-# -- perceptual-hash near-dup images (rows-only; pytest-verified) ----------
-@register("multimodal_phash_dedup")
+# -- perceptual-hash near-dup images (oracle-checked since r07) ------------
+def _sig_band_dedup_oracle(
+    class_hashes: list[int], period: int, max_hamming: int
+) -> str:
+    """Oracle for the fingerprint-banding dedup family.  The fixture
+    payload is a pure function of doc_id % period, so each class's
+    64-bit signature is a CONSTANT — computed once driver-side with the
+    same pytest-pinned kernel the engine ships to executors (the
+    random-projection literal-matrix pattern: the kernel is pinned by
+    unit tests, the oracle certifies the DISTRIBUTED pipeline around
+    it: signature fan-out, band bucketing, pair generation with no loss
+    or duplication, Hamming verify).  Pigeonhole makes banding lossless
+    at Hamming <= 3, so the engine's banded pair set must equal the
+    plain quadratic predicate the SQL states."""
+    vals = ", ".join(
+        f"({c}, CAST({h} AS BIGINT))" for c, h in enumerate(class_hashes)
+    )
+    return f"""
+    WITH classes(cls, sig) AS (VALUES {vals}),
+    s AS (SELECT d.doc_id AS media_id, c.sig
+          FROM documents d
+          JOIN classes c ON CAST(d.doc_id % {period} AS INT) = c.cls)
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+def _phash_dedup_oracle() -> str:
+    from ..operators.multimodal import _ahash64_from_bmp, _bmp_gradient_bytes
+
+    hashes = [_ahash64_from_bmp(_bmp_gradient_bytes(c)) for c in range(50)]
+    return _sig_band_dedup_oracle(hashes, period=50, max_hamming=3)
+
+
+@register("multimodal_phash_dedup", oracle=_phash_dedup_oracle())
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image detection without pixel joins: one Arrow
     pass reduces each (real, decoded) BMP to a 64-bit average-hash,
@@ -348,8 +383,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup(media, max_hamming=3)
 
 
-# -- audio near-dup via envelope fingerprint (rows-only; pytest-verified) --
-@register("multimodal_audio_dedup")
+# -- audio near-dup via envelope fingerprint (oracle-checked since r07) ----
+def _audio_dedup_oracle() -> str:
+    from ..operators.multimodal import _envhash64_from_wav, _wav_am_bytes
+
+    hashes = [_envhash64_from_wav(_wav_am_bytes(c)) for c in range(40)]
+    return _sig_band_dedup_oracle(hashes, period=40, max_hamming=3)
+
+
+@register("multimodal_audio_dedup", oracle=_audio_dedup_oracle())
 def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate audio detection: one Arrow pass reduces each
     (real, decoded) WAV to a 64-bit envelope hash (64 time windows ->
@@ -357,9 +399,10 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x16-bit Hamming banding + popcount verify as the image path
     (operators/multimodal.py::audio_fingerprint_dedup). The fixture's
     amplitude-modulated clips recur every 40 doc_ids (repeated
-    jingles). Rows-only: the PCM decode is not SQL-expressible;
-    determinism, planted near-miss recall, and banding losslessness are
-    pytest-asserted (tests/test_multimodal.py)."""
+    jingles). Oracle-checked via per-class signature constants (see
+    _sig_band_dedup_oracle); kernel determinism, planted near-miss
+    recall, and banding losslessness are pytest-asserted
+    (tests/test_multimodal.py)."""
     from ..operators.multimodal import audio_fingerprint_dedup, synthesize_am_audio_media
 
     d = load_table(spark, sf_dir, "documents")

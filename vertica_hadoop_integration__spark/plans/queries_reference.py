@@ -292,19 +292,29 @@ def s20_peek_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- S19: text->columnar format conversion (sqoop_pyhive.py:67-98) ---------
-@register("s19_csv_orc_roundtrip")
+@register(
+    "s19_csv_orc_roundtrip",
+    oracle="SELECT * FROM lineitem WHERE l_orderkey <= 1000",
+)
 def s19_csv_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's Hive INSERT-SELECT text->ORC rewrite as one Spark
     job: write CSV staging, read back with explicit schema, write ORC
-    with the reference's tuning, return the ORC scan. Rows-only check
-    (file side effects aren't SQL); value parity asserted in
+    with the reference's tuning, return the ORC scan.  Oracle-checked
+    since r07: the returned frame is the round-tripped slice itself, and
+    the oracle reads the SAME slice straight from the parquet source —
+    any value mangled across CSV text formatting/parsing or the ORC hop
+    breaks the value hash (the deterministic ``l_orderkey <= 1000``
+    slice replaced an unordered ``limit(1000)`` to make the content
+    oracle-predictable).  Value parity also asserted in
     tests/test_pipeline.py round-trips."""
     import tempfile
 
     from ..sources.readers import read_csv_staging
     from ..sources.writers import write_columnar
 
-    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 1000
+    )
     tmp = tempfile.mkdtemp(prefix="s19_")
     write_columnar(li, f"{tmp}/staging", output_format="csv")
     staged = read_csv_staging(spark, f"{tmp}/staging", li.schema)
