@@ -156,6 +156,15 @@ HEADLINE = [
     "text_dedup_lines",
     "dq_freshness",
     "asof_join_tolerance",
+    # r07: live JDBC sink round-trip, one-pass correlation profile,
+    # entropy gate, Zipf fit, content-defined chunk dedup, per-dim
+    # embedding standardization
+    "jdbc_write_roundtrip",
+    "profile_correlation_matrix",
+    "text_char_entropy",
+    "corpus_zipf_fit",
+    "corpus_cdc_chunk_dedup",
+    "embedding_standardize",
 ]
 
 

@@ -104,6 +104,8 @@ GLOBAL_WINDOW_OK = {
     "text_hybrid_search",        # rank over the two post-limit 50-row
                                  # leg frames only
     "s10_pending_pipeline",      # flagship composes the same month rank
+    "corpus_zipf_fit",           # ln-rank over the post-limit top-200
+                                 # token rows only
 }
 
 

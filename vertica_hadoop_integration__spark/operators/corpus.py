@@ -1054,3 +1054,77 @@ def prepare_training_set(
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mod: int = 16,
+    min_docs: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Content-defined chunking + cross-document duplicate-chunk report.
+
+    Fixed-width chunking (corpus_chunk_documents / paragraph_dedup's
+    split-on-newline) breaks under INSERTIONS: one added token shifts
+    every later boundary and no downstream chunk matches its twin in
+    the other copy.  Content-defined chunking (the FastCDC/rsync idea,
+    applied at token granularity) places a boundary after any token
+    whose hash falls in a fixed residue class (expected chunk length =
+    ``boundary_mod`` tokens), so boundaries RESYNCHRONIZE after an
+    edit and shared runs between near-copies still chunk identically —
+    the shift-robust complement to minhash (which scores whole docs,
+    not shared spans).
+
+    Shape: token explode with positions (scan stage), a per-doc window
+    for the running boundary count (partitioned by doc — never
+    global), one groupBy to assemble chunks, one to count repeats; the
+    portable md5-60 hash makes the ENTIRE pipeline SQL-replayable.
+    Output: top ``top_k`` chunks appearing in >= ``min_docs`` distinct
+    docs — (chunk_hash, n_docs, n_occurrences, n_tokens)."""
+    from pyspark.sql import Window
+
+    from ..functions.text_fns import md5_hash60, tokens
+
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    flag = (md5_hash60(F.col("tok")) % boundary_mod == 0).cast("int")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum(flag).over(w), F.lit(0))
+    )
+    chunks = staged.groupBy(id_col, "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        chunks.select(
+            F.col(id_col),
+            md5_hash60(F.col("chunk_text")).alias("chunk_hash"),
+            "n_tokens",
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
+        .limit(top_k)
+    )

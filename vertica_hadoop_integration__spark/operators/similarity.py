@@ -1382,3 +1382,48 @@ def pq_rerank_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def standardize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling step before k-means / PCA / linear probes when
+    dimensions carry wildly different variances.
+
+    Shape: one exploded aggregate produces the per-dimension moment
+    table (dim rows — a broadcast table at any corpus size), joined
+    back map-side onto the exploded values; no corpus-sized shuffle
+    beyond the dim-keyed stats aggregation.  Exactness: sums are
+    DECIMAL(30,15) (partial-order-free), mean/variance are double
+    divisions of exact aggregates with a fixed association
+    (E[x^2] - mean^2), so the oracle replays bit-for-bit.
+    Zero-variance dimensions yield NULL z (guarded).  Output:
+    (id, d, z) long form; repacking to an array is one
+    groupBy + sort_array(collect_list) away if the consumer wants it."""
+    dec = "decimal(30,15)"
+    xl = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    )
+    stats = xl.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    ex2 = F.col("ss").cast("double") / F.col("n").cast("double")
+    std = F.sqrt(ex2 - mean * mean)
+    stats = stats.select(
+        "d", mean.alias("_mu"), std.alias("_sigma")
+    )
+    return xl.join(F.broadcast(stats), on="d").select(
+        F.col(id_col),
+        F.col("d").cast("int").alias("d"),
+        F.when(
+            F.col("_sigma") != 0.0,
+            (F.col("x") - F.col("_mu")) / F.col("_sigma"),
+        ).alias("z"),
+    )

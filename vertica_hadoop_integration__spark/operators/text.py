@@ -1079,3 +1079,112 @@ def dedup_lines_within_doc(
         F.size(F.col("_lines")).alias("n_lines"),
         F.size(F.col("_kept")).alias("n_kept"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon character entropy — the cheap randomness /
+    boilerplate detector CCNet-class pipelines gate on (very low
+    entropy = repeated filler, very high = base64/binary junk; natural
+    prose sits in a narrow band).
+
+    Shape: one scan, character explode, two hash aggregations keyed by
+    doc — per-doc state is the doc's alphabet (bounded), never the
+    corpus.  Exactness: p*ln(p) terms are doubles with a fixed
+    association, summed as DECIMAL(30,15) so the per-doc sum is
+    partial-order-free and the DuckDB oracle replays it bit-for-bit
+    (ln double parity is already relied on by the logreg/LM oracles).
+    Output: (id, n_chars, n_unique_chars, entropy_nats)."""
+    # spread first: a small parquet scans as one partition and the char
+    # explode + both aggregations would run on one core; at real scale
+    # the scan already exceeds defaultParallelism (no-op, no shuffle)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> substring({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+    term = (p * F.log(p)).cast("decimal(30,15)")
+    totals = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_unique_chars"),
+    )
+    return (
+        counts.join(totals, on=id_col)
+        .groupBy(
+            F.col(id_col),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_unique_chars").cast("bigint").alias("n_unique_chars"),
+        )
+        .agg((-F.sum(term).cast("double")).alias("entropy_nats"))
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS of
+    ln(freq) on ln(rank) over the top ``top_n`` tokens — slope near -1
+    is the natural-language signature; a flat slope flags templated or
+    machine-generated corpora, a cliff flags boilerplate domination.
+    The corpus-health one-liner next to corpus_vocab_stats.
+
+    Shape: token count aggregate -> mergeable top-N
+    (TakeOrderedAndProject, no global sort) -> rank window over N rows
+    (bounded input by construction) -> closed-form OLS from DECIMAL
+    sums (same exactness contract as profile.linreg_per_group).
+    Output one row: (n_terms, slope, intercept, pearson_r)."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    # ln-scale inputs are O(1): 15 decimal places keep the moment sums
+    # faithful to the doubles (a 6-decimal cast costs ~1e-6 relative
+    # error vs the true OLS); 23 integer digits of headroom remain
+    dec = "decimal(38,15)"
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    den_x = n * F.col("sxx").cast("double") - sx * sx
+    den_y = n * F.col("syy").cast("double") - sy * sy
+    num = n * F.col("sxy").cast("double") - sx * sy
+    slope = F.when(den_x != 0.0, num / den_x)
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("slope"),
+        F.when(den_x != 0.0, (sy - slope * sx) / n).alias("intercept"),
+        F.when(
+            (den_x != 0.0) & (den_y != 0.0), num / F.sqrt(den_x * den_y)
+        ).alias("pearson_r"),
+    )

@@ -78,3 +78,242 @@ def jdbc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_sum"),
         F.countDistinct("c_custkey").cast("bigint").alias("n_keys"),
     )
+
+
+# -- one-pass pairwise correlation profile (oracle-exact) --------------------
+def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
+    """Mirror of profile.correlation_matrix: DECIMAL(38,6) moment sums,
+    double closed-form arithmetic with identical association."""
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs.append(f"SUM(CAST({c} AS DECIMAL(38,6))) AS s_{c}")
+        aggs.append(f"SUM(CAST({c}*{c} AS DECIMAL(38,6))) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(f"SUM(CAST({a}*{b} AS DECIMAL(38,6))) AS sp_{a}_{b}")
+    sel = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            nd = "CAST(n AS DOUBLE)"
+            sx, sy = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+            dx = f"({nd}*CAST(ss_{a} AS DOUBLE) - {sx}*{sx})"
+            dy = f"({nd}*CAST(ss_{b} AS DOUBLE) - {sy}*{sy})"
+            num = f"({nd}*CAST(sp_{a}_{b} AS DOUBLE) - {sx}*{sy})"
+            sel.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n,"
+                f" CASE WHEN {dx} <> 0.0 AND {dy} <> 0.0"
+                f" THEN {num}/sqrt({dx}*{dy}) END AS corr FROM m"
+            )
+        u = "\n    UNION ALL ".join(sel)
+    return f"WITH m AS (SELECT {', '.join(aggs)} FROM {table})\n    {u}"
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_correlation_matrix",
+    oracle=_corr_matrix_oracle("lineitem", _CORR_COLS),
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregation pass (operators/profile.py::correlation_matrix): all
+    moments accumulate map-side into a single 1-row state, the pair
+    expansion is a literal explode — no joins, no second scan.  The
+    drift/feature-selection profiling step at 100 TB costs one scan."""
+    from ..operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _CORR_COLS)
+
+
+# -- per-document Shannon character entropy (oracle-exact) -------------------
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, substring(text, i.i, 1) AS ch
+        FROM documents, unnest(generate_series(1, length(text))) AS i(i)),
+    counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_unique_chars
+            FROM counts GROUP BY 1)
+    SELECT t.doc_id, t.n_chars, t.n_unique_chars,
+           -CAST(SUM(CAST(
+                (CAST(cnt AS DOUBLE)/CAST(t.n_chars AS DOUBLE))
+                * ln(CAST(cnt AS DOUBLE)/CAST(t.n_chars AS DOUBLE))
+            AS DECIMAL(30,15))) AS DOUBLE) AS entropy_nats
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon character entropy (operators/text.py::
+    char_entropy) — the cheap randomness/boilerplate gate: repeated
+    filler scores low, base64/binary junk scores high, prose sits in a
+    narrow band.  Character explode + two doc-keyed aggregations;
+    p*ln(p) terms summed as DECIMAL so the oracle replays exactly."""
+    from ..operators.text import char_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
+# -- Zipf power-law fit of the token distribution (oracle-exact) -------------
+@register(
+    "corpus_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    top AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY 1 ORDER BY freq DESC, term LIMIT 200),
+    xy AS (SELECT
+               ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                       AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+           FROM top),
+    m AS (SELECT count(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,15))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,15))) AS sy,
+                 SUM(CAST(x*x AS DECIMAL(38,15))) AS sxx,
+                 SUM(CAST(y*y AS DECIMAL(38,15))) AS syy,
+                 SUM(CAST(x*y AS DECIMAL(38,15))) AS sxy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0.0
+                THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+           END AS slope,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0.0
+                THEN (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0.0
+                 AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) <> 0.0
+                THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+           END AS pearson_r
+    FROM m
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit (operators/text.py::zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-200 tokens — slope near -1 is
+    the natural-language signature; deviations flag templated or
+    machine-generated corpora.  Mergeable top-N + bounded rank window
+    + one-pass DECIMAL closed-form OLS."""
+    from ..operators.text import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return zipf_fit(d, top_n=200)
+
+
+# -- content-defined chunk dedup (oracle-exact) ------------------------------
+@register(
+    "corpus_cdc_chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, i.u AS pos, ts[i.u + 1] AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents) d,
+             unnest(generate_series(0, len(ts) - 1)) AS i(u)),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT)
+                         % 16 = 0 THEN 1 ELSE 0 END AS b
+        FROM toks),
+    staged AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM flagged),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM staged GROUP BY 1, 2),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(chunk_text),1,15)) AS BIGINT)
+                   AS chunk_hash,
+               n_tokens
+        FROM chunks)
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens
+    FROM hashed GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+    LIMIT 50
+    """,
+)
+def corpus_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc duplicate-chunk report
+    (operators/corpus.py::cdc_chunk_dedup): boundaries fall after
+    tokens whose portable hash lands in a fixed residue class, so an
+    INSERTION shifts boundaries only until the next boundary token and
+    shared runs between near-copies chunk identically — the
+    shift-robust complement to fixed-width chunking and whole-doc
+    minhash.  Entire pipeline (tokenize, flag, running boundary count,
+    chunk assembly, hash, repeat report) replayed by the oracle."""
+    from ..operators.corpus import cdc_chunk_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(d)
+
+
+# -- per-dimension embedding standardization (oracle-exact) ------------------
+@register(
+    "embedding_standardize",
+    oracle="""
+    WITH xl AS (
+        SELECT vec_id, i.u AS d, v[i.u + 1] AS x
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+             unnest(generate_series(0, len(v) - 1)) AS i(u)),
+    stats AS (
+        SELECT d, count(*) AS n,
+               SUM(CAST(x AS DECIMAL(30,15))) AS s,
+               SUM(CAST(x*x AS DECIMAL(30,15))) AS ss
+        FROM xl GROUP BY 1),
+    st2 AS (
+        SELECT d,
+               CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+               sqrt(CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))) AS sigma
+        FROM stats)
+    SELECT x.vec_id, CAST(x.d AS INT) AS d,
+           CASE WHEN sigma <> 0.0 THEN (x.x - mu)/sigma END AS z
+    FROM xl x JOIN st2 USING (d)
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (operators/similarity.py::
+    standardize_embeddings) — the feature-scaling pass before k-means /
+    PCA / linear probes.  The per-dim moment table is dim rows
+    (broadcast at any corpus size) joined back map-side; mean/variance
+    are double divisions of DECIMAL-exact sums, replayed bit-for-bit."""
+    from ..operators.similarity import standardize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return standardize_embeddings(e)
