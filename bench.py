@@ -165,6 +165,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "corpus_cdc_chunk_dedup",
     "embedding_standardize",
+    "pipeline_rag_retrieval_portable",
 ]
 
 

@@ -203,3 +203,54 @@ def test_standardize_embeddings_moments_and_numpy_parity(spark):
     for r in z:
         assert r["m"] == pytest.approx(0.0, abs=1e-9)
         assert r["s"] == pytest.approx(1.0, abs=1e-9)
+
+
+# -- sparse_retrieval_topk ---------------------------------------------------
+
+
+def test_sparse_retrieval_finds_planted_duplicate(spark):
+    from vertica_hadoop_integration__spark.operators.text import (
+        sparse_retrieval_topk,
+    )
+
+    query_text = " ".join(f"q{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [
+            (1, query_text),                                  # verbatim copy
+            (2, " ".join(f"q{i}" for i in range(30))          # half overlap
+                + " " + " ".join(f"x{i}" for i in range(30))),
+            (3, " ".join(f"z{i}" for i in range(60))),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    query = spark.createDataFrame(
+        [(99, query_text)], "doc_id long, text string"
+    )
+    got = sparse_retrieval_topk(corpus, query, k=3).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert by_rank[1]["doc_id"] == 1  # verbatim copy ranks first
+    assert by_rank[1]["cos_sim"] == pytest.approx(1.0, abs=1e-12)
+    assert by_rank[2]["doc_id"] == 2  # partial overlap second
+    assert by_rank[1]["cos_sim"] > by_rank[2]["cos_sim"]
+    # the disjoint doc, if any hash-collision bucket gives it a nonzero
+    # score at all, must rank last and far below the partial overlap
+    if 3 in by_rank:
+        assert by_rank[3]["doc_id"] == 3
+        assert by_rank[3]["cos_sim"] < 0.5 * by_rank[2]["cos_sim"]
+    assert all(r["query_id"] == 99 for r in got)
+
+
+def test_sparse_retrieval_rerun_identical(spark):
+    from vertica_hadoop_integration__spark.operators.text import (
+        sparse_retrieval_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(50)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    query = corpus.filter("doc_id = 5")
+    a = sparse_retrieval_topk(corpus.filter("doc_id <> 5"), query, k=5).collect()
+    b = sparse_retrieval_topk(corpus.filter("doc_id <> 5"), query, k=5).collect()
+    assert a == b and len(a) == 5

@@ -34,9 +34,20 @@ OFF = 1_000_000
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from vertica_hadoop_integration__spark.operators.corpus import dsir_sample
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        cdc_chunk_dedup,
+        dsir_sample,
+    )
+    from vertica_hadoop_integration__spark.operators.profile import (
+        correlation_matrix,
+    )
     from vertica_hadoop_integration__spark.operators.similarity import (
         pq_rerank_topk,
+        standardize_embeddings,
+    )
+    from vertica_hadoop_integration__spark.operators.text import (
+        char_entropy,
+        zipf_fit,
     )
     from vertica_hadoop_integration__spark.session import get_session
 
@@ -65,7 +76,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return {"best": best, "trials": trials}
 
-    def suite(e, dc):
+    def suite(e, dc, li):
         q = e.filter(F.col("vec_id") < 5)
         return {
             "pq_rerank_topk": lambda: pq_rerank_topk(
@@ -74,13 +85,30 @@ def main() -> None:
             "dsir_sample": lambda: dsir_sample(
                 dc, F.col("lang") == "en", num_buckets=1024, n=100
             ).count(),
+            # r07 additions: fact side grows 10x, reduced state stays a
+            # 1-row (correlation/zipf) or dim-row (standardize) table
+            "correlation_matrix": lambda: correlation_matrix(
+                li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+            ).count(),
+            "char_entropy": lambda: char_entropy(dc)
+            .agg(F.sum("n_chars")).collect(),
+            "zipf_fit": lambda: zipf_fit(dc, top_n=200).collect(),
+            "cdc_chunk_dedup": lambda: cdc_chunk_dedup(dc).count(),
+            "standardize_embeddings": lambda: standardize_embeddings(e)
+            .agg(F.count(F.lit(1))).collect(),
         }
 
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet")).select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
     out = {}
-    out["1x"] = {k: run(v) for k, v in suite(emb, docs).items()}
+    out["1x"] = {k: run(v) for k, v in suite(emb, docs, li).items()}
     emb10 = replicate(emb, "vec_id")
     docs10 = replicate(docs, "doc_id")
-    out["10x"] = {k: run(v) for k, v in suite(emb10, docs10).items()}
+    li10 = li
+    for _ in range(REP - 1):
+        li10 = li10.unionByName(li)
+    out["10x"] = {k: run(v) for k, v in suite(emb10, docs10, li10).items()}
     with open("/root/repo/reports/scale_new_ops_round7.json", "w") as fh:
         json.dump(out, fh)
     print(json.dumps(out))

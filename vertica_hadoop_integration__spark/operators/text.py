@@ -1188,3 +1188,78 @@ def zipf_fit(
             (den_x != 0.0) & (den_y != 0.0), num / F.sqrt(den_x * den_y)
         ).alias("pearson_r"),
     )
+
+
+def sparse_retrieval_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    num_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hashed-sparse-vector retrieval: score every corpus row against
+    each query by cosine over their signed hashing-trick vectors
+    (feature_hashing), computed as an INVERTED-BUCKET equi-join — the
+    shape distributed sparse retrieval actually uses at scale: rows
+    join only where they share a feature bucket (posting-list
+    intersection), never a dense all-pairs scan.  Everything is
+    integer-exact until the final cosine division (signed counts, dot,
+    squared norms are all BIGINTs), so the ranking replays bit-for-bit
+    in SQL.  The query side is broadcast (queries x num_features rows,
+    bounded).  Output: (query_id, id, cos_sim, rank <= k)."""
+    cf = feature_hashing(
+        corpus, text_col=text_col, id_col=id_col, num_features=num_features
+    )
+    qf = feature_hashing(
+        query.select(
+            F.col(query_id_col or id_col).alias("query_id"), F.col(text_col)
+        ),
+        text_col=text_col,
+        id_col="query_id",
+        num_features=num_features,
+    ).withColumnRenamed("feature_val", "_qv")
+    cn = cf.groupBy(id_col).agg(
+        F.sum(F.col("feature_val") * F.col("feature_val"))
+        .cast("long")
+        .alias("_cn2")
+    )
+    qn = qf.groupBy("query_id").agg(
+        F.sum(F.col("_qv") * F.col("_qv")).cast("long").alias("_qn2")
+    )
+    from pyspark.sql import Window
+
+    dot = (
+        cf.join(F.broadcast(qf), on="feature_idx")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.col("feature_val") * F.col("_qv")).cast("long").alias("_dot")
+        )
+    )
+    scored = (
+        dot.join(cn, on=id_col)
+        .join(F.broadcast(qn), on="query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_cn2").cast("double"))
+                    * F.sqrt(F.col("_qn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -317,3 +317,95 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return standardize_embeddings(e)
+
+
+# -- RAG chunk-retrieval capstone (oracle-exact end to end) -------------------
+@register(
+    "pipeline_rag_retrieval_portable",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 64 THEN 1
+                      ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+          FROM d),
+    x AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM c),
+    chunks AS (
+        SELECT doc_id * 10000 + chunk_idx AS chunk_id,
+               array_to_string(
+                   list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                   ' ') AS text
+        FROM x WHERE doc_id <> 7),
+    ctok AS (SELECT chunk_id,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             FROM chunks),
+    ch AS (SELECT chunk_id,
+                  CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h
+           FROM ctok),
+    cs AS (SELECT chunk_id, CAST(h % 1024 AS INT) AS fi,
+                  CASE WHEN ((h >> 10) & 1) = 0 THEN 1 ELSE -1 END AS s
+           FROM ch),
+    cf AS (SELECT chunk_id, fi, CAST(SUM(s) AS BIGINT) AS v
+           FROM cs GROUP BY 1, 2 HAVING SUM(s) <> 0),
+    qtok AS (SELECT doc_id AS query_id,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             FROM documents WHERE doc_id = 7),
+    qh AS (SELECT query_id,
+                  CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h
+           FROM qtok),
+    qs AS (SELECT query_id, CAST(h % 1024 AS INT) AS fi,
+                  CASE WHEN ((h >> 10) & 1) = 0 THEN 1 ELSE -1 END AS s
+           FROM qh),
+    qf AS (SELECT query_id, fi, CAST(SUM(s) AS BIGINT) AS v
+           FROM qs GROUP BY 1, 2 HAVING SUM(s) <> 0),
+    cn AS (SELECT chunk_id, CAST(SUM(v*v) AS BIGINT) AS cn2
+           FROM cf GROUP BY 1),
+    qn AS (SELECT query_id, CAST(SUM(v*v) AS BIGINT) AS qn2
+           FROM qf GROUP BY 1),
+    dots AS (SELECT q.query_id, c.chunk_id,
+                    CAST(SUM(c.v * q.v) AS BIGINT) AS dot
+             FROM cf c JOIN qf q ON q.fi = c.fi
+             GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.chunk_id,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(cn.cn2 AS DOUBLE))
+                      * sqrt(CAST(qn.qn2 AS DOUBLE))) AS cos_sim
+        FROM dots d
+        JOIN cn ON cn.chunk_id = d.chunk_id
+        JOIN qn ON qn.query_id = d.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, chunk_id) AS rnk
+        FROM scored)
+    SELECT query_id, chunk_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def pipeline_rag_retrieval_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus-construction capstone: overlapping context chunks
+    (corpus.chunk_documents, 64/16) -> signed hashing-trick vectors
+    (text.feature_hashing, vocabulary-free) -> inverted-bucket cosine
+    retrieval of the top-10 chunks for a query document
+    (text.sparse_retrieval_topk).  Chunks join the query only where
+    they share a feature bucket (posting-list intersection, an
+    EQUI-join on the bucket id) — never an all-pairs scan — and every
+    number is integer-exact until the final cosine division, so the
+    ENTIRE chunk->featurize->retrieve pipeline replays in one oracle."""
+    from ..operators.corpus import chunk_documents
+    from ..operators.text import sparse_retrieval_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_size=64, overlap=16).filter(
+        F.col("doc_id") != 7
+    ).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    query = d.filter(F.col("doc_id") == 7).select("doc_id", "text")
+    return sparse_retrieval_topk(
+        chunks, query, k=10, id_col="chunk_id", query_id_col="doc_id"
+    )
