@@ -338,3 +338,58 @@ def test_compaction_cadence_probe_zero_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS idx_base_cadence")
         spark.sql("DROP TABLE IF EXISTS idx_probe_terms")
+
+
+def test_stream_cdc_chunker_dedups_shifted_copy_where_fixed_cannot(
+    spark, tmp_path
+):
+    """The CDC chunker's reason to exist, demonstrated across batches:
+    batch 2 carries a near-copy of batch 1's doc with ONE token
+    prepended.  Fixed-width boundaries all shift (no chunk hash
+    matches the index -> the whole copy lands again); content-defined
+    boundaries resynchronize after the first boundary token, so the
+    copy's shared chunks die against the index and only a small
+    prefix survives."""
+    base = " ".join(f"w{i}" for i in range(400))
+    shifted = "INSERTED " + base
+    df1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    df2 = spark.createDataFrame([(2, shifted)], "doc_id long, text string")
+    src = tmp_path / "src"
+    df1.coalesce(1).write.parquet(str(src), mode="append")
+    df2.coalesce(1).write.parquet(str(src), mode="append")
+
+    def run(chunker, sub):
+        out = str(tmp_path / sub / "out")
+        stream = (
+            spark.readStream.schema(df1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_chunk_dedup_load(
+            stream,
+            index_dir=str(tmp_path / sub / "idx"),
+            dest_dir=out,
+            ledger_path=str(tmp_path / sub / "led"),
+            checkpoint_dir=str(tmp_path / sub / "ckpt"),
+            chunker=chunker,
+        )
+        q.awaitTermination(180)
+        got = spark.read.orc(out + "/batch=*")
+        return {r.doc_id: r for r in got.collect()}
+
+    cdc = run("cdc", "cdc")
+    fixed = run("fixed", "fixed")
+
+    # doc 1 lands fully under both chunkers
+    assert cdc[1].dedup_text == base
+    assert fixed[1].dedup_text == base
+    # fixed-width: every boundary shifted -> nothing dedups, the whole
+    # copy survives
+    assert fixed[2].n_chunks_kept == fixed[2].n_chunks_total
+    # CDC: most of the copy's chunks hit the index; only the prefix up
+    # to the first resynchronized boundary survives
+    assert cdc[2].n_chunks_kept < cdc[2].n_chunks_total
+    assert cdc[2].n_chunks_kept <= max(2, cdc[2].n_chunks_total // 4)
+    # faithful reassembly: the surviving prefix is a prefix of the
+    # shifted text (normalize=False preserves the original tokens)
+    assert shifted.startswith(cdc[2].dedup_text.split(" ")[0])

@@ -1083,39 +1083,18 @@ def cdc_chunk_dedup(
     portable md5-60 hash makes the ENTIRE pipeline SQL-replayable.
     Output: top ``top_k`` chunks appearing in >= ``min_docs`` distinct
     docs — (chunk_hash, n_docs, n_occurrences, n_tokens)."""
-    from pyspark.sql import Window
-
-    from ..functions.text_fns import md5_hash60, tokens
+    from ..functions.text_fns import md5_hash60
 
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
-    )
-    flag = (md5_hash60(F.col("tok")) % boundary_mod == 0).cast("int")
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    staged = toks.withColumn(
-        "chunk_id", F.coalesce(F.sum(flag).over(w), F.lit(0))
-    )
-    chunks = staged.groupBy(id_col, "chunk_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("chunk_text"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    chunks = cdc_chunks(
+        df, text_col=text_col, id_col=id_col, boundary_mod=boundary_mod
     )
     return (
         chunks.select(
             F.col(id_col),
-            md5_hash60(F.col("chunk_text")).alias("chunk_hash"),
+            md5_hash60(F.col("chunk")).alias("chunk_hash"),
             "n_tokens",
         )
         .groupBy("chunk_hash")
@@ -1127,4 +1106,54 @@ def cdc_chunk_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
         .limit(top_k)
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mod: int = 16,
+    normalize: bool = True,
+) -> DataFrame:
+    """Content-defined chunk frame (see cdc_chunk_dedup for the why):
+    one row per chunk — (id, chunk_idx, chunk, n_tokens,
+    n_chunks_total) — same shape as chunk_fixed so the two chunkers are
+    interchangeable (streaming/dedup.py::stream_chunk_dedup_load takes
+    either).  ``normalize=True`` chunks the lower(trim) token stream
+    (canonical form for dedup reports); ``normalize=False`` splits the
+    RAW text on single spaces like chunk_fixed, so reassemble_chunks
+    rebuilds documents faithfully."""
+    from pyspark.sql import Window
+
+    from ..functions.text_fns import md5_hash60, tokens
+
+    tok_expr = (
+        tokens(F.col(text_col)) if normalize else F.split(F.col(text_col), " ")
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tok_expr).alias("pos", "tok")
+    )
+    flag = (md5_hash60(F.col("tok")) % boundary_mod == 0).cast("int")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum(flag).over(w), F.lit(0))
+    )
+    chunks = staged.groupBy(id_col, "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    wtot = Window.partitionBy(id_col)
+    return chunks.withColumn(
+        "n_chunks_total", F.count(F.lit(1)).over(wtot)
     )

@@ -142,20 +142,32 @@ def stream_chunk_dedup_load(
     chunk_size: int = 20,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    chunker: str = "fixed",
+    boundary_mod: int = 16,
 ):
-    """Streaming C4-style paragraph dedup: each batch's docs are chunked
-    (operators/corpus.py::chunk_fixed), chunks already seen — in the
-    persisted index OR earlier in this batch (by doc_id, chunk_idx) —
-    are dropped, survivors are reassembled into documents and landed,
-    and the surviving chunk hashes append to the index so later batches
-    dedup against them. Matches the batch corpus_paragraph_dedup exactly
-    when batches arrive in doc_id order.
+    """Streaming C4-style paragraph dedup: each batch's docs are chunked,
+    chunks already seen — in the persisted index OR earlier in this
+    batch (by doc_id, chunk_idx) — are dropped, survivors are
+    reassembled into documents and landed, and the surviving chunk
+    hashes append to the index so later batches dedup against them.
+    Matches the batch corpus_paragraph_dedup exactly when batches arrive
+    in doc_id order.
+
+    ``chunker='fixed'`` (operators/corpus.py::chunk_fixed) keeps the C4
+    fixed-width unit; ``chunker='cdc'`` (corpus.cdc_chunks,
+    normalize=False so reassembly is faithful) uses content-defined
+    hash-residue boundaries — an INSERTION in a later near-copy shifts
+    fixed-width boundaries everywhere (nothing dedups), while CDC
+    boundaries resynchronize and the copy's shared chunks still hit the
+    index (pytest-demonstrated).
 
     The index stores md5 hashes only (16 bytes/chunk), never chunk text
     — at 100 TB the index is ~1% of corpus size and the probe is a hash
     equi-join. Same ledger exactly-once contract as stream_dedup_load."""
-    from ..operators.corpus import chunk_fixed, reassemble_chunks
+    from ..operators.corpus import cdc_chunks, chunk_fixed, reassemble_chunks
 
+    if chunker not in ("fixed", "cdc"):
+        raise ValueError(f"unknown chunker: {chunker!r}")
     hash_path = os.path.join(index_dir, "chunk_hashes")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -165,9 +177,20 @@ def stream_chunk_dedup_load(
         ledger.enqueue_whole_table(f"{table_name}#{key}", "stream", 1)
         if not ledger.pending_exists(f"{table_name}#{key}"):
             return  # replayed batch, already landed
-        chunks = chunk_fixed(
-            batch_df, text_col=text_col, id_col=id_col, chunk_size=chunk_size
-        ).withColumn("_h", F.md5(F.col("chunk")))
+        if chunker == "cdc":
+            chunks = cdc_chunks(
+                batch_df,
+                text_col=text_col,
+                id_col=id_col,
+                boundary_mod=boundary_mod,
+                normalize=False,
+            )
+        else:
+            chunks = chunk_fixed(
+                batch_df, text_col=text_col, id_col=id_col,
+                chunk_size=chunk_size,
+            )
+        chunks = chunks.withColumn("_h", F.md5(F.col("chunk")))
         # in-batch first-occurrence wins (global order = doc, position)
         w = Window.partitionBy("_h").orderBy(id_col, "chunk_idx")
         kept = chunks.withColumn("_rn", F.row_number().over(w)).filter(
