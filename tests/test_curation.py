@@ -659,3 +659,31 @@ def test_dedup_lines_within_doc_planted(spark):
     assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 3)
     assert out[2]["text"] == "only one line"
     assert out[3] == {"doc_id": 3, "text": "x", "n_lines": 4, "n_kept": 1}
+
+
+def test_keep_best_string_ids_take_type_agnostic_path(spark):
+    """r06 ADVICE: the max_by (score, -id) trick silently breaks on a
+    non-numeric id (negating a string casts to NULL -> nondeterministic
+    tie).  String-keyed clusters must route through the window fallback
+    and keep the id-ascending tie-break."""
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [("a", "a", 3), ("b", "a", 3), ("c", "a", 3), ("x", "x", 2), ("y", "x", 2)],
+        "doc_id string, canonical_id string, cluster_size long",
+    )
+    scores = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("x", 0.5), ("y", 0.4)],
+        "doc_id string, quality_prob double",
+    )
+    rows = {
+        r.canonical_id: r
+        for r in keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert set(rows) == {"a", "x"}
+    # quality ties break toward the LEXICOGRAPHICALLY smaller id
+    assert rows["a"].kept_doc_id == "b" and rows["a"].kept_quality == 0.9
+    assert rows["a"].n_dropped == 2
+    assert rows["x"].kept_doc_id == "x" and rows["x"].n_dropped == 1
