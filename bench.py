@@ -166,6 +166,7 @@ HEADLINE = [
     "corpus_cdc_chunk_dedup",
     "embedding_standardize",
     "pipeline_rag_retrieval_portable",
+    "corpus_source_overlap",
 ]
 
 

@@ -43,6 +43,9 @@ BNLJ_OK = {
     "text_hybrid_search",       # semantic leg = broadcast 1-vector query
                                 # (brute_force_topk); lexical leg carries
                                 # bm25's 1-row corpus scalars
+    "corpus_source_overlap",    # source-pair expansion is a broadcast
+                                # cross of the DISTINCT-source list
+                                # (sketch-table-sized, never corpus rows)
 }
 
 # A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /

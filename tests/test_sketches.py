@@ -286,3 +286,35 @@ def test_hll_partial_rollup_accuracy_and_union_consistency(spark, sf_dir):
         .collect()
     }
     assert got == direct  # hour-partial union == direct day sketch
+
+
+def test_source_overlap_matrix_discriminates_planted_overlap(spark):
+    """Two sources sharing half their documents must estimate a clearly
+    higher Jaccard than disjoint-content pairs."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        source_overlap_matrix,
+    )
+
+    def doc(src, i, base):
+        return (src, " ".join(f"{base}{(i * 13 + j) % 200}" for j in range(60)))
+
+    rows = []
+    for i in range(30):
+        rows.append(doc("sA", i, "w"))         # sA: w-vocabulary
+        rows.append(doc("sB", i, "w") if i < 15 else doc("sB", i, "x"))
+        rows.append(doc("sC", i, "z"))         # sC: disjoint vocabulary
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r.source_a, r.source_b): r for r in source_overlap_matrix(df).collect()
+    }
+    assert set(got) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
+    ab = got[("sA", "sB")].jaccard_est
+    ac = got[("sA", "sC")].jaccard_est
+    bc = got[("sB", "sC")].jaccard_est
+    assert ab > 0.2, f"shared-content pair underestimated: {ab}"
+    assert ac < 0.05 and bc < 0.05, f"disjoint pairs overestimated: {ac}, {bc}"
+    for r in got.values():
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+        assert r.est_intersection <= min(r.est_a, r.est_b) * 1.5

@@ -427,3 +427,114 @@ def hll_distinct_portable(
     return per_group.select(
         *gcols, e_corr.alias("distinct_est")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise content-overlap matrix BETWEEN data sources from
+    per-source KMV sketches — the provenance-dedup planning report: a
+    crawl pipeline mixing N feeds wants to know which pairs share
+    content (mirror sites, syndication) BEFORE paying a cross-source
+    dedup pass, and at 100 TB that answer must come from sketches, not
+    from the shingle sets themselves.
+
+    Per source: bottom-``k`` of the portable-md5 shingle hashes (built
+    in the source's ingest pass; k rows per source is the ENTIRE state
+    this operator keeps — the sketch-algebra contract of
+    kmv_set_ops_portable, grouped).  Per pair: the union sketch is the
+    bottom-k of the two merged sketches, J = |both|/|union sketch|,
+    |AnB| ~= J * |AuB|.  The pair expansion touches only sketch rows
+    (sources^2 * k), never corpus data.  Portable hash end to end ->
+    the whole grouped estimator replays in SQL.  Output one row per
+    unordered source pair: (source_a, source_b, est_a, est_b,
+    est_union, jaccard_est, est_intersection)."""
+    from ..functions.text_fns import md5_hash60, shingles
+
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    sh = df.select(
+        F.col(group_col).alias("_src"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("_s"),
+    ).select("_src", md5_hash60(F.col("_s")).alias("_h")).distinct()
+    wk = Window.partitionBy("_src").orderBy(F.col("_h").asc())
+    sk = (
+        sh.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("_src", "_h")
+    )
+    # per-source distinct estimate from its own sketch (KMV formula)
+    per_src = sk.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("_m"), F.max("_h").alias("_mx")
+    )
+    est1 = F.when(
+        F.col("_m") < k, F.col("_m").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / ((F.col("_mx").cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0))
+    )
+    ests = per_src.select(F.col("_src"), est1.alias("_est"))
+    srcs = sk.select("_src").distinct()
+    pairs = (
+        srcs.select(F.col("_src").alias("source_a"))
+        .crossJoin(F.broadcast(srcs.select(F.col("_src").alias("source_b"))))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    contrib = (
+        sk.join(F.broadcast(pairs), sk._src == pairs.source_a)
+        .select("source_a", "source_b", "_h",
+                F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+        .unionByName(
+            sk.join(F.broadcast(pairs), sk._src == pairs.source_b)
+            .select("source_a", "source_b", "_h",
+                    F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+        )
+    )
+    merged = contrib.groupBy("source_a", "source_b", "_h").agg(
+        F.max("_a").alias("a"), F.max("_b").alias("b")
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy(F.col("_h").asc())
+    u_sketch = (
+        merged.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= k)
+    )
+    agg = u_sketch.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_h").alias("_mx"),
+        F.sum(F.col("a") * F.col("b")).alias("_both"),
+    )
+    uval = (F.col("_mx").cast("double") + F.lit(1.0)) / F.lit(
+        1152921504606846976.0
+    )
+    union_est = F.when(
+        F.col("_m") < k, F.col("_m").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / uval)
+    j_est = F.col("_both").cast("double") / F.col("_m").cast("double")
+    out = agg.select(
+        "source_a",
+        "source_b",
+        union_est.alias("est_union"),
+        j_est.alias("jaccard_est"),
+        (j_est * union_est).alias("est_intersection"),
+    )
+    return (
+        out.join(
+            F.broadcast(ests.select(F.col("_src").alias("source_a"),
+                                    F.col("_est").alias("est_a"))),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(ests.select(F.col("_src").alias("source_b"),
+                                    F.col("_est").alias("est_b"))),
+            on="source_b",
+        )
+        .select("source_a", "source_b", "est_a", "est_b",
+                "est_union", "jaccard_est", "est_intersection")
+    )

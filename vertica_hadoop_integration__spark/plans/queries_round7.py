@@ -409,3 +409,83 @@ def pipeline_rag_retrieval_portable(spark: SparkSession, sf_dir: str) -> DataFra
     return sparse_retrieval_topk(
         chunks, query, k=10, id_col="chunk_id", query_id_col="doc_id"
     )
+
+
+# -- source-pair overlap matrix from grouped KMV sketches (oracle-exact) -----
+@register(
+    "corpus_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source AS src,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    shl AS (
+        SELECT src, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t)-2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks),
+    hs AS (SELECT DISTINCT src,
+                  CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h
+           FROM shl),
+    sk AS (SELECT src, h FROM (
+               SELECT src, h,
+                      row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+               FROM hs)
+           WHERE rn <= 64),
+    per_src AS (SELECT src, count(*) AS m, max(h) AS mx
+                FROM sk GROUP BY 1),
+    ests AS (SELECT src,
+                    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                         ELSE 63.0 / ((CAST(mx AS DOUBLE) + 1.0)
+                                      / 1152921504606846976.0)
+                    END AS est
+             FROM per_src),
+    pairs AS (SELECT a.src AS source_a, b.src AS source_b
+              FROM (SELECT DISTINCT src FROM sk) a,
+                   (SELECT DISTINCT src FROM sk) b
+              WHERE a.src < b.src),
+    contrib AS (
+        SELECT p.source_a, p.source_b, s.h, 1 AS a, 0 AS b
+        FROM sk s JOIN pairs p ON s.src = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0 AS a, 1 AS b
+        FROM sk s JOIN pairs p ON s.src = p.source_b),
+    merged AS (SELECT source_a, source_b, h,
+                      max(a) AS a, max(b) AS b
+               FROM contrib GROUP BY 1, 2, 3),
+    us AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                             ORDER BY h) AS rn
+               FROM merged)
+           WHERE rn <= 64),
+    agg AS (SELECT source_a, source_b, count(*) AS m, max(h) AS mx,
+                   CAST(sum(a*b) AS BIGINT) AS nboth
+            FROM us GROUP BY 1, 2)
+    SELECT g.source_a, g.source_b, e1.est AS est_a, e2.est AS est_b,
+           CASE WHEN g.m < 64 THEN CAST(g.m AS DOUBLE)
+                ELSE 63.0 / ((CAST(g.mx AS DOUBLE) + 1.0)
+                             / 1152921504606846976.0)
+           END AS est_union,
+           CAST(g.nboth AS DOUBLE) / CAST(g.m AS DOUBLE) AS jaccard_est,
+           (CAST(g.nboth AS DOUBLE) / CAST(g.m AS DOUBLE))
+               * (CASE WHEN g.m < 64 THEN CAST(g.m AS DOUBLE)
+                       ELSE 63.0 / ((CAST(g.mx AS DOUBLE) + 1.0)
+                                    / 1152921504606846976.0)
+                  END) AS est_intersection
+    FROM agg g
+    JOIN ests e1 ON e1.src = g.source_a
+    JOIN ests e2 ON e2.src = g.source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from per-source KMV sketches
+    (operators/sketches.py::source_overlap_matrix): which feed pairs
+    share content, answered from k-hash sketches — sources^2 * k sketch
+    rows, never corpus data.  The grouped sketch-algebra sibling of
+    sketch_kmv_set_ops; portable md5-60 end to end, the whole grouped
+    estimator (per-source bottom-k, pair union sketches, Jaccard and
+    intersection estimates) replayed by the oracle."""
+    from ..operators.sketches import source_overlap_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(d)
