@@ -167,6 +167,7 @@ HEADLINE = [
     "embedding_standardize",
     "pipeline_rag_retrieval_portable",
     "corpus_source_overlap",
+    "corpus_ngram_novelty",
 ]
 
 

@@ -254,3 +254,27 @@ def test_sparse_retrieval_rerun_identical(spark):
     a = sparse_retrieval_topk(corpus.filter("doc_id <> 5"), query, k=5).collect()
     b = sparse_retrieval_topk(corpus.filter("doc_id <> 5"), query, k=5).collect()
     assert a == b and len(a) == 5
+
+
+# -- ngram_novelty -----------------------------------------------------------
+
+
+def test_ngram_novelty_flags_shared_boilerplate(spark):
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        ngram_novelty,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + " ".join(f"u{i}" for i in range(20))),
+            (2, boiler + " " + " ".join(f"v{i}" for i in range(20))),
+            (3, " ".join(f"w{i}" for i in range(40))),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    # docs 1/2 share the 16 grams fully inside the 20-token boilerplate
+    assert got[1].n_shared_grams == 16 and got[2].n_shared_grams == 16
+    assert got[3].n_shared_grams == 0 and got[3].shared_frac == 0.0
+    assert 0.0 < got[1].shared_frac < 1.0

@@ -1157,3 +1157,57 @@ def cdc_chunks(
     return chunks.withColumn(
         "n_chunks_total", F.count(F.lit(1)).over(wtot)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-document duplication-exposure profile: what fraction of each
+    doc's distinct word ``shingle_n``-grams appears in at least one
+    OTHER document.  The doc-level risk score between whole-doc dedup
+    (which only fires at high overall similarity) and span dedup (which
+    emits edits) — rank by ``shared_frac`` to find boilerplate-heavy
+    and templated docs, or threshold it as a memorization-risk gate.
+
+    Shape: one scan to distinct (doc, gram-hash) pairs, one gram-keyed
+    count (map-side combine), one join back, one doc-keyed aggregate —
+    all equi-keyed, nothing quadratic; grams are reduced to portable
+    md5-60 hashes before any shuffle so the pipeline replays in SQL and
+    the exchange carries 8-byte keys, not text.  Output:
+    (id, n_grams, n_shared_grams, shared_frac)."""
+    from ..functions.text_fns import md5_hash60, shingles
+
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("_g"),
+    ).select(F.col(id_col), md5_hash60(F.col("_g")).alias("_h"))
+    df_count = grams.groupBy("_h").agg(
+        F.countDistinct(F.col(id_col)).alias("_nd")
+    )
+    return (
+        grams.join(df_count, on="_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_shared_grams",
+            (
+                F.col("n_shared_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("shared_frac"),
+        )
+    )

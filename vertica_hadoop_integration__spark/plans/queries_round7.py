@@ -489,3 +489,41 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return source_overlap_matrix(d)
+
+
+# -- per-doc n-gram duplication exposure (oracle-exact) ----------------------
+@register(
+    "corpus_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t)-4, 1)),
+                  i -> array_to_string(t[i:i+4], ' ')))) AS g
+              FROM toks)),
+    dfc AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM grams GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_grams,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS shared_frac
+    FROM grams g JOIN dfc d ON d.h = g.h
+    GROUP BY 1
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication-exposure score (operators/corpus.py::
+    ngram_novelty): fraction of each doc's distinct 5-grams shared with
+    other docs — the memorization-risk / boilerplate profile between
+    whole-doc dedup and span dedup.  Gram-keyed count + join back, all
+    equi-keyed on 8-byte portable hashes; fully oracle-replayed."""
+    from ..operators.corpus import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(d)
