@@ -37,6 +37,10 @@ def main() -> None:
     from vertica_hadoop_integration__spark.operators.corpus import (
         cdc_chunk_dedup,
         dsir_sample,
+        ngram_novelty,
+    )
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        source_overlap_matrix,
     )
     from vertica_hadoop_integration__spark.operators.profile import (
         correlation_matrix,
@@ -96,6 +100,12 @@ def main() -> None:
             "cdc_chunk_dedup": lambda: cdc_chunk_dedup(dc).count(),
             "standardize_embeddings": lambda: standardize_embeddings(e)
             .agg(F.count(F.lit(1))).collect(),
+            # sketch state stays sources^2 x 64 rows at any corpus size;
+            # novelty's exchange carries 8-byte gram hashes
+            "source_overlap_matrix": lambda: source_overlap_matrix(dc)
+            .count(),
+            "ngram_novelty": lambda: ngram_novelty(dc)
+            .agg(F.sum("n_shared_grams")).collect(),
         }
 
     li = spark.read.parquet(os.path.join(SF, "lineitem.parquet")).select(

@@ -465,10 +465,17 @@ def source_overlap_matrix(
         ).alias("_s"),
     ).select("_src", md5_hash60(F.col("_s")).alias("_h")).distinct()
     wk = Window.partitionBy("_src").orderBy(F.col("_h").asc())
+    # persist: the sketch frame is k rows per source (KB) but its
+    # LINEAGE is the full shingle explode + distinct — four consumers
+    # (per-source estimates, the source list, both pair-contribution
+    # sides) would otherwise re-scan the corpus four times.  Cache
+    # hygiene is the caller's (bench clearCache contract, same as
+    # dsir_sample's feats).
     sk = (
         sh.withColumn("_rn", F.row_number().over(wk))
         .filter(F.col("_rn") <= k)
         .select("_src", "_h")
+        .persist()
     )
     # per-source distinct estimate from its own sketch (KMV formula)
     per_src = sk.groupBy("_src").agg(
