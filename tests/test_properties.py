@@ -521,3 +521,41 @@ def test_skew_fanout_proportional_and_bounded(spark, rows_per_bucket, seed):
         else:
             assert k not in fan
     assert len(fan) <= 500 / rows_per_bucket
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=500).map(lambda i: f"t{i}"),
+            min_size=1,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cdc_chunks_reassemble_losslessly(spark, docs):
+    """Content-defined chunking is a PARTITION of the token stream:
+    concatenating each doc's chunks in chunk order must rebuild the
+    exact original text, for any token content (boundary density
+    varies with the hashes, but no token may be lost, duplicated, or
+    reordered)."""
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        cdc_chunks,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = cdc_chunks(df, normalize=False).collect()
+    rebuilt = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        rebuilt.setdefault(r.doc_id, []).append(r.chunk)
+    for i, toks in enumerate(docs):
+        assert " ".join(rebuilt[i]) == " ".join(toks)
+        # chunk_idx values are dense 0..n-1 per doc
+        n = len(rebuilt[i])
+        got_idx = sorted(
+            r.chunk_idx for r in chunks if r.doc_id == i
+        )
+        assert got_idx == list(range(n))
