@@ -168,6 +168,7 @@ HEADLINE = [
     "pipeline_rag_retrieval_portable",
     "corpus_source_overlap",
     "corpus_ngram_novelty",
+    "embedding_outlier_scores",
 ]
 
 

@@ -278,3 +278,30 @@ def test_ngram_novelty_flags_shared_boilerplate(spark):
     assert got[1].n_shared_grams == 16 and got[2].n_shared_grams == 16
     assert got[3].n_shared_grams == 0 and got[3].shared_frac == 0.0
     assert 0.0 < got[1].shared_frac < 1.0
+
+
+# -- embedding_outliers ------------------------------------------------------
+
+
+def test_embedding_outliers_surface_planted_corruption(spark):
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    vecs = [
+        (i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(100)
+    ]
+    vecs[7] = (7, [50.0] * 8)     # wrong-scale import
+    vecs[13] = (13, [0.0] * 8)    # zeroed row
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    top = embedding_outliers(df, top_k=5).collect()
+    ids = [r.vec_id for r in top]
+    # the wrong-scale vector dominates the Mahalanobis ranking
+    assert ids[0] == 7, f"wrong-scale vector not ranked first: {ids}"
+    assert top[0].maha2 > 10 * top[1].maha2
+    assert top[0].l2_norm == pytest.approx(50.0 * math.sqrt(8), rel=1e-12)
+    # a ZEROED row sits near the per-dim means (maha2 ~ 0) — it is the
+    # norm column that flags it, which is why the report carries both
+    full = {r.vec_id: r for r in embedding_outliers(df, top_k=100).collect()}
+    assert full[13].l2_norm == 0.0
+    assert full[13].maha2 < top[0].maha2 / 100

@@ -1427,3 +1427,47 @@ def standardize_embeddings(
             (F.col("x") - F.col("_mu")) / F.col("_sigma"),
         ).alias("z"),
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    top_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier audit: per-vector squared Mahalanobis
+    distance under a DIAGONAL covariance — sum over dimensions of the
+    squared z-score — plus the vector's L2 norm.  The embedding-table
+    quality gate: corrupt rows (zeroed vectors, wrong-scale imports,
+    NaN-adjacent garbage) land at the extremes of either column long
+    before they poison k-means/ANN; the diagonal model keeps the
+    statistic a map-side sum (a full covariance needs the PCA pass —
+    embedding_pca_project — and is overkill for a gate).
+
+    Shape: reuses standardize_embeddings' broadcast per-dim moment
+    table; one exploded map-side join, one id-keyed sum, mergeable
+    top-k (TakeOrderedAndProject).  Zero-variance dims contribute
+    nothing (their z is NULL -> excluded from the sum on both engines).
+    Output: top ``top_k`` by maha2 desc — (id, maha2, l2_norm,
+    n_dims_scored)."""
+    z = standardize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    dec = "decimal(30,10)"
+    scored = (
+        z.filter(F.col("z").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("z") * F.col("z")).cast(dec))
+            .cast("double")
+            .alias("maha2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dims_scored"),
+        )
+    )
+    norms = corpus.select(
+        F.col(id_col), l2_norm(F.col(vec_col)).alias("l2_norm")
+    )
+    return (
+        scored.join(norms, on=id_col)
+        .orderBy(F.desc("maha2"), F.asc(id_col))
+        .limit(top_k)
+        .select(id_col, "maha2", "l2_norm", "n_dims_scored")
+    )

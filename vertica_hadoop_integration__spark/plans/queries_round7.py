@@ -527,3 +527,55 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return ngram_novelty(d)
+
+
+# -- embedding outlier audit (oracle-exact) -----------------------------------
+@register(
+    "embedding_outlier_scores",
+    oracle="""
+    WITH xl AS (
+        SELECT vec_id, i.u AS d, v[i.u + 1] AS x
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+             unnest(generate_series(0, len(v) - 1)) AS i(u)),
+    stats AS (
+        SELECT d, count(*) AS n,
+               SUM(CAST(x AS DECIMAL(30,15))) AS s,
+               SUM(CAST(x*x AS DECIMAL(30,15))) AS ss
+        FROM xl GROUP BY 1),
+    st2 AS (
+        SELECT d,
+               CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+               sqrt(CAST(ss AS DOUBLE)/CAST(n AS DOUBLE)
+                    - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                      * (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))) AS sigma
+        FROM stats),
+    z AS (SELECT x.vec_id,
+                 CASE WHEN sigma <> 0.0 THEN (x.x - mu)/sigma END AS z
+          FROM xl x JOIN st2 USING (d)),
+    scored AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(z*z AS DECIMAL(30,10))) AS DOUBLE) AS maha2,
+               CAST(count(*) AS BIGINT) AS n_dims_scored
+        FROM z WHERE z IS NOT NULL GROUP BY 1),
+    norms AS (
+        SELECT vec_id,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS l2_norm
+        FROM embeddings)
+    SELECT s.vec_id, s.maha2, n.l2_norm, s.n_dims_scored
+    FROM scored s JOIN norms n USING (vec_id)
+    ORDER BY s.maha2 DESC, s.vec_id
+    LIMIT 50
+    """,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality gate (operators/similarity.py::
+    embedding_outliers): top-50 vectors by diagonal-covariance squared
+    Mahalanobis (sum of squared per-dim z-scores) with L2 norms —
+    corrupt/degenerate vectors surface at the extremes before they
+    poison k-means or ANN.  Broadcast moment table, map-side z-scores,
+    DECIMAL-exact sums, mergeable top-k; fully oracle-replayed."""
+    from ..operators.similarity import embedding_outliers
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(e, top_k=50)
