@@ -169,6 +169,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "corpus_ngram_novelty",
     "embedding_outlier_scores",
+    "text_sentiment_score",
 ]
 
 

@@ -305,3 +305,31 @@ def test_embedding_outliers_surface_planted_corruption(spark):
     full = {r.vec_id: r for r in embedding_outliers(df, top_k=100).collect()}
     assert full[13].l2_norm == 0.0
     assert full[13].maha2 < top[0].maha2 / 100
+
+
+# -- sentiment_score ---------------------------------------------------------
+
+
+def test_sentiment_score_known_values(spark):
+    from vertica_hadoop_integration__spark.operators.text import (
+        sentiment_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "this is a good great day"),       # +3 +3 over 2 hits
+            (2, "terrible awful broken mess"),     # -3 -3 -2 over 3 hits
+            (3, "neutral words only here"),        # no hits
+            (4, "good bad"),                       # +3 -3 -> sum 0, hits 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in sentiment_score(df).collect()}
+    assert got[1].sentiment_sum == 6 and got[1].n_hits == 2
+    assert got[1].sentiment_mean == 3.0
+    assert got[2].sentiment_sum == -8 and got[2].n_hits == 3
+    assert got[3].n_hits == 0 and got[3].sentiment_sum == 0
+    assert got[3].sentiment_mean == 0.0
+    assert got[4].sentiment_sum == 0 and got[4].n_hits == 2
+    assert got[4].sentiment_mean == 0.0
+    assert got[3].n_tokens == 4  # zero-hit docs keep token stats

@@ -1263,3 +1263,73 @@ def sparse_retrieval_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# Small signed sentiment lexicon (AFINN-style scoring scheme: integer
+# valence per word, summed over the doc). Deployments swap in a full
+# lexicon; the OPERATOR contract — broadcast lexicon join, integer-exact
+# sums, coverage stats — is what matters and is lexicon-size-free.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 3, "great": 3, "excellent": 5, "amazing": 4, "love": 3,
+    "happy": 3, "best": 3, "win": 4, "wonderful": 4, "nice": 3,
+    "better": 2, "success": 2, "improved": 2, "fast": 1, "easy": 1,
+    "bad": -3, "terrible": -3, "awful": -3, "hate": -3, "worst": -3,
+    "sad": -2, "fail": -2, "failure": -2, "broken": -2, "slow": -1,
+    "hard": -1, "problem": -2, "error": -2, "wrong": -2, "poor": -2,
+}
+
+
+def sentiment_score(
+    df: DataFrame,
+    lexicon: dict[str, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexicon-based sentiment per document (the classic large-scale
+    Spark text-analytics workload): token explode -> broadcast lexicon
+    equi-join -> integer-exact valence sum and hit coverage.  All
+    counts are BIGINTs and the mean is one double division of exact
+    aggregates, so the scorer replays bit-for-bit in SQL.
+
+    Scale shape: the lexicon is a broadcast dimension (thousands of
+    rows at most); scoring is one scan + one doc-keyed aggregation —
+    map-side combine collapses repeated tokens before the shuffle.
+    Docs with zero lexicon hits score 0 with n_hits = 0 (left join at
+    the doc grain, never dropped).  Output: (id, n_tokens, n_hits,
+    sentiment_sum, sentiment_mean)."""
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+    spark = df.sparkSession
+    lex_df = spark.createDataFrame(
+        [(w, int(v)) for w, v in sorted(lex.items())],
+        "_w string, _v int",
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    hits = (
+        toks.join(F.broadcast(lex_df), toks._t == lex_df._w)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.sum("_v").cast("bigint").alias("sentiment_sum"),
+        )
+    )
+    return (
+        per_doc.join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.coalesce(
+                F.col("sentiment_sum"), F.lit(0).cast("bigint")
+            ).alias("sentiment_sum"),
+            F.when(
+                F.coalesce(F.col("n_hits"), F.lit(0)) > 0,
+                F.col("sentiment_sum").cast("double")
+                / F.col("n_hits").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("sentiment_mean"),
+        )
+    )

@@ -579,3 +579,44 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_outliers(e, top_k=50)
+
+
+# -- lexicon sentiment scoring (oracle-exact) --------------------------------
+def _sentiment_oracle() -> str:
+    from ..operators.text import SENTIMENT_LEXICON
+
+    vals = ", ".join(
+        f"('{w}', {v})" for w, v in sorted(SENTIMENT_LEXICON.items())
+    )
+    return rf"""
+    WITH lex(w, v) AS (VALUES {vals}),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                FROM toks GROUP BY 1),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                    CAST(SUM(v) AS BIGINT) AS sentiment_sum
+             FROM toks JOIN lex ON lex.w = toks.t GROUP BY 1)
+    SELECT p.doc_id, p.n_tokens,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.sentiment_sum, 0) AS sentiment_sum,
+           CASE WHEN COALESCE(h.n_hits, 0) > 0
+                THEN CAST(h.sentiment_sum AS DOUBLE)
+                     / CAST(h.n_hits AS DOUBLE)
+                ELSE 0.0 END AS sentiment_mean
+    FROM per_doc p LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@register("text_sentiment_score", oracle=_sentiment_oracle())
+def text_sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment per doc (operators/text.py::sentiment_score) —
+    the classic Spark-scale text-analytics workload (EDBT'16-style
+    lexicon scoring): broadcast lexicon equi-join, integer-exact
+    valence sums, coverage stats; fully oracle-replayed."""
+    from ..operators.text import sentiment_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return sentiment_score(d)
