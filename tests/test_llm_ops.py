@@ -966,3 +966,35 @@ def test_logreg_train_loop_matches_numpy_reference(spark, sf_dir):
     assert any(
         not math.isclose(got[(2, n)], got[(0, n)], abs_tol=1e-12) for n in names
     )
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
+    """Every cluster keeps min(quota, cluster_size) members, ranks are
+    1..quota dense within a cluster, sampled ids are a subset of the
+    corpus, and the selection is rerun-identical (md5 rank, no RNG)."""
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(e, per_cluster=5, every_nth=50).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    assert by_cluster, "no clusters sampled"
+    for cid, rows in by_cluster.items():
+        size = rows[0]["cluster_size"]
+        assert all(r["cluster_size"] == size for r in rows)
+        assert len(rows) == min(5, size)
+        assert sorted(r["sample_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    corpus_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert {r["vec_id"] for r in out} <= corpus_ids
+    # total cluster_size over distinct clusters covers the whole corpus
+    assert sum(rows[0]["cluster_size"] for rows in by_cluster.values()) == len(
+        corpus_ids
+    )
+    again = cluster_balanced_sample(e, per_cluster=5, every_nth=50).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

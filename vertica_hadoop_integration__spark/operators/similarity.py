@@ -1471,3 +1471,57 @@ def embedding_outliers(
         .limit(top_k)
         .select(id_col, "maha2", "l2_norm", "n_dims_scored")
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int = 10,
+    every_nth: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: assign every vector to its
+    nearest centroid, then keep at most ``per_cluster`` members of each
+    cluster, chosen by a deterministic per-id hash rank — the
+    embedding-space analogue of stratified sampling.  Where
+    source-stratified / temperature sampling flatten the FEED mixture,
+    this flattens the SEMANTIC mixture: dense regions (near-duplicate
+    topic blobs that survive dedup) stop dominating the training set,
+    and rare-topic clusters keep representation — the diversity-first
+    selection step used after SemDeDup-style clustering.
+
+    Scale shape: centroid pick is a filter, assignment is the map-only
+    broadcast-centroid Arrow kernel (zero shuffle), and the quota is a
+    per-centroid window over the one centroid-keyed exchange — the
+    cluster_size count reuses the same partitioning, so ONE shuffle
+    total.  The md5 rank makes reruns and the oracle bit-identical
+    (same pattern as corpus_weighted_sample).  Output:
+    (centroid_id, id, sample_rank, cluster_size).
+    """
+    from ..functions.text_fns import md5_hash60
+
+    cents = pick_centroids(emb, every_nth, id_col=id_col, vec_col=vec_col)
+    assigned = assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+    keyed = assigned.select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        md5_hash60(
+            F.concat_ws(":", F.lit("cbs"), F.col(id_col).cast("string"))
+        ).alias("_u"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("_u").asc(), F.col(id_col).asc()
+    )
+    ranked = keyed.select(
+        "*",
+        F.row_number().over(w).alias("sample_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("centroid_id"))
+        .alias("cluster_size"),
+    )
+    return ranked.filter(F.col("sample_rank") <= per_cluster).select(
+        "centroid_id",
+        id_col,
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

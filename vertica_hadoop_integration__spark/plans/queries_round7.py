@@ -620,3 +620,121 @@ def text_sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sentiment_score(d)
+
+
+# -- cluster-balanced diversity sampling (oracle-exact) -----------------------
+@register(
+    "corpus_cluster_balanced_sample",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent) WHERE rn = 1),
+    keyed AS (
+        SELECT vec_id, centroid_id,
+               CAST(('0x'||substr(md5('cbs:'||CAST(vec_id AS VARCHAR)),1,15))
+                    AS BIGINT) AS u
+        FROM assign),
+    ranked AS (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY centroid_id
+                                  ORDER BY u, vec_id) AS rn,
+               count(*) OVER (PARTITION BY centroid_id) AS n
+        FROM keyed)
+    SELECT centroid_id, vec_id, CAST(rn AS INT) AS sample_rank,
+           CAST(n AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def corpus_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (operators/similarity.py::
+    cluster_balanced_sample): nearest-centroid assignment + a fixed
+    per-cluster quota by deterministic md5 rank — flattens the SEMANTIC
+    mixture the way temperature sampling flattens the source mixture,
+    so dense topic blobs stop dominating the training set.  Map-only
+    assignment, one centroid-keyed exchange shared by rank and size;
+    assignment + quota both replayed by the oracle."""
+    from ..operators.similarity import cluster_balanced_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(e, per_cluster=10, every_nth=50)
+
+
+# -- quality-classifier calibration / reliability diagram (oracle-exact) -----
+@register(
+    "text_quality_calibration",
+    oracle=r"""
+    WITH t AS (
+        SELECT length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    z AS (
+        SELECT CASE WHEN n_chars >= 100 AND n_tok >= 20
+                         AND n_punct * 5 <= n_chars THEN 1 ELSE 0 END AS label,
+               1.0 / (1.0 + exp(-(-1.5 + 0.6 * ln(CAST(n_tok AS DOUBLE))
+                    + 8.0 * (CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                    - 12.0 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                    - 0.35 * (CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)))))
+                   AS p
+        FROM t),
+    b AS (SELECT least(CAST(floor(p * 10.0) AS INT), 9) AS bin, p, label FROM z)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(p AS DECIMAL(30,15))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_predicted,
+           CAST(SUM(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS empirical_rate
+    FROM b GROUP BY 1
+    """,
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the served quality classifier: decile
+    bins of predicted keep-probability vs the empirical rule-label rate
+    — the calibration check a curation team runs before trusting the
+    model gate's threshold (the confusion matrix says WHERE the gate
+    disagrees; this says whether the PROBABILITIES mean anything).
+    One scan: scoring, binning, and the <=10-cell aggregate all in the
+    scan stage; bin means via DECIMAL sums so the oracle replays
+    bit-for-bit.  Score recomputation matches text_quality_logreg to
+    the ulp (identical cast shapes and association)."""
+    from ..operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    f = T.quality_features(d)
+    z = (
+        F.lit(-1.5)
+        + F.lit(0.6) * F.log(F.col("n_tokens").cast("double"))
+        + F.lit(8.0) * F.col("stopword_ratio")
+        - F.lit(12.0) * F.col("punct_ratio")
+        - F.lit(0.35) * F.col("avg_token_len")
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        f.select(
+            F.least(F.floor(prob * F.lit(10.0)).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+            prob.alias("_p"),
+            F.col("quality_ok").cast("int").alias("_label"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("_p").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_predicted"),
+            (
+                F.sum("_label").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("empirical_rate"),
+        )
+    )
