@@ -170,6 +170,11 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "embedding_outlier_scores",
     "text_sentiment_score",
+    # round-7 continuation: cluster-balanced diversity sampling,
+    # classifier calibration report, small-file compaction round-trip
+    "corpus_cluster_balanced_sample",
+    "text_quality_calibration",
+    "layout_compact_roundtrip",
 ]
 
 

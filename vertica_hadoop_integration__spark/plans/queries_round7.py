@@ -738,3 +738,49 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("empirical_rate"),
         )
     )
+
+
+# -- small-file compaction round-trip (oracle-exact) --------------------------
+@register(
+    "layout_compact_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DECIMAL(38,2))
+               AS price_sum,
+           CAST(64 AS INT) AS files_before,
+           CAST(1 AS INT) AS files_after
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    """,
+)
+def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources/maintenance.py::
+    compact_path, cited to the reference's per-mapper file fanout,
+    sqoop_pyhive.py:30-32): fragment a lineitem slice into 64 tiny
+    parquet files (the incremental-ingest pathology), compact the
+    directory atomically to ~target-size files, and summarize from the
+    READ-BACK frame only — count, exact key sum, DECIMAL price sum, so
+    the oracle (reading the parquet source) certifies the rewrite
+    lossless.  The observed before/after file counts ride along as plan
+    literals: 64 by construction, 1 after (slice ≪ target), so a
+    compaction that silently stopped merging breaks the hash too."""
+    import tempfile
+
+    from ..sources.maintenance import compact_path
+
+    path = tempfile.mkdtemp(prefix="compact_rt_") + "/t"
+    sl = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 5 == 0
+    )
+    sl.repartition(64).write.parquet(path)
+    stats = compact_path(spark, path, target_file_bytes=128 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+        .cast("decimal(38,2)")
+        .alias("price_sum"),
+        F.lit(int(stats["files_before"])).cast("int").alias("files_before"),
+        F.lit(int(stats["files_after"])).cast("int").alias("files_after"),
+    )
