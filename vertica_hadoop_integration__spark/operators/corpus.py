@@ -793,15 +793,24 @@ def dsir_sample(
     fixed-size regardless of corpus scale."""
     from ..functions.text_fns import md5_hash60, shingles, tokens
 
+    # spread a few-file scan across the cluster before the CPU-bound
+    # tokenize+hash explode (the profile_correlation_matrix lesson:
+    # a 2-partition parquet input serialized the pass — 3.8s -> 0.8s at
+    # sf0.1); at real scale the scan already yields many partitions and
+    # this is a no-op
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     text = F.col(text_col)
-    uni = df.select(
-        F.col(id_col), F.explode(tokens(text)).alias("_f")
-    )
-    bi = df.select(
-        F.col(id_col), F.explode(shingles(text, 2)).alias("_f")
-    )
+    # unigrams + bigrams in ONE text scan (concat of the two arrays,
+    # one explode) — same feature multiset as the two-scan union, so
+    # bucket tf counts and the oracle are unchanged; measured faster
+    # than the union at equal spread (0.76 vs 0.96s median, sf0.1)
     feats = (
-        uni.unionByName(bi)
+        df.select(
+            F.col(id_col),
+            F.explode(F.concat(tokens(text), shingles(text, 2))).alias("_f"),
+        )
         .select(
             F.col(id_col),
             F.pmod(md5_hash60(F.col("_f")), F.lit(num_buckets)).alias("bucket"),
