@@ -563,7 +563,10 @@ def bloom_decontaminate(
     set (potentially GBs) with a fixed-size bitmap."""
     from ..functions.text_fns import md5_hash60, shingles
 
+    from ..functions.df_utils import spread
+
     bits = bloom_bitmap(eval_shingles, m=m, seeds=seeds)
+    df = spread(df)
     doc_sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
@@ -640,9 +643,13 @@ def clean_corpus_portable(
 
     Returns the surviving (id) rows. Stage order matters and is part of
     the contract: gates cut volume before any pair generation."""
+    from ..functions.df_utils import spread
     from .dedup import containment_pairs_portable
     from .text import quality_logreg
 
+    # spread the few-partition scan before the CPU-bound gate/decon/
+    # shingle stages (no-op at real scale)
+    df = spread(df)
     kept = df.join(
         quality_logreg(df, text_col, id_col)
         .filter(F.col("quality_prob") >= min_prob)
@@ -733,13 +740,16 @@ def semantic_decontaminate(
 
     Returns (vec_id, best_eval_id, cos_sim) for contaminated vectors
     only — the drop list a cleaning pipeline anti-joins against."""
+    from ..functions.df_utils import spread
     from ..functions.vector_fns import dot, normalize
 
     ev = eval_emb.select(
         F.col(id_col).alias("eval_id"), normalize(F.col(vec_col)).alias("ue")
     )
-    corpus = corpus_emb.select(
-        F.col(id_col), normalize(F.col(vec_col)).alias("uc")
+    # spread: the per-(corpus, eval) dot folds are CPU-bound and a small
+    # parquet corpus scans as one partition (no-op at real scale)
+    corpus = spread(
+        corpus_emb.select(F.col(id_col), normalize(F.col(vec_col)).alias("uc"))
     )
     scored = corpus.crossJoin(F.broadcast(ev)).select(
         id_col,

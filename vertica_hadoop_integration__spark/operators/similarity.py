@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.df_utils import spread
 from ..functions.vector_fns import cosine, dot, l2_norm, normalize
 
 # -- exact brute force ------------------------------------------------------
@@ -58,7 +59,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # spread: the per-pair fold is CPU-bound and a small parquet corpus
+    # scans as one partition (no-op at real scale)
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
     if scorer is None:
         q = q.withColumn("_qn", l2_norm(F.col("q_vec")))
         c = c.withColumn("_cn", l2_norm(F.col("c_vec")))
@@ -100,10 +107,12 @@ def range_search(
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
+        )
     )
     sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))
     return (
@@ -419,11 +428,13 @@ def hard_negatives(
         F.col(label_col).alias("q_label"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("negative_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(label_col).alias("c_label"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("c_label"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
+        )
     )
     # norms once per vector per side; value bitwise-equal to cosine()
     sim = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_qn") * F.col("_cn"))
@@ -491,7 +502,9 @@ def brute_force_topk_matrix(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    # spread: one Arrow batch per input partition — a 1-partition scan
+    # would run the matmul kernel on a single core (no-op at real scale)
+    partial = spread(corpus.select(id_col, vec_col)).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(

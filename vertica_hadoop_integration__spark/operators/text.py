@@ -602,7 +602,11 @@ def bpe_encode(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    from ..functions.df_utils import spread
+
+    # spread: one Arrow batch stream per partition — a 1-partition scan
+    # would run the merge loop on a single core (no-op at real scale)
+    return spread(df.select(id_col, text_col)).mapInPandas(
         run,
         schema=(
             f"{id_col} long, n_char_tokens long, n_bpe_tokens long, "
