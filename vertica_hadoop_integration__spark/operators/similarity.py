@@ -228,7 +228,7 @@ def _assign_arrow(
 
     _nearest.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     udf = pandas_udf(_nearest, "long")
-    return corpus.select(
+    return spread(corpus.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), F.col(vec_col), udf(F.col(vec_col)).alias("centroid_id")
     )
 
@@ -680,7 +680,9 @@ def _pq_codes_and_lut(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     cbl = _pq_cbl(corpus, n_codes, every_nth, id_col, vec_col)
-    xl = c.select(F.col(id_col), F.posexplode("v").alias("d", "xv"))
+    # spread: the dim-explode + broadcast LUT join is CPU-bound map
+    # work and a small parquet corpus scans as one partition
+    xl = spread(c).select(F.col(id_col), F.posexplode("v").alias("d", "xv"))
     ed = (
         xl.join(F.broadcast(cbl), on="d")
         .select(
@@ -963,7 +965,7 @@ def random_projection(
     this form as its correctness oracle."""
     from ..functions.text_fns import md5_hash60
 
-    x = df.select(
+    x = spread(df.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "v")
     ).select(
         F.col(id_col),
