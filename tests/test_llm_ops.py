@@ -998,3 +998,33 @@ def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
     )
     again = cluster_balanced_sample(e, per_cluster=5, every_nth=50).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_change_point_scan_locates_planted_shift(spark):
+    """A series with a known level shift at position 30 (of 48) has its
+    argmax split exactly there; a flat series scores (near) zero."""
+    import datetime as dt
+
+    from vertica_hadoop_integration__spark.operators.temporal import (
+        change_point_scan,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(48):
+        # shifted series: mean 10.0 then 20.0 from position 30 (1-based 31)
+        rows.append(
+            ("shift", base + dt.timedelta(minutes=10 * i), i, 10.0 if i < 30 else 20.0)
+        )
+        rows.append(("flat", base + dt.timedelta(minutes=10 * i), 1000 + i, 5.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["event_type"]: r
+        for r in change_point_scan(df, min_segment=4).collect()
+    }
+    assert out["shift"]["split_i"] == 30
+    assert abs(out["shift"]["mean_before"] - 10.0) < 1e-12
+    assert abs(out["shift"]["mean_after"] - 20.0) < 1e-12
+    assert out["shift"]["score"] > 10 * out["flat"]["score"]

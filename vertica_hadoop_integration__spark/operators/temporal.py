@@ -692,3 +692,98 @@ def anomaly_zscore(
         mean.alias("baseline_mean"),
         z.alias("zscore"),
     )
+
+
+def change_point_scan(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_segment: int = 4,
+) -> DataFrame:
+    """Offline mean-shift change-point localization per (series, day):
+    for every candidate split position in a day's ordered value stream,
+    score the standardized before/after mean gap
+    ``|mean_l - mean_r| * sqrt(i*(n-i)/n)`` and keep the argmax — the
+    single-change-point least-squares scan (the inner step of binary
+    segmentation), the monitoring primitive between point anomalies
+    (events_anomaly_zscore/mad — "this value is odd") and this
+    ("the LEVEL moved at 14:07").
+
+    The candidate sweep needs only prefix sums: one cumulative DECIMAL
+    window per (type, day) gives every split's exact left/right sums in
+    a single pass — no per-split rescan, no self-join.  Segmenting by
+    day bounds each window partition by construction (the 100 TB
+    contract every windowed operator here follows); an unsegmented
+    change-point over an unbounded series is the documented anti-shape.
+    All sums are DECIMAL until the final double divisions, so the
+    entire scan — ordering, prefix sums, scores, argmax tie-break
+    (earlier split wins) — replays in SQL.
+
+    Output: (type, seg_start, n, split_i, change_ts, mean_before,
+    mean_after, score) — one row per (type, day) with n >= 2*min_segment,
+    split candidates restricted to [min_segment, n-min_segment]."""
+    dec = "decimal(30,15)"
+    seg = F.date_trunc("day", F.col(ts_col))
+    w_ord = Window.partitionBy(type_col, "seg_start").orderBy(ts_col, id_col)
+    pre = (
+        events.select(
+            F.col(type_col),
+            seg.alias("seg_start"),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(value_col),
+        )
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "s",
+            F.sum(F.col(value_col).cast(dec)).over(w_ord),
+        )
+    )
+    tot = pre.groupBy(type_col, "seg_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast(dec)).alias("t"),
+    )
+    j = pre.join(tot, on=[type_col, "seg_start"]).filter(
+        (F.col("i") >= F.lit(min_segment))
+        & (F.col("i") <= F.col("n") - F.lit(min_segment))
+    )
+    ml = F.col("s").cast("double") / F.col("i").cast("double")
+    mr = (F.col("t") - F.col("s")).cast("double") / (
+        F.col("n") - F.col("i")
+    ).cast("double")
+    scored = j.select(
+        type_col,
+        "seg_start",
+        "n",
+        "i",
+        F.col(ts_col),
+        ml.alias("mean_before"),
+        mr.alias("mean_after"),
+        (
+            F.abs(ml - mr)
+            * F.sqrt(
+                F.col("i").cast("double")
+                * (F.col("n") - F.col("i")).cast("double")
+                / F.col("n").cast("double")
+            )
+        ).alias("score"),
+    )
+    w_pick = Window.partitionBy(type_col, "seg_start").orderBy(
+        F.desc("score"), F.asc("i")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            type_col,
+            "seg_start",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("i").cast("int").alias("split_i"),
+            F.col(ts_col).alias("change_ts"),
+            "mean_before",
+            "mean_after",
+            "score",
+        )
+    )

@@ -784,3 +784,58 @@ def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(stats["files_before"])).cast("int").alias("files_before"),
         F.lit(int(stats["files_after"])).cast("int").alias("files_after"),
     )
+
+
+# -- offline change-point localization per (type, day) (oracle-exact) --------
+@register(
+    "events_change_point",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                          AS seg_start,
+                      CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events),
+    pre AS (
+        SELECT event_type, seg_start, ts, event_id,
+               row_number() OVER w AS i,
+               SUM(CAST(value AS DECIMAL(30,15))) OVER w AS s
+        FROM e
+        WINDOW w AS (PARTITION BY event_type, seg_start
+                     ORDER BY ts, event_id)),
+    tot AS (
+        SELECT event_type, seg_start, count(*) AS n,
+               SUM(CAST(value AS DECIMAL(30,15))) AS t
+        FROM e GROUP BY 1, 2),
+    scored AS (
+        SELECT p.event_type, p.seg_start, tot.n, p.i, p.ts,
+               CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE) AS mean_before,
+               CAST(tot.t - p.s AS DOUBLE)
+                   / CAST(tot.n - p.i AS DOUBLE) AS mean_after,
+               abs(CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE)
+                   - CAST(tot.t - p.s AS DOUBLE)
+                     / CAST(tot.n - p.i AS DOUBLE))
+               * sqrt(CAST(p.i AS DOUBLE) * CAST(tot.n - p.i AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE)) AS score
+        FROM pre p JOIN tot USING (event_type, seg_start)
+        WHERE p.i >= 4 AND p.i <= tot.n - 4),
+    picked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, seg_start
+                      ORDER BY score DESC, i) AS rn
+        FROM scored)
+    SELECT event_type, seg_start, CAST(n AS BIGINT) AS n,
+           CAST(i AS INT) AS split_i, ts AS change_ts,
+           mean_before, mean_after, score
+    FROM picked WHERE rn = 1
+    """,
+)
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift change-point localization per (event_type, day)
+    (operators/temporal.py::change_point_scan): the single-change-point
+    least-squares scan via prefix sums — one cumulative DECIMAL window
+    per bounded (type, day) segment scores EVERY split position without
+    rescans or self-joins; argmax with earlier-split tie-break.  The
+    level-shift monitoring report between the point-anomaly queries and
+    the seasonal baseline; fully oracle-replayed."""
+    from ..operators.temporal import change_point_scan
+
+    e = load_table(spark, sf_dir, "events")
+    return change_point_scan(e, min_segment=4)
