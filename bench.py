@@ -175,6 +175,11 @@ HEADLINE = [
     "corpus_cluster_balanced_sample",
     "text_quality_calibration",
     "layout_compact_roundtrip",
+    # change-point localization, Matryoshka truncation fidelity,
+    # LSH-dedup recall audit
+    "events_change_point",
+    "embedding_truncation_eval",
+    "dedup_recall_report",
 ]
 
 

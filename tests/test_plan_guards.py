@@ -46,6 +46,13 @@ BNLJ_OK = {
     "corpus_source_overlap",    # source-pair expansion is a broadcast
                                 # cross of the DISTINCT-source list
                                 # (sketch-table-sized, never corpus rows)
+    "embedding_truncation_eval",  # two brute_force_topk legs (broadcast
+                                  # query side, same as ann_cosine_topk)
+    "dedup_recall_report",      # bounded-input contract: the exhaustive
+                                # truth pass's crossJoin side is
+                                # structurally capped (doc_id < 200) in
+                                # the plan; also carries the 1-row
+                                # n_true x n_found report cross
 }
 
 # A broadcast CROSS join of a 1-ROW aggregate (global bounds / totals /

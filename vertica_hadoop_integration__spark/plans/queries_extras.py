@@ -2154,13 +2154,13 @@ def sketch_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.kmv_distinct_portable(o, "o_custkey", ("o_orderstatus",), k=64)
 
 
-def _minhash_portable_oracle(
-    num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.5,
-    src: str = "documents",
+def _minhash_portable_cte(
+    num_hashes: int = 8, bands: int = 4, src: str = "documents",
 ) -> str:
-    """SQL replay of minhash_dedup_portable: word-3-gram shingles, eight
-    seeded md5-60 signature mins, 4x2 banding on raw signature tuples,
-    distinct in-bucket candidates, exact shingle-set Jaccard verify."""
+    """The WITH-body of the minhash_dedup_portable replay (CTEs toks,
+    sh, sig, bands, cand, ver) — shared by the full-pipeline oracle
+    below and the recall-report oracle that composes it with an
+    exhaustive ground-truth pass."""
     rpb = num_hashes // bands
     sig_cols = ",\n           ".join(
         "list_min(list_transform(shs, s -> "
@@ -2175,8 +2175,7 @@ def _minhash_portable_oracle(
         for b in range(bands)
     )
     on = " AND ".join(f"a.x{r} = b.x{r}" for r in range(rpb))
-    return rf"""
-    WITH toks AS (
+    return rf"""toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
       FROM {src}),
     sh AS (
@@ -2197,7 +2196,18 @@ def _minhash_portable_oracle(
              CAST(len(sa.shs) + len(sb.shs)
                   - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
       FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id_a
-                  JOIN sig sb ON sb.doc_id = c.doc_id_b)
+                  JOIN sig sb ON sb.doc_id = c.doc_id_b)"""
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 8, bands: int = 4, min_jaccard: float = 0.5,
+    src: str = "documents",
+) -> str:
+    """SQL replay of minhash_dedup_portable: word-3-gram shingles, eight
+    seeded md5-60 signature mins, 4x2 banding on raw signature tuples,
+    distinct in-bucket candidates, exact shingle-set Jaccard verify."""
+    return rf"""
+    WITH {_minhash_portable_cte(num_hashes, bands, src)}
     SELECT doc_id_a, doc_id_b, jaccard FROM ver WHERE jaccard >= {min_jaccard}
     """
 

@@ -839,3 +839,142 @@ def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return change_point_scan(e, min_segment=4)
+
+
+# -- prefix-dim truncation fidelity report (oracle-exact) --------------------
+@register(
+    "embedding_truncation_eval",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    t AS (SELECT vec_id, v, v[1:16] AS v16 FROM c),
+    q AS (SELECT vec_id AS query_id, v, v16 FROM t WHERE vec_id < 10),
+    full_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, t.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.v, t.v) DESC,
+                                t.vec_id) AS rn
+            FROM q, t WHERE t.vec_id <> q.query_id) WHERE rn <= 5),
+    tr_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, t.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.v16, t.v16) DESC,
+                                t.vec_id) AS rn
+            FROM q, t WHERE t.vec_id <> q.query_id) WHERE rn <= 5),
+    ov AS (
+        SELECT f.query_id, count(*) AS n_overlap
+        FROM full_topk f JOIN tr_topk USING (query_id, neighbor_id)
+        GROUP BY 1)
+    SELECT q.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM q LEFT JOIN ov USING (query_id)
+    """,
+)
+def embedding_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension truncation fidelity (the Matryoshka-embedding
+    question): per query, how much of the exact 64-dim cosine top-5
+    survives when vectors are truncated to their first 16 dims — the
+    report that decides whether a cheaper prefix index is safe for
+    first-stage retrieval.  Both legs are the same broadcast-query
+    brute-force scan (operators/similarity.py::brute_force_topk), the
+    truncated leg over a sliced projection; overlap by equi-join.
+    Same rank-boundary tolerance argument as ann_recall_report."""
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full = brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    t16 = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    tr = brute_force_topk(t16, t16.filter(F.col("vec_id") < 10), k=5)
+    ov = (
+        full.select("query_id", "neighbor_id")
+        .join(tr.select("query_id", "neighbor_id"), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return qs.join(ov, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce(F.col("_n"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+# -- LSH dedup recall/precision report vs exhaustive truth (oracle-exact) ----
+def _dedup_recall_oracle() -> str:
+    from .queries_extras import _minhash_portable_cte
+
+    cte = _minhash_portable_cte(
+        num_hashes=8, bands=4,
+        src="(SELECT * FROM documents WHERE doc_id < 200)",
+    )
+    return rf"""
+    WITH {cte},
+    truth AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                   / CAST(len(a.shs) + len(b.shs)
+                          - len(list_intersect(a.shs, b.shs)) AS DOUBLE) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    tp AS (SELECT count(*) AS n_true FROM truth WHERE j >= 0.5),
+    fo AS (SELECT count(*) AS n_found FROM ver WHERE jaccard >= 0.5)
+    SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_found AS BIGINT) AS n_found_pairs,
+           CASE WHEN n_true > 0
+                THEN CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE)
+           END AS recall
+    FROM tp, fo
+    """
+
+
+@register("dedup_recall_report", oracle=_dedup_recall_oracle())
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-dedup recall audit, BOUNDED-INPUT CONTRACT (the dedup twin
+    of ann_recall_report): on the doc_id < 200 slice, compare the
+    MinHash-LSH pipeline's verified pairs (operators/dedup.py::
+    minhash_dedup_portable — a SUBSET of truth, since banding only
+    loses candidates and the verify is exact) against the exhaustive
+    all-pairs shingle-Jaccard ground truth.  Recall < 1 quantifies the
+    banding miss-rate at the operating threshold — the number a
+    curation team checks before trusting 8x4 banding at 0.5.  The
+    structural doc_id cap keeps the quadratic truth pass bounded (and
+    its build side broadcastable) at any scale factor, exactly the
+    dedup_embedding_cosine_exact_smalln contract; the production-scale
+    recall knobs stay num_hashes/bands."""
+    from ..functions.text_fns import shingles
+    from ..operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lsh = D.minhash_dedup_portable(
+        d, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
+    )
+    sh = d.select(
+        F.col("doc_id"),
+        F.array_distinct(shingles(F.col("text"), 3)).alias("shs"),
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("shs").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    truth = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select((inter.cast("double") / union.cast("double")).alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    tp = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    fo = lsh.agg(F.count(F.lit(1)).alias("n_found"))
+    return tp.crossJoin(fo).select(
+        F.col("n_true").cast("bigint").alias("n_true_pairs"),
+        F.col("n_found").cast("bigint").alias("n_found_pairs"),
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_found").cast("double") / F.col("n_true").cast("double"),
+        ).alias("recall"),
+    )
