@@ -180,6 +180,7 @@ HEADLINE = [
     "events_change_point",
     "embedding_truncation_eval",
     "dedup_recall_report",
+    "basket_affinity_rules",
 ]
 
 

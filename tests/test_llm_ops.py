@@ -1028,3 +1028,34 @@ def test_change_point_scan_locates_planted_shift(spark):
     assert abs(out["shift"]["mean_before"] - 10.0) < 1e-12
     assert abs(out["shift"]["mean_after"] - 20.0) < 1e-12
     assert out["shift"]["score"] > 10 * out["flat"]["score"]
+
+
+def test_basket_affinity_rules_planted_lift(spark, sf_dir):
+    """A planted always-together pair tops the lift ranking with
+    conf(a->b)=1.0 and lift=n_orders/n_b for a pair unique to its
+    orders; a ubiquitous part has lift 1.0 with everything."""
+    from vertica_hadoop_integration__spark.plans import QUERIES
+
+    rows = []
+    # 10 orders; parts 100&101 always co-occur in orders 0-2 only;
+    # part 999 is in every order (lift 1 with anything)
+    for o in range(10):
+        rows.append((o, 999))
+        rows.append((o, 200 + o))
+        if o < 3:
+            rows.append((o, 100))
+            rows.append((o, 101))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="basket_")
+    df.write.parquet(d + "/lineitem.parquet")
+    out = QUERIES["basket_affinity_rules"](spark, d).collect()
+    top = out[0]
+    assert (top["part_a"], top["part_b"]) == (100, 101)
+    assert top["n_both"] == 3 and top["n_a"] == 3 and top["n_b"] == 3
+    assert abs(top["conf_a_to_b"] - 1.0) < 1e-15
+    assert abs(top["lift"] - 10.0 / 3.0) < 1e-12
+    with_999 = [r for r in out if r["part_b"] == 999 or r["part_a"] == 999]
+    for r in with_999:
+        assert abs(r["lift"] - 1.0) < 1e-12

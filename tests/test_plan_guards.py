@@ -88,6 +88,7 @@ SCALAR_BROADCAST_OK = {
     "text_kn_bigram_logprob",       # 1-row bigram-type-total scalar
     "corpus_dedup_summary",         # three 1-row funnel-count scalars
     "dq_freshness",                 # 1-row corpus-max-timestamp anchor
+    "basket_affinity_rules",        # 1-row distinct-order-total scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -46,8 +46,13 @@ def main() -> None:
         correlation_matrix,
     )
     from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        cluster_balanced_sample,
         pq_rerank_topk,
         standardize_embeddings,
+    )
+    from vertica_hadoop_integration__spark.operators.temporal import (
+        change_point_scan,
     )
     from vertica_hadoop_integration__spark.operators.text import (
         char_entropy,
@@ -80,7 +85,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return {"best": best, "trials": trials}
 
-    def suite(e, dc, li):
+    def suite(e, dc, li, ev):
         q = e.filter(F.col("vec_id") < 5)
         return {
             "pq_rerank_topk": lambda: pq_rerank_topk(
@@ -106,19 +111,40 @@ def main() -> None:
             .count(),
             "ngram_novelty": lambda: ngram_novelty(dc)
             .agg(F.sum("n_shared_grams")).collect(),
+            # r07 continuation: quota sampling (map-only assignment, one
+            # centroid-keyed exchange), truncation eval (two broadcast-
+            # query scans), calibration (one scan-stage pass)
+            "cluster_balanced_sample": lambda: cluster_balanced_sample(
+                e, per_cluster=10, every_nth=50
+            ).count(),
+            "truncation_eval_leg": lambda: brute_force_topk(
+                e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+                e.filter(F.col("vec_id") < 10).select(
+                    "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+                ),
+                k=5,
+            ).count(),
+            # per-(type, day) segments each grow 10x rows; the scan's
+            # prefix-sum window and split scoring grow linearly with
+            # segment size, the picked rows stay type x day
+            "change_point_scan": lambda: change_point_scan(ev).count(),
         }
 
     li = spark.read.parquet(os.path.join(SF, "lineitem.parquet")).select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
     out = {}
-    out["1x"] = {k: run(v) for k, v in suite(emb, docs, li).items()}
+    out["1x"] = {k: run(v) for k, v in suite(emb, docs, li, ev).items()}
     emb10 = replicate(emb, "vec_id")
     docs10 = replicate(docs, "doc_id")
+    ev10 = replicate(ev, "event_id")
     li10 = li
     for _ in range(REP - 1):
         li10 = li10.unionByName(li)
-    out["10x"] = {k: run(v) for k, v in suite(emb10, docs10, li10).items()}
+    out["10x"] = {k: run(v) for k, v in suite(emb10, docs10, li10, ev10).items()}
     with open("/root/repo/reports/scale_new_ops_round7.json", "w") as fh:
         json.dump(out, fh)
     print(json.dumps(out))

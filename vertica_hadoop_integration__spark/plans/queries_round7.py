@@ -978,3 +978,91 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_found").cast("double") / F.col("n_true").cast("double"),
         ).alias("recall"),
     )
+
+
+# -- market-basket affinity rules (oracle-exact) ------------------------------
+@register(
+    "basket_affinity_rules",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    tot AS (SELECT count(DISTINCT o) AS n_orders FROM e),
+    singles AS (SELECT p, count(*) AS n_p FROM e GROUP BY 1),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_both
+        FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT pr.part_a, pr.part_b,
+               CAST(pr.n_both AS BIGINT) AS n_both,
+               CAST(sa.n_p AS BIGINT) AS n_a,
+               CAST(sb.n_p AS BIGINT) AS n_b,
+               CAST(pr.n_both AS DOUBLE) / CAST(sa.n_p AS DOUBLE)
+                   AS conf_a_to_b,
+               (CAST(pr.n_both AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+                   / (CAST(sa.n_p AS DOUBLE) * CAST(sb.n_p AS DOUBLE))
+                   AS lift
+        FROM pairs pr
+        JOIN singles sa ON sa.p = pr.part_a
+        JOIN singles sb ON sb.p = pr.part_b
+        CROSS JOIN tot t
+        WHERE pr.n_both >= 3)
+    SELECT * FROM scored
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def basket_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining over co-ordered parts: support,
+    confidence, and lift for every part pair with >= 3 co-orders,
+    top-20 by lift — the classic association-rule workload (the
+    pairwise core of Apriori/FP-growth), re-expressed Spark-first.
+    Pair expansion is the bounded groupBy(order)->collect_list->double
+    explode combinator (one exchange of the fact rows, arrays bounded
+    by items-per-order — the same shape as the pagerank edge build,
+    never a corpus self-join); the order total is a 1-row broadcast
+    scalar; counts stay integer-exact until the confidence/lift
+    divisions, identically associated in the oracle.  Top-k via
+    orderBy+limit (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    tot = e.agg(F.countDistinct("o").alias("n_orders"))
+    singles = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        e.groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("pa"), "ps")
+        .select("pa", F.explode("ps").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    scored = (
+        pairs.join(
+            singles.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")),
+            on="pa",
+        )
+        .join(
+            singles.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")),
+            on="pb",
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_both") >= 3)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_both").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (
+                (F.col("n_both").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
