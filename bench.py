@@ -181,6 +181,7 @@ HEADLINE = [
     "embedding_truncation_eval",
     "dedup_recall_report",
     "basket_affinity_rules",
+    "dq_distribution_drift",
 ]
 
 

@@ -1059,3 +1059,30 @@ def test_basket_affinity_rules_planted_lift(spark, sf_dir):
     with_999 = [r for r in out if r["part_b"] == 999 or r["part_a"] == 999]
     for r in with_999:
         assert abs(r["lift"] - 1.0) < 1e-12
+
+
+def test_distribution_drift_psi_separates_shift_from_stable(spark):
+    """Identical splits score PSI ~ 0 (smoothing only); a hard mean
+    shift scores PSI >> 0.2 (the conventional alarm); bins partition
+    both splits completely."""
+    from vertica_hadoop_integration__spark.operators.profile import (
+        distribution_drift,
+    )
+
+    ref = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 2000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("v")
+    )
+    stable = distribution_drift(ref, same, "v").collect()
+    drift = distribution_drift(ref, shifted, "v").collect()
+    assert sum(r["n_ref"] for r in stable) == 2000
+    assert sum(r["n_cur"] for r in stable) == 2000
+    assert sum(r["n_cur"] for r in drift) == 2000
+    psi_stable = sum(r["psi_term"] for r in stable)
+    psi_drift = sum(r["psi_term"] for r in drift)
+    assert psi_stable < 0.01
+    assert psi_drift > 0.2
+    # every psi_term is finite even where the current split abandoned a bin
+    for r in drift:
+        assert r["psi_term"] == r["psi_term"]  # not NaN

@@ -89,6 +89,8 @@ SCALAR_BROADCAST_OK = {
     "corpus_dedup_summary",         # three 1-row funnel-count scalars
     "dq_freshness",                 # 1-row corpus-max-timestamp anchor
     "basket_affinity_rules",        # 1-row distinct-order-total scalar
+    "dq_distribution_drift",        # 1-row percentile-cuts + split-total
+                                    # scalars (PSI binning)
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -221,3 +221,81 @@ def referential_integrity(
             F.col("n_child_rows").cast("long").alias("n_child_rows"),
         )
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    split of one numeric column — the standard ML feature-drift
+    monitor: bin edges are the reference's exact interpolated deciles,
+    both splits are histogrammed against THOSE edges, and each bin
+    contributes ``(q - p) * ln(q / p)`` with add-one smoothing (a bin
+    the current split abandoned still scores finite).  Sum of psi_term
+    over the output is the PSI; > 0.2 is the conventional retrain/
+    investigate alarm.
+
+    Scale shape: two mergeable aggregate passes (the percentile cuts
+    and the per-split totals are 1-row broadcast scalars), binning is a
+    map-side count-of-cuts-below-value against the broadcast cut array
+    (the skew_range_rebalance primitive — no global window, no sort),
+    and the report joins two ``num_bins``-row count frames to a literal
+    bin spine.  Spark ``percentile`` is bit-identical to DuckDB
+    ``quantile_cont`` (verified by skew_range_rebalance), so the whole
+    report replays in SQL; ``approx_percentile`` is the 100 TB switch,
+    same plan shape."""
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    cuts = ref.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "c"
+        )
+    )
+
+    def _bins(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(
+                F.size(F.filter(F.col("c"), lambda x: F.col(col) > x))
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spark = ref.sparkSession
+    spine = spark.range(0, num_bins).select(F.col("id").cast("int").alias("bin"))
+    rc = _bins(ref).withColumnRenamed("n", "_nr")
+    cc = _bins(cur).withColumnRenamed("n", "_nc")
+    tots = ref.agg(F.count(F.lit(1)).alias("_tr")).crossJoin(
+        cur.agg(F.count(F.lit(1)).alias("_tc"))
+    )
+    j = (
+        spine.join(rc, on="bin", how="left")
+        .join(cc, on="bin", how="left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            F.coalesce(F.col("_nr"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("bigint").alias("n_cur"),
+            "_tr",
+            "_tc",
+        )
+    )
+    p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
+        F.col("_tr").cast("double") + F.lit(float(num_bins))
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
+        F.col("_tc").cast("double") + F.lit(float(num_bins))
+    )
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("p_cur"),
+        ((q - p) * F.log(q / p)).alias("psi_term"),
+    )

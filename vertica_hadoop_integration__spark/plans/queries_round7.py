@@ -1066,3 +1066,62 @@ def basket_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+# -- PSI feature-drift monitor (oracle-exact) ---------------------------------
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+    cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+    cuts AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9]) AS c
+             FROM ref),
+    rb AS (SELECT CAST(len(list_filter(cuts.c, x -> r.v > x)) AS INT) AS bin
+           FROM ref r CROSS JOIN cuts),
+    cb AS (SELECT CAST(len(list_filter(cuts.c, x -> r.v > x)) AS INT) AS bin
+           FROM cur r CROSS JOIN cuts),
+    rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+    tots AS (SELECT (SELECT count(*) FROM ref) AS tr,
+                    (SELECT count(*) FROM cur) AS tc),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    j AS (SELECT s.bin,
+                 COALESCE(rc.n, 0) AS n_ref,
+                 COALESCE(cc.n, 0) AS n_cur
+          FROM spine s
+          LEFT JOIN rc ON rc.bin = s.bin
+          LEFT JOIN cc ON cc.bin = s.bin)
+    SELECT j.bin, CAST(j.n_ref AS BIGINT) AS n_ref,
+           CAST(j.n_cur AS BIGINT) AS n_cur,
+           (CAST(j.n_ref AS DOUBLE) + 1.0)
+               / (CAST(t.tr AS DOUBLE) + 10.0) AS p_ref,
+           (CAST(j.n_cur AS DOUBLE) + 1.0)
+               / (CAST(t.tc AS DOUBLE) + 10.0) AS p_cur,
+           ((CAST(j.n_cur AS DOUBLE) + 1.0) / (CAST(t.tc AS DOUBLE) + 10.0)
+            - (CAST(j.n_ref AS DOUBLE) + 1.0) / (CAST(t.tr AS DOUBLE) + 10.0))
+           * ln(((CAST(j.n_cur AS DOUBLE) + 1.0)
+                 / (CAST(t.tc AS DOUBLE) + 10.0))
+                / ((CAST(j.n_ref AS DOUBLE) + 1.0)
+                   / (CAST(t.tr AS DOUBLE) + 10.0))) AS psi_term
+    FROM j CROSS JOIN tots t
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of orders
+    (operators/profile.py::distribution_drift): reference-decile bin
+    edges (Spark percentile == DuckDB quantile_cont bit-for-bit),
+    map-side count-of-cuts-below-value binning, add-one-smoothed
+    (q-p)*ln(q/p) terms per bin — sum(psi_term) is the PSI the feature-
+    drift monitor alarms on.  Two mergeable aggregate passes + 1-row
+    broadcast scalars; no global window; fully oracle-replayed."""
+    from ..operators.profile import distribution_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_totalprice").alias("v")
+    )
+    return distribution_drift(ref, cur, "v", num_bins=10)
