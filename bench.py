@@ -182,6 +182,7 @@ HEADLINE = [
     "dedup_recall_report",
     "basket_affinity_rules",
     "dq_distribution_drift",
+    "customer_rfm_segments",
 ]
 
 

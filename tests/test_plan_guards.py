@@ -91,6 +91,7 @@ SCALAR_BROADCAST_OK = {
     "basket_affinity_rules",        # 1-row distinct-order-total scalar
     "dq_distribution_drift",        # 1-row percentile-cuts + split-total
                                     # scalars (PSI binning)
+    "customer_rfm_segments",        # 1-row RFM quintile-cuts scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -1125,3 +1125,83 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v")
     )
     return distribution_drift(ref, cur, "v", num_bins=10)
+
+
+# -- RFM customer segmentation (oracle-exact) ---------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               epoch_us(max(o_orderdate)) AS r_us,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+        FROM orders GROUP BY 1),
+    cuts AS (
+        SELECT quantile_cont(CAST(r_us AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+               quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+               quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM base),
+    scored AS (
+        SELECT b.o_custkey,
+               CAST(len(list_filter(c.rc, x -> CAST(b.r_us AS DOUBLE) > x))
+                    + 1 AS INT) AS r_score,
+               CAST(len(list_filter(c.fc, x -> CAST(b.freq AS DOUBLE) > x))
+                    + 1 AS INT) AS f_score,
+               CAST(len(list_filter(c.mc, x -> b.mon > x)) + 1 AS INT)
+                   AS m_score,
+               b.mon_dec
+        FROM base b CROSS JOIN cuts c)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_dec) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse-offload workload: per
+    customer recency (last order date), frequency (order count), and
+    monetary (DECIMAL revenue sum), each scored 1-5 against its own
+    exact quintile cuts, reduced to the <=125-cell segment grid with
+    counts and average revenue.  Scoring is the broadcast
+    count-of-cuts-below-value primitive (skew_range_rebalance /
+    dq_distribution_drift — no ntile global window); recency compares
+    exact unix_micros (the NTZ lesson: never second-truncating casts).
+    One customer-keyed aggregation, two 1-row scalar broadcasts, all
+    sums DECIMAL until the final division; fully oracle-replayed."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate arrives TIMESTAMP_NTZ; session tz is UTC so the cast
+    # is value-preserving and unix_micros matches DuckDB epoch_us
+    base = o.groupBy("o_custkey").agg(
+        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp"))).alias(
+            "r_us"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon_dec"),
+    ).withColumn("mon", F.col("mon_dec").cast("double"))
+    qs = [F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)]
+    cuts = base.agg(
+        F.percentile(F.col("r_us").cast("double"), F.array(*qs)).alias("rc"),
+        F.percentile(F.col("freq").cast("double"), F.array(*qs)).alias("fc"),
+        F.percentile(F.col("mon"), F.array(*qs)).alias("mc"),
+    )
+
+    def score(arr: str, val) -> F.Column:
+        return (
+            F.size(F.filter(F.col(arr), lambda x: val > x)) + F.lit(1)
+        ).cast("int")
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        score("rc", F.col("r_us").cast("double")).alias("r_score"),
+        score("fc", F.col("freq").cast("double")).alias("f_score"),
+        score("mc", F.col("mon")).alias("m_score"),
+        F.col("mon_dec"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.sum("mon_dec").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_monetary"),
+    )
