@@ -909,9 +909,13 @@ def embedding_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- LSH dedup recall/precision report vs exhaustive truth (oracle-exact) ----
 def _dedup_recall_oracle() -> str:
-    from .queries_extras import _minhash_portable_cte
+    # oracle_fragments is import-side-effect-free: pulling the shared
+    # CTE from queries_extras here would run its @register block
+    # mid-file and splice ~90 queries into round-7's registration slot,
+    # pushing the queries below out of the driver's first-50 sample
+    from .oracle_fragments import minhash_portable_cte
 
-    cte = _minhash_portable_cte(
+    cte = minhash_portable_cte(
         num_hashes=8, bands=4,
         src="(SELECT * FROM documents WHERE doc_id < 200)",
     )
