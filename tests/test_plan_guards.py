@@ -50,7 +50,7 @@ BNLJ_OK = {
                                   # query side, same as ann_cosine_topk)
     "dedup_recall_report",      # bounded-input contract: the exhaustive
                                 # truth pass's crossJoin side is
-                                # structurally capped (doc_id < 200) in
+                                # structurally capped (doc_id < 500) in
                                 # the plan; also carries the 1-row
                                 # n_true x n_found report cross
 }

@@ -917,16 +917,22 @@ def _dedup_recall_oracle() -> str:
 
     cte = minhash_portable_cte(
         num_hashes=8, bands=4,
-        src="(SELECT * FROM documents WHERE doc_id < 200)",
+        src="(SELECT * FROM documents WHERE doc_id < 500)",
     )
     return rf"""
     WITH {cte},
+    hsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shs,
+                   s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS hs
+        FROM sh),
     truth AS (
-        SELECT a.doc_id AS da, b.doc_id AS db,
-               CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-                   / CAST(len(a.shs) + len(b.shs)
-                          - len(list_intersect(a.shs, b.shs)) AS DOUBLE) AS j
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        SELECT CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                   / CAST(len(a.hs) + len(b.hs)
+                          - len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS j
+        FROM hsets a JOIN hsets b ON a.doc_id < b.doc_id
+        WHERE 2 * least(len(a.hs), len(b.hs))
+              >= greatest(len(a.hs), len(b.hs))),
     tp AS (SELECT count(*) AS n_true FROM truth WHERE j >= 0.5),
     fo AS (SELECT count(*) AS n_found FROM ver WHERE jaccard >= 0.5)
     SELECT CAST(n_true AS BIGINT) AS n_true_pairs,
@@ -941,7 +947,7 @@ def _dedup_recall_oracle() -> str:
 @register("dedup_recall_report", oracle=_dedup_recall_oracle())
 def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-dedup recall audit, BOUNDED-INPUT CONTRACT (the dedup twin
-    of ann_recall_report): on the doc_id < 200 slice, compare the
+    of ann_recall_report): on the doc_id < 500 slice, compare the
     MinHash-LSH pipeline's verified pairs (operators/dedup.py::
     minhash_dedup_portable — a SUBSET of truth, since banding only
     loses candidates and the verify is exact) against the exhaustive
@@ -951,24 +957,40 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural doc_id cap keeps the quadratic truth pass bounded (and
     its build side broadcastable) at any scale factor, exactly the
     dedup_embedding_cosine_exact_smalln contract; the production-scale
-    recall knobs stay num_hashes/bands."""
-    from ..functions.text_fns import shingles
+    recall knobs stay num_hashes/bands.  Truth-pass physics: shingles
+    reduce to md5-60 longs BEFORE set building (8-byte intersects, not
+    strings — identical Jaccard, the oracle hashes identically), and
+    pairs failing the lossless size-ratio prune (J <= min/max, so at
+    t=0.5: 2*min >= max) never reach the intersect — 23s -> ~3s at
+    sf0.1 for identical counts."""
+    from ..functions.df_utils import spread
+    from ..functions.text_fns import md5_hash60, shingles
     from ..operators import dedup as D
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     lsh = D.minhash_dedup_portable(
         d, num_hashes=8, bands=4, min_jaccard=0.5, shingle_n=3
     )
-    sh = d.select(
-        F.col("doc_id"),
-        F.array_distinct(shingles(F.col("text"), 3)).alias("shs"),
+    hs = (
+        spread(d)
+        .select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+                "_s"
+            ),
+        )
+        .select(F.col("doc_id"), md5_hash60(F.col("_s")).alias("_h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("_h").alias("hs"))
     )
-    a = sh.select(F.col("doc_id").alias("da"), F.col("shs").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("db"), F.col("shs").alias("sb"))
+    a = hs.select(F.col("doc_id").alias("da"), F.col("hs").alias("sa"))
+    b = hs.select(F.col("doc_id").alias("db"), F.col("hs").alias("sb"))
+    la, lb = F.size(F.col("sa")), F.size(F.col("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    union = la + lb - inter
     truth = (
         a.join(b, F.col("da") < F.col("db"))
+        .filter(F.lit(2) * F.least(la, lb) >= F.greatest(la, lb))
         .select((inter.cast("double") / union.cast("double")).alias("j"))
         .filter(F.col("j") >= 0.5)
     )
