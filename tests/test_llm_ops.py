@@ -1086,3 +1086,19 @@ def test_distribution_drift_psi_separates_shift_from_stable(spark):
     # every psi_term is finite even where the current split abandoned a bin
     for r in drift:
         assert r["psi_term"] == r["psi_term"]  # not NaN
+
+
+def test_quality_calibration_bins_partition_and_bound(spark, sf_dir):
+    """Calibration bins partition the corpus; each bin's mean predicted
+    probability lies inside the bin's nominal range (bin 9 clamps the
+    top), and empirical rates are valid probabilities."""
+    from vertica_hadoop_integration__spark.plans import QUERIES
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    rows = QUERIES["text_quality_calibration"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        assert lo <= r["mean_predicted"] <= hi + 1e-12
+        assert 0.0 <= r["empirical_rate"] <= 1.0
