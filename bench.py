@@ -183,6 +183,7 @@ HEADLINE = [
     "basket_affinity_rules",
     "dq_distribution_drift",
     "customer_rfm_segments",
+    "ann_ndcg_report",
 ]
 
 

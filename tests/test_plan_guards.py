@@ -48,6 +48,9 @@ BNLJ_OK = {
                                 # (sketch-table-sized, never corpus rows)
     "embedding_truncation_eval",  # two brute_force_topk legs (broadcast
                                   # query side, same as ann_cosine_topk)
+    "ann_ndcg_report",          # composes pq_topk (broadcast codebook/
+                                # LUT) + brute_force_topk (broadcast
+                                # query side); report is equi-join + agg
     "dedup_recall_report",      # bounded-input contract: the exhaustive
                                 # truth pass's crossJoin side is
                                 # structurally capped (doc_id < 500) in

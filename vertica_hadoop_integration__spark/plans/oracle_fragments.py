@@ -57,3 +57,52 @@ def minhash_portable_cte(
                   - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS jaccard
       FROM cand c JOIN sig sa ON sa.doc_id = c.doc_id_a
                   JOIN sig sb ON sb.doc_id = c.doc_id_b)"""
+
+
+def pq_topk_oracle(k: int = 5) -> str:
+    """SQL replay of pq_topk (every-10th 16-code codebooks, DECIMAL
+    sub-distance encoding, per-query LUT, ADC scoring) with the rank
+    cut parameterized — queries_llm registers it at k=5 (ann_pq_topk);
+    the NDCG report composes it at k=10."""
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT CAST(vec_id / 10 AS INT) AS j, v FROM c
+           WHERE vec_id % 10 = 0 AND vec_id < 160),
+    cbl AS (SELECT j, r.range AS d, v[CAST(r.range + 1 AS INT)] AS cv
+            FROM cb CROSS JOIN range(64) r),
+    xl AS (SELECT vec_id, r.range AS d, v[CAST(r.range + 1 AS INT)] AS xv
+           FROM c CROSS JOIN range(64) r),
+    ed AS (
+        SELECT x.vec_id, CAST(x.d // 8 AS INT) AS s, cb.j,
+               SUM(CAST((x.xv - cb.cv) * (x.xv - cb.cv) AS DECIMAL(30,15)))
+                   AS dist
+        FROM xl x JOIN cbl cb ON cb.d = x.d
+        GROUP BY 1, 2, 3),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rn
+            FROM ed) WHERE rn = 1),
+    ql AS (SELECT vec_id AS query_id, r.range AS d,
+                  v[CAST(r.range + 1 AS INT)] AS xv
+           FROM c CROSS JOIN range(64) r WHERE vec_id < 5),
+    lut AS (
+        SELECT q.query_id, CAST(q.d // 8 AS INT) AS s, cb.j,
+               SUM(CAST((q.xv - cb.cv) * (q.xv - cb.cv) AS DECIMAL(30,15)))
+                   AS qdist
+        FROM ql q JOIN cbl cb ON cb.d = q.d
+        GROUP BY 1, 2, 3),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id, SUM(l.qdist) AS a
+        FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, neighbor_id, a,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY a, neighbor_id) AS rnk
+        FROM adc)
+    SELECT query_id, neighbor_id, CAST(a AS DOUBLE) AS approx_l2sq,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= {k}"""

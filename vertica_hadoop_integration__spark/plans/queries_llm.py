@@ -18,6 +18,7 @@ from ..operators import similarity as S
 from ..operators import text as T
 from ..sources import load_table
 from .registry import ORACLES, register
+from .oracle_fragments import pq_topk_oracle as _pq_topk_oracle
 
 
 # -- exact dedup (hash groupBy) --------------------------------------------
@@ -612,52 +613,7 @@ def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole pipeline: every-Nth codebooks, per-sub-space argmin encoding,
 # the per-query LUT, and ADC scoring. approx_l2sq is a DECIMAL sum of
 # DECIMAL sub-distances -> partial-agg-order-free on both engines.
-@register(
-    "ann_pq_topk",
-    oracle="""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cb AS (SELECT CAST(vec_id / 10 AS INT) AS j, v FROM c
-           WHERE vec_id % 10 = 0 AND vec_id < 160),
-    cbl AS (SELECT j, r.range AS d, v[CAST(r.range + 1 AS INT)] AS cv
-            FROM cb CROSS JOIN range(64) r),
-    xl AS (SELECT vec_id, r.range AS d, v[CAST(r.range + 1 AS INT)] AS xv
-           FROM c CROSS JOIN range(64) r),
-    ed AS (
-        SELECT x.vec_id, CAST(x.d // 8 AS INT) AS s, cb.j,
-               SUM(CAST((x.xv - cb.cv) * (x.xv - cb.cv) AS DECIMAL(30,15)))
-                   AS dist
-        FROM xl x JOIN cbl cb ON cb.d = x.d
-        GROUP BY 1, 2, 3),
-    codes AS (
-        SELECT vec_id, s, j AS code FROM (
-            SELECT vec_id, s, j,
-                   row_number() OVER (PARTITION BY vec_id, s
-                                      ORDER BY dist, j) AS rn
-            FROM ed) WHERE rn = 1),
-    ql AS (SELECT vec_id AS query_id, r.range AS d,
-                  v[CAST(r.range + 1 AS INT)] AS xv
-           FROM c CROSS JOIN range(64) r WHERE vec_id < 5),
-    lut AS (
-        SELECT q.query_id, CAST(q.d // 8 AS INT) AS s, cb.j,
-               SUM(CAST((q.xv - cb.cv) * (q.xv - cb.cv) AS DECIMAL(30,15)))
-                   AS qdist
-        FROM ql q JOIN cbl cb ON cb.d = q.d
-        GROUP BY 1, 2, 3),
-    adc AS (
-        SELECT l.query_id, cd.vec_id AS neighbor_id, SUM(l.qdist) AS a
-        FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
-        WHERE cd.vec_id <> l.query_id
-        GROUP BY 1, 2),
-    ranked AS (
-        SELECT query_id, neighbor_id, a,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY a, neighbor_id) AS rnk
-        FROM adc)
-    SELECT query_id, neighbor_id, CAST(a AS DOUBLE) AS approx_l2sq,
-           CAST(rnk AS INT) AS rank
-    FROM ranked WHERE rnk <= 5
-    """,
-)
+@register("ann_pq_topk", oracle=_pq_topk_oracle(k=5))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py::pq_topk):
     8 sub-spaces x 16 every-Nth codes compress each vector to 8 bytes;

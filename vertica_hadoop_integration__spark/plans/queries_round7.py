@@ -1231,3 +1231,92 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mon_dec").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_monetary"),
     )
+
+
+# -- NDCG ranking-quality report for the PQ ANN path (oracle-exact) ----------
+def _ann_ndcg_oracle() -> str:
+    from .oracle_fragments import pq_topk_oracle
+
+    ap = pq_topk_oracle(k=10)
+    return f"""
+    WITH cx AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qx AS (SELECT vec_id AS query_id, v AS qv FROM cx WHERE vec_id < 5),
+    ex AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                                c.vec_id) AS rn
+            FROM qx q, cx c WHERE c.vec_id <> q.query_id)
+        WHERE rn <= 10),
+    ap AS (SELECT query_id, neighbor_id, rank AS pos FROM ({ap})),
+    dcg AS (
+        SELECT a.query_id,
+               SUM(CAST(CAST(COALESCE(11 - e.rn, 0) AS DOUBLE)
+                        / ln(CAST(a.pos AS DOUBLE) + 1.0)
+                    AS DECIMAL(30,15))) AS d,
+               CAST(SUM(CASE WHEN e.rn IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM ap a LEFT JOIN ex e USING (query_id, neighbor_id)
+        GROUP BY 1),
+    idcg AS (
+        SELECT query_id,
+               SUM(CAST(CAST(11 - rn AS DOUBLE)
+                        / ln(CAST(rn AS DOUBLE) + 1.0)
+                    AS DECIMAL(30,15))) AS i
+        FROM ex GROUP BY 1)
+    SELECT d.query_id, CAST(d.d AS DOUBLE) AS dcg,
+           CAST(d.d AS DOUBLE) / CAST(i.i AS DOUBLE) AS ndcg, d.n_hits
+    FROM dcg d JOIN idcg i USING (query_id)
+    """
+
+
+@register("ann_ndcg_report", oracle=_ann_ndcg_oracle())
+def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the PQ/ADC ranking against the exact cosine ranking —
+    the graded IR-quality companion to ann_recall_report's set overlap
+    (recall says WHAT fraction survived; NDCG says whether the approx
+    ranking put the best survivors FIRST).  Gains = 11 - exact_rank,
+    ln-discounted positions, DECIMAL per-query sums, NDCG = DCG/IDCG —
+    IDCG from the exact ordering itself, so a perfect PQ ranking scores
+    exactly 1.0.  Composes two oracle-checked rankings through one
+    equi-join + per-query aggregates, itself oracle-replayed."""
+    from ..operators.similarity import brute_force_topk, pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(e, q, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_rn")
+    )
+    approx = pq_topk(e, q, k=10, m=8, n_codes=16, every_nth=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_pos")
+    )
+    dec = "decimal(30,15)"
+    joined = approx.join(exact, on=["query_id", "neighbor_id"], how="left")
+    dcg = joined.groupBy("query_id").agg(
+        F.sum(
+            (
+                F.coalesce(F.lit(11) - F.col("_rn"), F.lit(0)).cast("double")
+                / F.log(F.col("_pos").cast("double") + F.lit(1.0))
+            ).cast(dec)
+        ).alias("_d"),
+        F.sum(F.when(F.col("_rn").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(
+            (
+                (F.lit(11) - F.col("_rn")).cast("double")
+                / F.log(F.col("_rn").cast("double") + F.lit(1.0))
+            ).cast(dec)
+        ).alias("_i")
+    )
+    return dcg.join(idcg, on="query_id").select(
+        "query_id",
+        F.col("_d").cast("double").alias("dcg"),
+        (F.col("_d").cast("double") / F.col("_i").cast("double")).alias(
+            "ndcg"
+        ),
+        "n_hits",
+    )
