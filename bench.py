@@ -184,6 +184,7 @@ HEADLINE = [
     "dq_distribution_drift",
     "customer_rfm_segments",
     "ann_ndcg_report",
+    "text_readability_scores",
 ]
 
 

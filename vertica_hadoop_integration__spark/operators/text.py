@@ -1337,3 +1337,45 @@ def sentiment_score(
             ).otherwise(F.lit(0.0)).alias("sentiment_mean"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability gate curation pipelines run next to the quality
+    classifier (FineWeb-Edu-style selection filters on exactly this
+    family of scores).  Syllables are approximated as vowel-group runs
+    ([aeiouy]+) — the standard regex proxy, within ~10% of dictionary
+    syllable counts on English prose and exactly reproducible in SQL;
+    sentences as [.!?]+ runs (floored at 1).  Pure scan-stage
+    projection: three regexp passes, two divisions, literal
+    coefficients — no shuffle at all, so the 100 TB cost is the scan
+    you were already paying.  All coefficients are literals on both
+    sides (oracle literal-parity rule)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    w = F.size(tokens(F.col(text_col)))
+    s = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))
+        ),
+        F.lit(1),
+    )
+    y = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    wps = w.cast("double") / s.cast("double")
+    spw = y.cast("double") / w.cast("double")
+    return df.select(
+        F.col(id_col),
+        w.cast("bigint").alias("n_words"),
+        s.cast("bigint").alias("n_sentences"),
+        y.cast("bigint").alias("n_syllables"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_ease"
+        ),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

@@ -1320,3 +1320,39 @@ def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_hits",
     )
+
+
+# -- readability gate (oracle-exact) ------------------------------------------
+@register(
+    "text_readability_scores",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               greatest(len(regexp_extract_all(lower(trim(text)),
+                                               '[aeiouy]+')), 1) AS y
+        FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                   - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+               AS flesch_ease,
+           0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               + 11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59
+               AS fk_grade
+    FROM t
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per doc
+    (operators/text.py::readability_scores) — the readability gate next
+    to the quality classifier: vowel-group syllable proxy, [.!?]+
+    sentence runs, literal coefficients.  Pure scan-stage projection
+    (zero shuffle); fully oracle-replayed."""
+    from ..operators.text import readability_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return readability_scores(d)
