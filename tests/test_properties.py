@@ -559,3 +559,47 @@ def test_cdc_chunks_reassemble_losslessly(spark, docs):
             r.chunk_idx for r in chunks if r.doc_id == i
         )
         assert got_idx == list(range(n))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=10,
+        max_size=40,
+    ),
+    offset=st.floats(min_value=-1000, max_value=1000, allow_nan=False,
+                     allow_infinity=False, width=32),
+)
+def test_change_point_split_is_shift_invariant(spark, vals, offset):
+    """Adding a constant to every value cannot move the located split:
+    both segment means shift by the constant, so the mean gap — and
+    therefore every candidate's score ranking — is unchanged."""
+    import datetime as dt
+
+    from vertica_hadoop_integration__spark.operators.temporal import (
+        change_point_scan,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        ("t", base + dt.timedelta(minutes=i), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    shifted = [
+        ("t", ts, eid, v + float(offset)) for (_, ts, eid, v) in rows
+    ]
+    schema = "event_type string, ts timestamp, event_id long, value double"
+    a = change_point_scan(
+        spark.createDataFrame(rows, schema), min_segment=2
+    ).collect()
+    b = change_point_scan(
+        spark.createDataFrame(shifted, schema), min_segment=2
+    ).collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["split_i"] == b[0]["split_i"]
+    assert abs(
+        (a[0]["mean_after"] - a[0]["mean_before"])
+        - (b[0]["mean_after"] - b[0]["mean_before"])
+    ) < 1e-6
