@@ -1,0 +1,127 @@
+"""Streaming distribution-drift monitoring: score every micro-batch of
+a numeric column against a FROZEN reference histogram with the PSI
+primitive (operators/profile.py::distribution_drift is the batch twin),
+appending one (batch_id, n_rows, psi, alarm) row per batch to a serving
+table — the monitor a feature pipeline alarms on when an upstream
+schema change or population shift starts feeding the model junk.
+
+Design for scale: the reference is reduced ONCE, driver-side, to a
+``num_bins``-cut + count model (kilobytes, frozen for the stream's
+lifetime — drift is measured AGAINST something stable; refreshing the
+reference is a new stream). Per batch the only distributed work is one
+map-side count-of-cuts-below-value pass against the literal cut array
+plus a <=num_bins-row aggregate; the PSI fold over 10 bins runs
+driver-side on exact counts (fixed iteration order, so reruns are
+bit-identical). Exactly-once via the ledger batch guard + atomic batch
+directories, the same contract every loader here follows."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ledger import Ledger
+from ..sources.writers import write_atomic
+
+
+def freeze_reference(ref: DataFrame, col: str, num_bins: int = 10) -> dict:
+    """Reduce the reference split to the frozen drift model: exact
+    decile cut points + per-bin counts + total (same binning as
+    operators/profile.py::distribution_drift — count of cuts strictly
+    below the value)."""
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    cuts_row = ref.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "c"
+        )
+    ).collect()[0]
+    cuts = [float(x) for x in cuts_row["c"]]
+    bin_expr = F.size(
+        F.filter(
+            F.array(*[F.lit(c) for c in cuts]), lambda x: F.col(col) > x
+        )
+    ).alias("bin")
+    rows = ref.select(bin_expr).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    by_bin = {int(r["bin"]): int(r["n"]) for r in rows}
+    counts = [by_bin.get(b, 0) for b in range(num_bins)]
+    return {
+        "cuts": cuts,
+        "counts": counts,
+        "total": sum(counts),
+        "num_bins": num_bins,
+    }
+
+
+def psi_from_counts(model: dict, cur_counts: dict[int, int], cur_total: int) -> float:
+    """Add-one-smoothed PSI of a batch's bin counts against the frozen
+    reference model — the same (q - p) * ln(q / p) terms as the batch
+    twin, folded in fixed bin order (rerun-identical)."""
+    nb = model["num_bins"]
+    psi = 0.0
+    for b in range(nb):
+        p = (model["counts"][b] + 1.0) / (model["total"] + float(nb))
+        q = (cur_counts.get(b, 0) + 1.0) / (cur_total + float(nb))
+        psi += (q - p) * math.log(q / p)
+    return psi
+
+
+def stream_drift_monitor(
+    values,
+    reference: DataFrame,
+    col: str,
+    out_dir: str,
+    ledger_path: str,
+    table_name: str = "drift_monitor",
+    num_bins: int = 10,
+    alarm_threshold: float = 0.2,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start the drift-monitoring stream; returns the StreamingQuery.
+    The serving table at ``out_dir`` holds one committed row per batch
+    (batch_id, n_rows, psi, alarm); a replayed batch id is skipped
+    wholesale (ledger guard), so restarts never duplicate rows."""
+    model = freeze_reference(reference, col, num_bins)
+    bin_expr = F.size(
+        F.filter(
+            F.array(*[F.lit(c) for c in model["cuts"]]),
+            lambda x: F.col(col) > x,
+        )
+    ).alias("bin")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = Ledger(spark, ledger_path)
+        key = str(batch_id)
+        ledger.enqueue_whole_table(f"{table_name}#{key}", "stream", 1)
+        if not ledger.pending_exists(f"{table_name}#{key}"):
+            return  # replayed batch, already applied
+        rows = (
+            batch_df.select(bin_expr)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cur = {int(r["bin"]): int(r["n"]) for r in rows}
+        n = sum(cur.values())
+        psi = psi_from_counts(model, cur, n)
+        out = spark.createDataFrame(
+            [(int(batch_id), n, float(psi), bool(psi > alarm_threshold))],
+            "batch_id long, n_rows long, psi double, alarm boolean",
+        )
+        write_atomic(
+            out, os.path.join(out_dir, f"batch={key}"), output_format="parquet"
+        )
+        ledger.mark_complete(f"{table_name}#{key}", None)
+
+    writer = values.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
