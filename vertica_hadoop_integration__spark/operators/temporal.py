@@ -727,6 +727,10 @@ def change_point_scan(
     dec = "decimal(30,15)"
     seg = F.date_trunc("day", F.col(ts_col))
     w_ord = Window.partitionBy(type_col, "seg_start").orderBy(ts_col, id_col)
+    # NULL values would occupy positions (row_number) without entering
+    # the prefix sums (SUM skips NULL), silently skewing every split's
+    # means — exclude them so position i always means "i values"
+    events = events.filter(F.col(value_col).isNotNull())
     pre = (
         events.select(
             F.col(type_col),

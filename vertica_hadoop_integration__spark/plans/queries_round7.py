@@ -793,7 +793,7 @@ def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
                           AS seg_start,
                       CAST(ts AS TIMESTAMP) AS ts, event_id, value
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     pre AS (
         SELECT event_type, seg_start, ts, event_id,
                row_number() OVER w AS i,
