@@ -185,6 +185,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "ann_ndcg_report",
     "text_readability_scores",
+    "events_trajectory_similarity",
 ]
 
 

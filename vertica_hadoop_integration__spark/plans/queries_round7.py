@@ -1356,3 +1356,66 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return readability_scores(d)
+
+
+# -- trajectory similarity search over user event paths (oracle-exact) -------
+def _trajectory_oracle() -> str:
+    from .oracle_fragments import minhash_portable_cte
+
+    cte = minhash_portable_cte(
+        num_hashes=8, bands=4,
+        src=(
+            "(SELECT user_id AS doc_id, "
+            "string_agg(event_type, ' ' ORDER BY ts, event_id) AS text "
+            "FROM events GROUP BY user_id)"
+        ),
+    )
+    return rf"""
+    WITH {cte}
+    SELECT doc_id_a AS user_id_a, doc_id_b AS user_id_b, jaccard
+    FROM ver WHERE jaccard >= 0.4
+    ORDER BY jaccard DESC, user_id_a, user_id_b LIMIT 20
+    """
+
+
+@register("events_trajectory_similarity", oracle=_trajectory_oracle())
+def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k trajectory similarity search (the distributed
+    trajectory-top-k workload, ICDE'21 REPOSE class, re-expressed
+    Spark-first): each user's ordered event-type sequence becomes a
+    path string, ORDER-PRESERVING 3-step shingles feed the portable
+    MinHash-LSH pipeline (banding prunes the user-pair space exactly
+    like document dedup — trajectories ARE documents over a small
+    alphabet), and the exact path-shingle Jaccard ranks the top-20
+    most-similar journey pairs.  One groupBy builds paths (array_sort
+    of (ts, event_id, type) structs — deterministic under ts ties),
+    everything downstream reuses operators/dedup.py::
+    minhash_dedup_portable verbatim; whole pipeline oracle-replayed,
+    top-k via orderBy+limit."""
+    from ..operators import dedup as D
+
+    e = load_table(spark, sf_dir, "events")
+    traj = e.groupBy("user_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    pairs = D.minhash_dedup_portable(
+        traj, text_col="path", id_col="user_id",
+        num_hashes=8, bands=4, min_jaccard=0.4, shingle_n=3,
+    )
+    return (
+        pairs.select(
+            F.col("doc_id_a").alias("user_id_a"),
+            F.col("doc_id_b").alias("user_id_b"),
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), F.asc("user_id_a"), F.asc("user_id_b"))
+        .limit(20)
+    )
