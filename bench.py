@@ -186,6 +186,7 @@ HEADLINE = [
     "ann_ndcg_report",
     "text_readability_scores",
     "events_trajectory_similarity",
+    "ann_topk_paged_serving",
 ]
 
 

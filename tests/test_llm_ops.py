@@ -1102,3 +1102,46 @@ def test_quality_calibration_bins_partition_and_bound(spark, sf_dir):
         lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
         assert lo <= r["mean_predicted"] <= hi + 1e-12
         assert 0.0 <= r["empirical_rate"] <= 1.0
+
+
+def test_topk_paged_serving_pushes_rank_filter_and_prunes_files(
+    spark, sf_dir, tmp_path
+):
+    """The serving read must push the rank predicate into the parquet
+    scan (PushedFilters), and with the ranking range-partitioned on
+    rank, a single page touches a strict subset of the files."""
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.sources.writers import write_sorted
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full = brute_force_topk(e, e.filter(F.col("vec_id") < 10), k=20)
+    path = str(tmp_path / "ranking")
+    write_sorted(full, path, sort_cols=["rank", "query_id"], num_files=4)
+    served = spark.read.parquet(path)
+    page = served.filter((F.col("rank") >= 6) & (F.col("rank") <= 10))
+    plan = page._sc._jvm.PythonSQLUtils.explainString(
+        page._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(rank,6)" in plan, plan
+    assert "LessThanOrEqual(rank,10)" in plan, plan
+    # range layout: page files < all files (footer min/max disjoint on rank)
+    all_files = set(served.inputFiles())
+    import pyarrow.parquet as pq
+
+    touching = set()
+    for f in all_files:
+        md = pq.ParquetFile(f.replace("file:", "")).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(
+                [md.schema.column(i).name for i in range(md.num_columns)].index("rank")
+            )
+            lo, hi = col.statistics.min, col.statistics.max
+            if not (hi < 6 or lo > 10):
+                touching.add(f)
+    assert touching and len(touching) < len(all_files)

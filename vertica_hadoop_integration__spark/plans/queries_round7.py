@@ -1419,3 +1419,48 @@ def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("user_id_a"), F.asc("user_id_b"))
         .limit(20)
     )
+
+
+# -- interactive top-k serving: materialize once, page by rank (oracle-exact) -
+@register(
+    "ann_topk_paged_serving",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    ranked AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, c.v) AS cos_sim,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                            c.vec_id) AS rn
+        FROM q, c WHERE c.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn BETWEEN 6 AND 10
+    """,
+)
+def ann_topk_paged_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-session top-k serving (the EDBT'20
+    incremental-top-k-session workload, Spark-first): the expensive
+    exact ranking is materialized ONCE to k_max=20 (sorted parquet, one
+    brute-force scan), and every follow-up request of the session —
+    top-5, page 2, page 3 — is a PRUNED read of the materialized
+    ranking, never a corpus re-scan.  This query serves page 2 (ranks
+    6-10): the rank/query predicates push into the parquet scan
+    (PushedFilters pytest-asserted), so a page costs file-skip + a few
+    row groups at any corpus size.  The oracle recomputes the exact
+    ranking and slices the same page, certifying the
+    materialize-then-serve path value-lossless."""
+    import tempfile
+
+    from ..operators.similarity import brute_force_topk
+    from ..sources.writers import write_sorted
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    full = brute_force_topk(e, q, k=20)
+    path = tempfile.mkdtemp(prefix="topk_serve_") + "/ranking"
+    write_sorted(full, path, sort_cols=["rank", "query_id"], num_files=4)
+    served = spark.read.parquet(path)
+    return served.filter(
+        (F.col("rank") >= 6) & (F.col("rank") <= 10)
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
