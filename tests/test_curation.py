@@ -687,3 +687,26 @@ def test_keep_best_string_ids_take_type_agnostic_path(spark):
     assert rows["a"].kept_doc_id == "b" and rows["a"].kept_quality == 0.9
     assert rows["a"].n_dropped == 2
     assert rows["x"].kept_doc_id == "x" and rows["x"].n_dropped == 1
+
+
+def test_keep_best_fractional_ids_tiebreak_by_id_not_truncation(spark):
+    """r07 ADVICE: NumericType includes fractional types, but
+    (-id).cast('long') truncates — score ties between ids equal after
+    truncation (3.2 vs 3.9) broke nondeterministically.  Fractional ids
+    must route through the type-agnostic window and tie-break by the
+    EXACT ascending id."""
+    from vertica_hadoop_integration__spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(3.2, 1.0, 3), (3.9, 1.0, 3), (7.5, 1.0, 3)],
+        "doc_id double, canonical_id double, cluster_size long",
+    )
+    scores = spark.createDataFrame(
+        [(3.2, 0.9), (3.9, 0.9), (7.5, 0.1)],  # tie between 3.2 and 3.9
+        "doc_id double, quality_prob double",
+    )
+    (row,) = keep_best_per_cluster(clusters, scores).collect()
+    assert row.kept_doc_id == 3.2  # exact id asc, not long-truncated tie
+    assert row.kept_quality == 0.9 and row.n_dropped == 2

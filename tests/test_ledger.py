@@ -110,4 +110,30 @@ def test_snapshot_retention_bounded(spark, tmp_path):
     rows = led.read().collect()
     assert len(rows) == len(months)
     assert all(r["is_complete"] == "t" for r in rows)
+
+
+def test_legacy_all_digit_uuid_dir_never_pins_retention(spark, tmp_path):
+    """A legacy v-<uuid> dir whose uuid chunk is all decimal digits
+    (~0.4% of uuids) must parse as legacy (-1), not as a huge sequence
+    number — otherwise it is pinned 'newest' forever (occupying a
+    _RETAIN slot) and _next_seq starts above it (r07 ADVICE)."""
+    import os
+
+    assert Ledger._version_seq("v-361204914265") == -1
+    assert Ledger._version_seq("v-000000000007-ab12cd") == 7
+    assert Ledger._version_seq("v-12345-ab12cd") == -1  # wrong width
+
+    led = Ledger(spark, str(tmp_path / "ledger_legacy"))
+    led.enqueue_new(_parts(spark, ["2024-01"]), "t", "db", "m", 8)
+    # plant an adversarial legacy dir, then churn past the retention cap
+    os.mkdir(os.path.join(led.path, "v-361204914265"))
+    for _ in range(Ledger._RETAIN + 3):
+        led.mark_complete("t", "2024-01")
+        led.enqueue_new(_parts(spark, ["2024-01"]), "t", "db", "m", 8)
+    versions = [d for d in os.listdir(led.path) if d.startswith("v-")]
+    # the legacy dir was pruned first, not pinned as newest
+    assert "v-361204914265" not in versions
+    # and sequence numbering stayed small (not bumped above 361204914265)
+    assert all(Ledger._version_seq(d) < 10_000 for d in versions)
+    assert led.read().count() == 1
     assert led.next_pending("t") is None

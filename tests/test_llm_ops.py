@@ -1088,6 +1088,36 @@ def test_distribution_drift_psi_separates_shift_from_stable(spark):
         assert r["psi_term"] == r["psi_term"]  # not NaN
 
 
+def test_distribution_drift_null_surge_surfaces_in_null_bin(spark):
+    """A NULL surge in the monitored column lands in the dedicated -1
+    bin and moves the PSI — it must NOT inflate bin 0 (percentile
+    ignores NULLs computing the cuts, so folding NULLs into bin 0 would
+    silently skew the lowest decile instead of alarming)."""
+    from vertica_hadoop_integration__spark.operators.profile import (
+        distribution_drift,
+    )
+
+    ref = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    # half the current split's values went NULL (e.g. upstream schema bug)
+    nully = spark.range(0, 2000).select(
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100).cast("double")).alias(
+            "v"
+        )
+    )
+    out = {r["bin"]: r for r in distribution_drift(ref, nully, "v").collect()}
+    assert set(out) == set(range(-1, 10))
+    assert out[-1]["n_ref"] == 0 and out[-1]["n_cur"] == 1000
+    # totals still partition every row, including the NULLs
+    assert sum(r["n_cur"] for r in out.values()) == 2000
+    # bin 0 holds only the surviving non-NULL lowest-decile mass
+    assert out[0]["n_cur"] < out[0]["n_ref"]
+    psi = sum(r["psi_term"] for r in out.values())
+    assert psi > 0.2  # the surge alarms
+    assert out[-1]["psi_term"] > 0.1  # and the NULL bin is the driver
+
+
 def test_quality_calibration_bins_partition_and_bound(spark, sf_dir):
     """Calibration bins partition the corpus; each bin's mean predicted
     probability lies inside the bin's nominal range (bin 9 clamps the

@@ -14,8 +14,22 @@ def spread(df: DataFrame) -> DataFrame:
     is added); locally it is the difference between 1-core and 32-core
     map stages (measured 3.8s -> 0.8s on the DSIR feature pass at
     sf0.1).  Apply at the entry of CPU-bound operators, never on cheap
-    scan-stage projections where the exchange would dominate."""
+    scan-stage projections where the exchange would dominate.
+
+    This is the ONE definition of the spread policy (r07 ADVICE: six
+    inline copies + multimodal._spread collapsed here).  Probe order
+    matters: ``inputFiles()`` is analysis-only, so a wide scan (>= one
+    file per core — the 100 TB case) short-circuits WITHOUT the
+    plan-to-RDD conversion that ``df.rdd`` forces; only narrow inputs
+    pay the exact ``getNumPartitions`` probe, and for those the probe
+    is trivially cheap in absolute terms."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    par = sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= par:
+            return df
+    except Exception:
+        pass  # non-file-backed plans: fall through to the exact probe
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
     return df

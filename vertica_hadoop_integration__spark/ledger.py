@@ -103,12 +103,15 @@ class Ledger:
         scheme) ties/misorders under coarse filesystem timestamp
         granularity, which could delete a newer non-live version first
         and shrink the _RETAIN reader-safety window.  Legacy unordered
-        names (v-<uuid>) parse as -1 -> pruned first."""
+        names (v-<uuid>) parse as -1 -> pruned first.  Only the exact
+        new format (v-<12 digits>-<suffix>) is accepted: a legacy uuid
+        chunk that happens to be all decimal digits would otherwise
+        parse as a huge sequence, pinning that oldest dir as "newest"
+        in pruning and bumping _next_seq to start above it."""
         parts = d.split("-")
-        try:
+        if len(parts) >= 3 and len(parts[1]) == 12 and parts[1].isdigit():
             return int(parts[1])
-        except (IndexError, ValueError):
-            return -1
+        return -1
 
     def _next_seq(self) -> int:
         try:

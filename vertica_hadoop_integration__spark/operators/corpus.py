@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.df_utils import spread
+
 from ..functions.text_fns import punct_count, token_count
 from .dedup import minhash_dedup
 from .text import LANG_MARKERS, language_scores
@@ -563,8 +565,6 @@ def bloom_decontaminate(
     set (potentially GBs) with a fixed-size bitmap."""
     from ..functions.text_fns import md5_hash60, shingles
 
-    from ..functions.df_utils import spread
-
     bits = bloom_bitmap(eval_shingles, m=m, seeds=seeds)
     df = spread(df)
     doc_sh = df.select(
@@ -643,7 +643,6 @@ def clean_corpus_portable(
 
     Returns the surviving (id) rows. Stage order matters and is part of
     the contract: gates cut volume before any pair generation."""
-    from ..functions.df_utils import spread
     from .dedup import containment_pairs_portable
     from .text import quality_logreg
 
@@ -740,7 +739,6 @@ def semantic_decontaminate(
 
     Returns (vec_id, best_eval_id, cos_sim) for contaminated vectors
     only — the drop list a cleaning pipeline anti-joins against."""
-    from ..functions.df_utils import spread
     from ..functions.vector_fns import dot, normalize
 
     ev = eval_emb.select(
@@ -808,9 +806,7 @@ def dsir_sample(
     # a 2-partition parquet input serialized the pass — 3.8s -> 0.8s at
     # sf0.1); at real scale the scan already yields many partitions and
     # this is a no-op
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread(df)
     text = F.col(text_col)
     # unigrams + bigrams in ONE text scan (concat of the two arrays,
     # one explode) — same feature multiset as the two-scan union, so
@@ -1104,9 +1100,7 @@ def cdc_chunk_dedup(
     docs — (chunk_hash, n_docs, n_occurrences, n_tokens)."""
     from ..functions.text_fns import md5_hash60
 
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread(df)
     chunks = cdc_chunks(
         df, text_col=text_col, id_col=id_col, boundary_mod=boundary_mod
     )
@@ -1199,9 +1193,7 @@ def ngram_novelty(
     (id, n_grams, n_shared_grams, shared_frac)."""
     from ..functions.text_fns import md5_hash60, shingles
 
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread(df)
     grams = df.select(
         F.col(id_col),
         F.explode(

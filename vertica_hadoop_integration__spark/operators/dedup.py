@@ -12,6 +12,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.df_utils import spread
 from ..functions.text_fns import distinct_tokens, shingles, tokens
 from ..functions.vector_fns import cosine, dot, normalize
 
@@ -51,16 +52,8 @@ def _in_bucket_pairs(
     return buckets.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives
-    in fewer partitions — a small parquet file scans as ONE partition and
-    would serialize the expensive per-row work (shingling, hashing) onto
-    one core. At real scale the scan already exceeds defaultParallelism
-    and this is a no-op (no shuffle is added)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# the one shared partition-spread policy (functions/df_utils.py)
+_spread = spread
 
 
 # -- exact ------------------------------------------------------------------
@@ -1344,18 +1337,19 @@ def keep_best_per_cluster(
     j = clusters.join(
         scores.select(F.col(id_col), F.col(score_col)), on=id_col
     )
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType
 
-    id_numeric = isinstance(
-        j.schema[id_col].dataType, NumericType
+    id_integral = isinstance(
+        j.schema[id_col].dataType, IntegralType
     )
-    if id_numeric:
+    if id_integral:
         # argmax as a mergeable max_by aggregate (map-side combine)
         # rather than a per-cluster rank window; ordering identical:
         # maximize (score, -id) = score desc, id asc tie-break.  The
-        # negated-id trick needs a NUMERIC id (negating a string casts
-        # to NULL under non-ANSI, making the tie nondeterministic) —
-        # non-numeric ids take the type-agnostic window below.
+        # negated-id trick needs an INTEGRAL id: (-id).cast('long')
+        # truncates fractional ids (3.2 vs 3.9 tie after truncation ->
+        # nondeterministic pick) and string negation casts to NULL —
+        # both route to the type-agnostic window below.
         return (
             j.groupBy("canonical_id")
             .agg(

@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.df_utils import spread
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -477,16 +479,8 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to cluster parallelism when the input arrives in
-    fewer partitions — a small parquet source scans as ONE partition and
-    would serialize the per-row python decode onto one core. At real
-    scale the scan already exceeds defaultParallelism and this is a
-    no-op (no shuffle added)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# the one shared partition-spread policy (functions/df_utils.py)
+_spread = spread
 
 
 def extract_features(

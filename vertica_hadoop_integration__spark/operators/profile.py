@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.df_utils import spread
+
 
 def profile_table(
     df: DataFrame,
@@ -157,9 +159,7 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     # local[32]).  The repartition exchanges only the k projected
     # doubles; at real scale the scan already exceeds defaultParallelism
     # and this is a no-op.
-    sc = d.sparkSession.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism)
+    d = spread(d)
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
@@ -238,6 +238,13 @@ def distribution_drift(
     over the output is the PSI; > 0.2 is the conventional retrain/
     investigate alarm.
 
+    NULLs get a dedicated bin (-1) rather than being silently folded
+    into bin 0: ``percentile`` ignores NULLs when computing the cuts,
+    so a NULL surge in the monitored column would otherwise inflate
+    lowest-decile mass instead of surfacing — with the NULL bin, a
+    NULL-rate shift IS drift and moves the PSI like any other bin.
+    Totals therefore count all rows and smoothing uses num_bins + 1.
+
     Scale shape: two mergeable aggregate passes (the percentile cuts
     and the per-split totals are 1-row broadcast scalars), binning is a
     map-side count-of-cuts-below-value against the broadcast cut array
@@ -258,7 +265,10 @@ def distribution_drift(
         return (
             df.crossJoin(F.broadcast(cuts))
             .select(
-                F.size(F.filter(F.col("c"), lambda x: F.col(col) > x))
+                F.when(F.col(col).isNull(), F.lit(-1))
+                .otherwise(
+                    F.size(F.filter(F.col("c"), lambda x: F.col(col) > x))
+                )
                 .cast("int")
                 .alias("bin")
             )
@@ -267,7 +277,7 @@ def distribution_drift(
         )
 
     spark = ref.sparkSession
-    spine = spark.range(0, num_bins).select(F.col("id").cast("int").alias("bin"))
+    spine = spark.range(-1, num_bins).select(F.col("id").cast("int").alias("bin"))
     rc = _bins(ref).withColumnRenamed("n", "_nr")
     cc = _bins(cur).withColumnRenamed("n", "_nc")
     tots = ref.agg(F.count(F.lit(1)).alias("_tr")).crossJoin(
@@ -286,10 +296,10 @@ def distribution_drift(
         )
     )
     p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
-        F.col("_tr").cast("double") + F.lit(float(num_bins))
+        F.col("_tr").cast("double") + F.lit(float(num_bins + 1))
     )
     q = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
-        F.col("_tc").cast("double") + F.lit(float(num_bins))
+        F.col("_tc").cast("double") + F.lit(float(num_bins + 1))
     )
     return j.select(
         "bin",

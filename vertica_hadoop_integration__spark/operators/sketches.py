@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.df_utils import spread
+
 
 def kmv_distinct(
     df: DataFrame,
@@ -455,9 +457,7 @@ def source_overlap_matrix(
     est_union, jaccard_est, est_intersection)."""
     from ..functions.text_fns import md5_hash60, shingles
 
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread(df)
     sh = df.select(
         F.col(group_col).alias("_src"),
         F.explode(

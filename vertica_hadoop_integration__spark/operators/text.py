@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.df_utils import spread
+
 from ..functions.text_fns import (
     punct_count,
     rolling_fingerprint,
@@ -602,8 +604,6 @@ def bpe_encode(
                 }
             )
 
-    from ..functions.df_utils import spread
-
     # spread: one Arrow batch stream per partition — a 1-partition scan
     # would run the merge loop on a single core (no-op at real scale)
     return spread(df.select(id_col, text_col)).mapInPandas(
@@ -1103,9 +1103,7 @@ def char_entropy(
     # spread first: a small parquet scans as one partition and the char
     # explode + both aggregations would run on one core; at real scale
     # the scan already exceeds defaultParallelism (no-op, no shuffle)
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread(df)
     chars = df.select(
         F.col(id_col),
         F.explode(

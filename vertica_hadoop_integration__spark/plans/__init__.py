@@ -26,7 +26,7 @@ indirection is now deleted and the head is natural registration order:
 
 from . import (  # noqa: F401  (imported for registration side effects)
     queries_reference,
-    queries_round7,
+    queries_round8,
     queries_llm,
     queries_temporal,
     queries_events,
@@ -36,5 +36,33 @@ from . import (  # noqa: F401  (imported for registration side effects)
     queries_relational,
 )
 from .registry import ORACLES, QUERIES
+
+# Queries whose ORACLE was added/changed after their last driver
+# appearance get one promoted pass through the sample head so the driver
+# certifies the new oracle (judge-verified locally; r07 verdict item 1).
+# Drop entries once their driver-green row lands.
+_HEAD_PROMOTE = [
+    "multimodal_phash_dedup",
+    "multimodal_audio_dedup",
+    "jsonl_ingest_roundtrip",
+    # r08: NULL values moved to a dedicated -1 bin (ADVICE fix), plan +
+    # oracle changed together — re-certify under the driver.
+    "dq_distribution_drift",
+]
+
+
+def _reorder() -> None:
+    order = list(QUERIES)
+    ref = [n for n in order if QUERIES[n].__module__.endswith("queries_reference")]
+    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round8")]
+    head = ref + new + [n for n in _HEAD_PROMOTE if n in QUERIES]
+    seen = set(head)
+    full = head + [n for n in order if n not in seen]
+    snapshot = {n: QUERIES[n] for n in full}
+    QUERIES.clear()
+    QUERIES.update(snapshot)
+
+
+_reorder()
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -5,7 +5,7 @@ pipeline replay) live here so importing them can never trigger another
 module's @register side effects — registration ORDER is the driver's
 natural-order correctness sample, and a mid-file import of a query
 module would splice its whole registry block into the importer's slot
-(this bit queries_round7's recall report: its decoration-time import of
+(this bit queries_llm's recall report (formerly queries_round7): its decoration-time import of
 queries_extras pushed four late round-7 queries out of the first-50
 sample window).
 """
@@ -20,7 +20,7 @@ def minhash_portable_cte(
 ) -> str:
     """The WITH-body of the minhash_dedup_portable replay (CTEs toks,
     sh, sig, bands, cand, ver) — shared by the full-pipeline oracle in
-    queries_extras and the recall-report oracle in queries_round7."""
+    queries_extras and the recall-report oracle in queries_llm."""
     rpb = num_hashes // bands
     sig_cols = ",\n           ".join(
         "list_min(list_transform(shs, s -> "

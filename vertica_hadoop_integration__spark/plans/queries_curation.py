@@ -1360,3 +1360,378 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket comparisons end to end."""
     d = load_table(spark, sf_dir, "documents")
     return C.ccnet_perplexity_buckets(d, q_low=0.25, q_high=0.75)
+
+
+# -- Zipf power-law fit of the token distribution (oracle-exact) -------------
+@register(
+    "corpus_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+    top AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY 1 ORDER BY freq DESC, term LIMIT 200),
+    xy AS (SELECT
+               ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                       AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+           FROM top),
+    m AS (SELECT count(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,15))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,15))) AS sy,
+                 SUM(CAST(x*x AS DECIMAL(38,15))) AS sxx,
+                 SUM(CAST(y*y AS DECIMAL(38,15))) AS syy,
+                 SUM(CAST(x*y AS DECIMAL(38,15))) AS sxy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0.0
+                THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+           END AS slope,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0.0
+                THEN (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) <> 0.0
+                 AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) <> 0.0
+                THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+           END AS pearson_r
+    FROM m
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit (operators/text.py::zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-200 tokens — slope near -1 is
+    the natural-language signature; deviations flag templated or
+    machine-generated corpora.  Mergeable top-N + bounded rank window
+    + one-pass DECIMAL closed-form OLS."""
+    from ..operators.text import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return zipf_fit(d, top_n=200)
+
+
+# -- content-defined chunk dedup (oracle-exact) ------------------------------
+@register(
+    "corpus_cdc_chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, i.u AS pos, ts[i.u + 1] AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents) d,
+             unnest(generate_series(0, len(ts) - 1)) AS i(u)),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT)
+                         % 16 = 0 THEN 1 ELSE 0 END AS b
+        FROM toks),
+    staged AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_id
+        FROM flagged),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM staged GROUP BY 1, 2),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(chunk_text),1,15)) AS BIGINT)
+                   AS chunk_hash,
+               n_tokens
+        FROM chunks)
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens
+    FROM hashed GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+    LIMIT 50
+    """,
+)
+def corpus_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc duplicate-chunk report
+    (operators/corpus.py::cdc_chunk_dedup): boundaries fall after
+    tokens whose portable hash lands in a fixed residue class, so an
+    INSERTION shifts boundaries only until the next boundary token and
+    shared runs between near-copies chunk identically — the
+    shift-robust complement to fixed-width chunking and whole-doc
+    minhash.  Entire pipeline (tokenize, flag, running boundary count,
+    chunk assembly, hash, repeat report) replayed by the oracle."""
+    from ..operators.corpus import cdc_chunk_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(d)
+
+
+# -- RAG chunk-retrieval capstone (oracle-exact end to end) -------------------
+@register(
+    "pipeline_rag_retrieval_portable",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 64 THEN 1
+                      ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+          FROM d),
+    x AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+          FROM c),
+    chunks AS (
+        SELECT doc_id * 10000 + chunk_idx AS chunk_id,
+               array_to_string(
+                   list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                   ' ') AS text
+        FROM x WHERE doc_id <> 7),
+    ctok AS (SELECT chunk_id,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             FROM chunks),
+    ch AS (SELECT chunk_id,
+                  CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h
+           FROM ctok),
+    cs AS (SELECT chunk_id, CAST(h % 1024 AS INT) AS fi,
+                  CASE WHEN ((h >> 10) & 1) = 0 THEN 1 ELSE -1 END AS s
+           FROM ch),
+    cf AS (SELECT chunk_id, fi, CAST(SUM(s) AS BIGINT) AS v
+           FROM cs GROUP BY 1, 2 HAVING SUM(s) <> 0),
+    qtok AS (SELECT doc_id AS query_id,
+                    unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             FROM documents WHERE doc_id = 7),
+    qh AS (SELECT query_id,
+                  CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) AS h
+           FROM qtok),
+    qs AS (SELECT query_id, CAST(h % 1024 AS INT) AS fi,
+                  CASE WHEN ((h >> 10) & 1) = 0 THEN 1 ELSE -1 END AS s
+           FROM qh),
+    qf AS (SELECT query_id, fi, CAST(SUM(s) AS BIGINT) AS v
+           FROM qs GROUP BY 1, 2 HAVING SUM(s) <> 0),
+    cn AS (SELECT chunk_id, CAST(SUM(v*v) AS BIGINT) AS cn2
+           FROM cf GROUP BY 1),
+    qn AS (SELECT query_id, CAST(SUM(v*v) AS BIGINT) AS qn2
+           FROM qf GROUP BY 1),
+    dots AS (SELECT q.query_id, c.chunk_id,
+                    CAST(SUM(c.v * q.v) AS BIGINT) AS dot
+             FROM cf c JOIN qf q ON q.fi = c.fi
+             GROUP BY 1, 2),
+    scored AS (
+        SELECT d.query_id, d.chunk_id,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(cn.cn2 AS DOUBLE))
+                      * sqrt(CAST(qn.qn2 AS DOUBLE))) AS cos_sim
+        FROM dots d
+        JOIN cn ON cn.chunk_id = d.chunk_id
+        JOIN qn ON qn.query_id = d.query_id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, chunk_id) AS rnk
+        FROM scored)
+    SELECT query_id, chunk_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def pipeline_rag_retrieval_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus-construction capstone: overlapping context chunks
+    (corpus.chunk_documents, 64/16) -> signed hashing-trick vectors
+    (text.feature_hashing, vocabulary-free) -> inverted-bucket cosine
+    retrieval of the top-10 chunks for a query document
+    (text.sparse_retrieval_topk).  Chunks join the query only where
+    they share a feature bucket (posting-list intersection, an
+    EQUI-join on the bucket id) — never an all-pairs scan — and every
+    number is integer-exact until the final cosine division, so the
+    ENTIRE chunk->featurize->retrieve pipeline replays in one oracle."""
+    from ..operators.corpus import chunk_documents
+    from ..operators.text import sparse_retrieval_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_size=64, overlap=16).filter(
+        F.col("doc_id") != 7
+    ).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    query = d.filter(F.col("doc_id") == 7).select("doc_id", "text")
+    return sparse_retrieval_topk(
+        chunks, query, k=10, id_col="chunk_id", query_id_col="doc_id"
+    )
+
+
+# -- source-pair overlap matrix from grouped KMV sketches (oracle-exact) -----
+@register(
+    "corpus_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source AS src,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    shl AS (
+        SELECT src, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t)-2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks),
+    hs AS (SELECT DISTINCT src,
+                  CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS h
+           FROM shl),
+    sk AS (SELECT src, h FROM (
+               SELECT src, h,
+                      row_number() OVER (PARTITION BY src ORDER BY h) AS rn
+               FROM hs)
+           WHERE rn <= 64),
+    per_src AS (SELECT src, count(*) AS m, max(h) AS mx
+                FROM sk GROUP BY 1),
+    ests AS (SELECT src,
+                    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                         ELSE 63.0 / ((CAST(mx AS DOUBLE) + 1.0)
+                                      / 1152921504606846976.0)
+                    END AS est
+             FROM per_src),
+    pairs AS (SELECT a.src AS source_a, b.src AS source_b
+              FROM (SELECT DISTINCT src FROM sk) a,
+                   (SELECT DISTINCT src FROM sk) b
+              WHERE a.src < b.src),
+    contrib AS (
+        SELECT p.source_a, p.source_b, s.h, 1 AS a, 0 AS b
+        FROM sk s JOIN pairs p ON s.src = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0 AS a, 1 AS b
+        FROM sk s JOIN pairs p ON s.src = p.source_b),
+    merged AS (SELECT source_a, source_b, h,
+                      max(a) AS a, max(b) AS b
+               FROM contrib GROUP BY 1, 2, 3),
+    us AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                             ORDER BY h) AS rn
+               FROM merged)
+           WHERE rn <= 64),
+    agg AS (SELECT source_a, source_b, count(*) AS m, max(h) AS mx,
+                   CAST(sum(a*b) AS BIGINT) AS nboth
+            FROM us GROUP BY 1, 2)
+    SELECT g.source_a, g.source_b, e1.est AS est_a, e2.est AS est_b,
+           CASE WHEN g.m < 64 THEN CAST(g.m AS DOUBLE)
+                ELSE 63.0 / ((CAST(g.mx AS DOUBLE) + 1.0)
+                             / 1152921504606846976.0)
+           END AS est_union,
+           CAST(g.nboth AS DOUBLE) / CAST(g.m AS DOUBLE) AS jaccard_est,
+           (CAST(g.nboth AS DOUBLE) / CAST(g.m AS DOUBLE))
+               * (CASE WHEN g.m < 64 THEN CAST(g.m AS DOUBLE)
+                       ELSE 63.0 / ((CAST(g.mx AS DOUBLE) + 1.0)
+                                    / 1152921504606846976.0)
+                  END) AS est_intersection
+    FROM agg g
+    JOIN ests e1 ON e1.src = g.source_a
+    JOIN ests e2 ON e2.src = g.source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from per-source KMV sketches
+    (operators/sketches.py::source_overlap_matrix): which feed pairs
+    share content, answered from k-hash sketches — sources^2 * k sketch
+    rows, never corpus data.  The grouped sketch-algebra sibling of
+    sketch_kmv_set_ops; portable md5-60 end to end, the whole grouped
+    estimator (per-source bottom-k, pair union sketches, Jaccard and
+    intersection estimates) replayed by the oracle."""
+    from ..operators.sketches import source_overlap_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(d)
+
+
+# -- per-doc n-gram duplication exposure (oracle-exact) ----------------------
+@register(
+    "corpus_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(t)-4, 1)),
+                  i -> array_to_string(t[i:i+4], ' ')))) AS g
+              FROM toks)),
+    dfc AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM grams GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_grams,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS shared_frac
+    FROM grams g JOIN dfc d ON d.h = g.h
+    GROUP BY 1
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication-exposure score (operators/corpus.py::
+    ngram_novelty): fraction of each doc's distinct 5-grams shared with
+    other docs — the memorization-risk / boilerplate profile between
+    whole-doc dedup and span dedup.  Gram-keyed count + join back, all
+    equi-keyed on 8-byte portable hashes; fully oracle-replayed."""
+    from ..operators.corpus import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(d)
+
+
+# -- cluster-balanced diversity sampling (oracle-exact) -----------------------
+@register(
+    "corpus_cluster_balanced_sample",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent) WHERE rn = 1),
+    keyed AS (
+        SELECT vec_id, centroid_id,
+               CAST(('0x'||substr(md5('cbs:'||CAST(vec_id AS VARCHAR)),1,15))
+                    AS BIGINT) AS u
+        FROM assign),
+    ranked AS (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY centroid_id
+                                  ORDER BY u, vec_id) AS rn,
+               count(*) OVER (PARTITION BY centroid_id) AS n
+        FROM keyed)
+    SELECT centroid_id, vec_id, CAST(rn AS INT) AS sample_rank,
+           CAST(n AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def corpus_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (operators/similarity.py::
+    cluster_balanced_sample): nearest-centroid assignment + a fixed
+    per-cluster quota by deterministic md5 rank — flattens the SEMANTIC
+    mixture the way temperature sampling flattens the source mixture,
+    so dense topic blobs stop dominating the training set.  Map-only
+    assignment, one centroid-keyed exchange shared by rank and size;
+    assignment + quota both replayed by the oracle."""
+    from ..operators.similarity import cluster_balanced_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(e, per_cluster=10, every_nth=50)

@@ -219,3 +219,121 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     out = trending_topk(window_counts(e, window="1 hour"), k=5)
     return out.withColumn("n_events", F.col("n_events").cast("long"))
+
+
+# -- offline change-point localization per (type, day) (oracle-exact) --------
+@register(
+    "events_change_point",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                          AS seg_start,
+                      CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE value IS NOT NULL),
+    pre AS (
+        SELECT event_type, seg_start, ts, event_id,
+               row_number() OVER w AS i,
+               SUM(CAST(value AS DECIMAL(30,15))) OVER w AS s
+        FROM e
+        WINDOW w AS (PARTITION BY event_type, seg_start
+                     ORDER BY ts, event_id)),
+    tot AS (
+        SELECT event_type, seg_start, count(*) AS n,
+               SUM(CAST(value AS DECIMAL(30,15))) AS t
+        FROM e GROUP BY 1, 2),
+    scored AS (
+        SELECT p.event_type, p.seg_start, tot.n, p.i, p.ts,
+               CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE) AS mean_before,
+               CAST(tot.t - p.s AS DOUBLE)
+                   / CAST(tot.n - p.i AS DOUBLE) AS mean_after,
+               abs(CAST(p.s AS DOUBLE) / CAST(p.i AS DOUBLE)
+                   - CAST(tot.t - p.s AS DOUBLE)
+                     / CAST(tot.n - p.i AS DOUBLE))
+               * sqrt(CAST(p.i AS DOUBLE) * CAST(tot.n - p.i AS DOUBLE)
+                      / CAST(tot.n AS DOUBLE)) AS score
+        FROM pre p JOIN tot USING (event_type, seg_start)
+        WHERE p.i >= 4 AND p.i <= tot.n - 4),
+    picked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type, seg_start
+                      ORDER BY score DESC, i) AS rn
+        FROM scored)
+    SELECT event_type, seg_start, CAST(n AS BIGINT) AS n,
+           CAST(i AS INT) AS split_i, ts AS change_ts,
+           mean_before, mean_after, score
+    FROM picked WHERE rn = 1
+    """,
+)
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift change-point localization per (event_type, day)
+    (operators/temporal.py::change_point_scan): the single-change-point
+    least-squares scan via prefix sums — one cumulative DECIMAL window
+    per bounded (type, day) segment scores EVERY split position without
+    rescans or self-joins; argmax with earlier-split tie-break.  The
+    level-shift monitoring report between the point-anomaly queries and
+    the seasonal baseline; fully oracle-replayed."""
+    from ..operators.temporal import change_point_scan
+
+    e = load_table(spark, sf_dir, "events")
+    return change_point_scan(e, min_segment=4)
+
+
+# -- trajectory similarity search over user event paths (oracle-exact) -------
+def _trajectory_oracle() -> str:
+    from .oracle_fragments import minhash_portable_cte
+
+    cte = minhash_portable_cte(
+        num_hashes=8, bands=4,
+        src=(
+            "(SELECT user_id AS doc_id, "
+            "string_agg(event_type, ' ' ORDER BY ts, event_id) AS text "
+            "FROM events GROUP BY user_id)"
+        ),
+    )
+    return rf"""
+    WITH {cte}
+    SELECT doc_id_a AS user_id_a, doc_id_b AS user_id_b, jaccard
+    FROM ver WHERE jaccard >= 0.4
+    ORDER BY jaccard DESC, user_id_a, user_id_b LIMIT 20
+    """
+
+
+@register("events_trajectory_similarity", oracle=_trajectory_oracle())
+def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k trajectory similarity search (the distributed
+    trajectory-top-k workload, ICDE'21 REPOSE class, re-expressed
+    Spark-first): each user's ordered event-type sequence becomes a
+    path string, ORDER-PRESERVING 3-step shingles feed the portable
+    MinHash-LSH pipeline (banding prunes the user-pair space exactly
+    like document dedup — trajectories ARE documents over a small
+    alphabet), and the exact path-shingle Jaccard ranks the top-20
+    most-similar journey pairs.  One groupBy builds paths (array_sort
+    of (ts, event_id, type) structs — deterministic under ts ties),
+    everything downstream reuses operators/dedup.py::
+    minhash_dedup_portable verbatim; whole pipeline oracle-replayed,
+    top-k via orderBy+limit."""
+    from ..operators import dedup as D
+
+    e = load_table(spark, sf_dir, "events")
+    traj = e.groupBy("user_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    pairs = D.minhash_dedup_portable(
+        traj, text_col="path", id_col="user_id",
+        num_hashes=8, bands=4, min_jaccard=0.4, shingle_n=3,
+    )
+    return (
+        pairs.select(
+            F.col("doc_id_a").alias("user_id_a"),
+            F.col("doc_id_b").alias("user_id_b"),
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), F.asc("user_id_a"), F.asc("user_id_b"))
+        .limit(20)
+    )

@@ -3758,3 +3758,171 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("staleness_seconds"),
         (lag > 1800).alias("is_stale"),
     )
+
+
+# -- market-basket affinity rules (oracle-exact) ------------------------------
+@register(
+    "basket_affinity_rules",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    tot AS (SELECT count(DISTINCT o) AS n_orders FROM e),
+    singles AS (SELECT p, count(*) AS n_p FROM e GROUP BY 1),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_both
+        FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT pr.part_a, pr.part_b,
+               CAST(pr.n_both AS BIGINT) AS n_both,
+               CAST(sa.n_p AS BIGINT) AS n_a,
+               CAST(sb.n_p AS BIGINT) AS n_b,
+               CAST(pr.n_both AS DOUBLE) / CAST(sa.n_p AS DOUBLE)
+                   AS conf_a_to_b,
+               (CAST(pr.n_both AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+                   / (CAST(sa.n_p AS DOUBLE) * CAST(sb.n_p AS DOUBLE))
+                   AS lift
+        FROM pairs pr
+        JOIN singles sa ON sa.p = pr.part_a
+        JOIN singles sb ON sb.p = pr.part_b
+        CROSS JOIN tot t
+        WHERE pr.n_both >= 3)
+    SELECT * FROM scored
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def basket_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining over co-ordered parts: support,
+    confidence, and lift for every part pair with >= 3 co-orders,
+    top-20 by lift — the classic association-rule workload (the
+    pairwise core of Apriori/FP-growth), re-expressed Spark-first.
+    Pair expansion is the bounded groupBy(order)->collect_list->double
+    explode combinator (one exchange of the fact rows, arrays bounded
+    by items-per-order — the same shape as the pagerank edge build,
+    never a corpus self-join); the order total is a 1-row broadcast
+    scalar; counts stay integer-exact until the confidence/lift
+    divisions, identically associated in the oracle.  Top-k via
+    orderBy+limit (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    tot = e.agg(F.countDistinct("o").alias("n_orders"))
+    singles = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        e.groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("pa"), "ps")
+        .select("pa", F.explode("ps").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    scored = (
+        pairs.join(
+            singles.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")),
+            on="pa",
+        )
+        .join(
+            singles.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")),
+            on="pb",
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_both") >= 3)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_both").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (
+                (F.col("n_both").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+# -- RFM customer segmentation (oracle-exact) ---------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               epoch_us(max(o_orderdate)) AS r_us,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+        FROM orders GROUP BY 1),
+    cuts AS (
+        SELECT quantile_cont(CAST(r_us AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+               quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+               quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM base),
+    scored AS (
+        SELECT b.o_custkey,
+               CAST(len(list_filter(c.rc, x -> CAST(b.r_us AS DOUBLE) > x))
+                    + 1 AS INT) AS r_score,
+               CAST(len(list_filter(c.fc, x -> CAST(b.freq AS DOUBLE) > x))
+                    + 1 AS INT) AS f_score,
+               CAST(len(list_filter(c.mc, x -> b.mon > x)) + 1 AS INT)
+                   AS m_score,
+               b.mon_dec
+        FROM base b CROSS JOIN cuts c)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_dec) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse-offload workload: per
+    customer recency (last order date), frequency (order count), and
+    monetary (DECIMAL revenue sum), each scored 1-5 against its own
+    exact quintile cuts, reduced to the <=125-cell segment grid with
+    counts and average revenue.  Scoring is the broadcast
+    count-of-cuts-below-value primitive (skew_range_rebalance /
+    dq_distribution_drift — no ntile global window); recency compares
+    exact unix_micros (the NTZ lesson: never second-truncating casts).
+    One customer-keyed aggregation, two 1-row scalar broadcasts, all
+    sums DECIMAL until the final division; fully oracle-replayed."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate arrives TIMESTAMP_NTZ; session tz is UTC so the cast
+    # is value-preserving and unix_micros matches DuckDB epoch_us
+    base = o.groupBy("o_custkey").agg(
+        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp"))).alias(
+            "r_us"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon_dec"),
+    ).withColumn("mon", F.col("mon_dec").cast("double"))
+    qs = [F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)]
+    cuts = base.agg(
+        F.percentile(F.col("r_us").cast("double"), F.array(*qs)).alias("rc"),
+        F.percentile(F.col("freq").cast("double"), F.array(*qs)).alias("fc"),
+        F.percentile(F.col("mon"), F.array(*qs)).alias("mc"),
+    )
+
+    def score(arr: str, val) -> F.Column:
+        return (
+            F.size(F.filter(F.col(arr), lambda x: val > x)) + F.lit(1)
+        ).cast("int")
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        score("rc", F.col("r_us").cast("double")).alias("r_score"),
+        score("fc", F.col("freq").cast("double")).alias("f_score"),
+        score("mc", F.col("mon")).alias("m_score"),
+        F.col("mon_dec"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.sum("mon_dec").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_monetary"),
+    )

@@ -1168,3 +1168,225 @@ def layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_quantity").cast("double").alias("max1"),
         )
     )
+
+
+# -- JDBC write->read-back round-trip against a live embedded Derby ----------
+# The north star is "Spark reads Hadoop / writes Vertica via JDBC"
+# (BASELINE.json); the read half is live-tested against Derby
+# (tests/test_jdbc_live.py) but the driver never exercised the SINK half.
+# This query runs the full sink+source cycle in-process: write a customer
+# slice through write_jdbc (real CREATE TABLE + batched INSERTs through
+# the embedded Derby driver), read it back with a predicate-sliced
+# parallel read (4 MOD residue classes, evaluated server-side), and
+# reduce to a summary the oracle predicts straight from the parquet —
+# count, exact key sum, DECIMAL balance sum.  Any loss, duplication, or
+# value corruption in either JDBC direction breaks the value hash.
+@register(
+    "jdbc_write_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DECIMAL(38,2))
+               AS bal_sum,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def jdbc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertica-sink rehearsal (sources/jdbc.py::write_jdbc, cited to the
+    reference's numLoaders throttle): write -> read-back -> summarize
+    through a genuine JDBC endpoint (Spark's bundled embedded Derby —
+    real driver, real batched inserts, real server-side MOD pushdown).
+    The summary is computed from the READ-BACK frame only, so the oracle
+    (which reads the parquet source) certifies the round-trip lossless."""
+    import tempfile
+
+    from ..sources.jdbc import (
+        JdbcSource,
+        mod_predicates,
+        read_partitioned,
+        write_jdbc,
+    )
+
+    db_dir = tempfile.mkdtemp(prefix="jdbc_rt_") + "/db"
+    src = JdbcSource(
+        url=f"jdbc:derby:{db_dir};create=true",
+        table="customer_rt",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    df = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+    write_jdbc(df, src, mode="overwrite", num_partitions=2)
+    # Derby folds unquoted identifiers to uppercase; Spark's JDBC writer
+    # creates case-exact quoted columns — quote the key in the predicate
+    back = read_partitioned(
+        spark, src, predicates=mod_predicates('"c_custkey"', 4)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,2)"))
+        .cast("decimal(38,2)")
+        .alias("bal_sum"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_keys"),
+    )
+
+
+# -- one-pass pairwise correlation profile (oracle-exact) --------------------
+def _corr_matrix_oracle(table: str, cols: list[str]) -> str:
+    """Mirror of profile.correlation_matrix: DECIMAL(38,6) moment sums,
+    double closed-form arithmetic with identical association."""
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs.append(f"SUM(CAST({c} AS DECIMAL(38,6))) AS s_{c}")
+        aggs.append(f"SUM(CAST({c}*{c} AS DECIMAL(38,6))) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(f"SUM(CAST({a}*{b} AS DECIMAL(38,6))) AS sp_{a}_{b}")
+    sel = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            nd = "CAST(n AS DOUBLE)"
+            sx, sy = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+            dx = f"({nd}*CAST(ss_{a} AS DOUBLE) - {sx}*{sx})"
+            dy = f"({nd}*CAST(ss_{b} AS DOUBLE) - {sy}*{sy})"
+            num = f"({nd}*CAST(sp_{a}_{b} AS DOUBLE) - {sx}*{sy})"
+            sel.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+                f" CAST(n AS BIGINT) AS n,"
+                f" CASE WHEN {dx} <> 0.0 AND {dy} <> 0.0"
+                f" THEN {num}/sqrt({dx}*{dy}) END AS corr FROM m"
+            )
+        u = "\n    UNION ALL ".join(sel)
+    return f"WITH m AS (SELECT {', '.join(aggs)} FROM {table})\n    {u}"
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_correlation_matrix",
+    oracle=_corr_matrix_oracle("lineitem", _CORR_COLS),
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregation pass (operators/profile.py::correlation_matrix): all
+    moments accumulate map-side into a single 1-row state, the pair
+    expansion is a literal explode — no joins, no second scan.  The
+    drift/feature-selection profiling step at 100 TB costs one scan."""
+    from ..operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _CORR_COLS)
+
+
+# -- small-file compaction round-trip (oracle-exact) --------------------------
+@register(
+    "layout_compact_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DECIMAL(38,2))
+               AS price_sum,
+           CAST(64 AS INT) AS files_before,
+           CAST(1 AS INT) AS files_after
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    """,
+)
+def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources/maintenance.py::
+    compact_path, cited to the reference's per-mapper file fanout,
+    sqoop_pyhive.py:30-32): fragment a lineitem slice into 64 tiny
+    parquet files (the incremental-ingest pathology), compact the
+    directory atomically to ~target-size files, and summarize from the
+    READ-BACK frame only — count, exact key sum, DECIMAL price sum, so
+    the oracle (reading the parquet source) certifies the rewrite
+    lossless.  The observed before/after file counts ride along as plan
+    literals: 64 by construction, 1 after (slice ≪ target), so a
+    compaction that silently stopped merging breaks the hash too."""
+    import tempfile
+
+    from ..sources.maintenance import compact_path
+
+    path = tempfile.mkdtemp(prefix="compact_rt_") + "/t"
+    sl = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 5 == 0
+    )
+    sl.repartition(64).write.parquet(path)
+    stats = compact_path(spark, path, target_file_bytes=128 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,2)"))
+        .cast("decimal(38,2)")
+        .alias("price_sum"),
+        F.lit(int(stats["files_before"])).cast("int").alias("files_before"),
+        F.lit(int(stats["files_after"])).cast("int").alias("files_after"),
+    )
+
+
+# -- PSI feature-drift monitor (oracle-exact) ---------------------------------
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+    cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1),
+    cuts AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9]) AS c
+             FROM ref),
+    rb AS (SELECT CASE WHEN r.v IS NULL THEN -1
+                  ELSE CAST(len(list_filter(cuts.c, x -> r.v > x)) AS INT)
+                  END AS bin
+           FROM ref r CROSS JOIN cuts),
+    cb AS (SELECT CASE WHEN r.v IS NULL THEN -1
+                  ELSE CAST(len(list_filter(cuts.c, x -> r.v > x)) AS INT)
+                  END AS bin
+           FROM cur r CROSS JOIN cuts),
+    rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+    tots AS (SELECT (SELECT count(*) FROM ref) AS tr,
+                    (SELECT count(*) FROM cur) AS tc),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(-1, 10)),
+    j AS (SELECT s.bin,
+                 COALESCE(rc.n, 0) AS n_ref,
+                 COALESCE(cc.n, 0) AS n_cur
+          FROM spine s
+          LEFT JOIN rc ON rc.bin = s.bin
+          LEFT JOIN cc ON cc.bin = s.bin)
+    SELECT j.bin, CAST(j.n_ref AS BIGINT) AS n_ref,
+           CAST(j.n_cur AS BIGINT) AS n_cur,
+           (CAST(j.n_ref AS DOUBLE) + 1.0)
+               / (CAST(t.tr AS DOUBLE) + 11.0) AS p_ref,
+           (CAST(j.n_cur AS DOUBLE) + 1.0)
+               / (CAST(t.tc AS DOUBLE) + 11.0) AS p_cur,
+           ((CAST(j.n_cur AS DOUBLE) + 1.0) / (CAST(t.tc AS DOUBLE) + 11.0)
+            - (CAST(j.n_ref AS DOUBLE) + 1.0) / (CAST(t.tr AS DOUBLE) + 11.0))
+           * ln(((CAST(j.n_cur AS DOUBLE) + 1.0)
+                 / (CAST(t.tc AS DOUBLE) + 11.0))
+                / ((CAST(j.n_ref AS DOUBLE) + 1.0)
+                   / (CAST(t.tr AS DOUBLE) + 11.0))) AS psi_term
+    FROM j CROSS JOIN tots t
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of orders
+    (operators/profile.py::distribution_drift): reference-decile bin
+    edges (Spark percentile == DuckDB quantile_cont bit-for-bit),
+    map-side count-of-cuts-below-value binning, add-one-smoothed
+    (q-p)*ln(q/p) terms per bin — sum(psi_term) is the PSI the feature-
+    drift monitor alarms on.  Two mergeable aggregate passes + 1-row
+    broadcast scalars; no global window; fully oracle-replayed."""
+    from ..operators.profile import distribution_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_totalprice").alias("v")
+    )
+    return distribution_drift(ref, cur, "v", num_bins=10)

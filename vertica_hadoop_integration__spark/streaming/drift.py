@@ -27,11 +27,29 @@ from ..ledger import Ledger
 from ..sources.writers import write_atomic
 
 
+def _bin_expr(cuts: list[float], col: str):
+    """Shared binning expression: NULL values get the dedicated -1 bin
+    (a NULL surge is drift, not lowest-decile mass — mirrors the batch
+    twin operators/profile.py::distribution_drift)."""
+    return (
+        F.when(F.col(col).isNull(), F.lit(-1))
+        .otherwise(
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(c) for c in cuts]),
+                    lambda x: F.col(col) > x,
+                )
+            )
+        )
+        .alias("bin")
+    )
+
+
 def freeze_reference(ref: DataFrame, col: str, num_bins: int = 10) -> dict:
     """Reduce the reference split to the frozen drift model: exact
     decile cut points + per-bin counts + total (same binning as
     operators/profile.py::distribution_drift — count of cuts strictly
-    below the value)."""
+    below the value; NULLs in a dedicated -1 bin)."""
     fracs = [i / num_bins for i in range(1, num_bins)]
     cuts_row = ref.agg(
         F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(
@@ -39,16 +57,11 @@ def freeze_reference(ref: DataFrame, col: str, num_bins: int = 10) -> dict:
         )
     ).collect()[0]
     cuts = [float(x) for x in cuts_row["c"]]
-    bin_expr = F.size(
-        F.filter(
-            F.array(*[F.lit(c) for c in cuts]), lambda x: F.col(col) > x
-        )
-    ).alias("bin")
-    rows = ref.select(bin_expr).groupBy("bin").agg(
+    rows = ref.select(_bin_expr(cuts, col)).groupBy("bin").agg(
         F.count(F.lit(1)).alias("n")
     ).collect()
     by_bin = {int(r["bin"]): int(r["n"]) for r in rows}
-    counts = [by_bin.get(b, 0) for b in range(num_bins)]
+    counts = [by_bin.get(b, 0) for b in range(-1, num_bins)]
     return {
         "cuts": cuts,
         "counts": counts,
@@ -60,12 +73,13 @@ def freeze_reference(ref: DataFrame, col: str, num_bins: int = 10) -> dict:
 def psi_from_counts(model: dict, cur_counts: dict[int, int], cur_total: int) -> float:
     """Add-one-smoothed PSI of a batch's bin counts against the frozen
     reference model — the same (q - p) * ln(q / p) terms as the batch
-    twin, folded in fixed bin order (rerun-identical)."""
+    twin, folded in fixed bin order (rerun-identical).  Bin -1 carries
+    the NULL counts; smoothing spans num_bins + 1 bins."""
     nb = model["num_bins"]
     psi = 0.0
-    for b in range(nb):
-        p = (model["counts"][b] + 1.0) / (model["total"] + float(nb))
-        q = (cur_counts.get(b, 0) + 1.0) / (cur_total + float(nb))
+    for i, b in enumerate(range(-1, nb)):
+        p = (model["counts"][i] + 1.0) / (model["total"] + float(nb + 1))
+        q = (cur_counts.get(b, 0) + 1.0) / (cur_total + float(nb + 1))
         psi += (q - p) * math.log(q / p)
     return psi
 
@@ -87,12 +101,7 @@ def stream_drift_monitor(
     (batch_id, n_rows, psi, alarm); a replayed batch id is skipped
     wholesale (ledger guard), so restarts never duplicate rows."""
     model = freeze_reference(reference, col, num_bins)
-    bin_expr = F.size(
-        F.filter(
-            F.array(*[F.lit(c) for c in model["cuts"]]),
-            lambda x: F.col(col) > x,
-        )
-    ).alias("bin")
+    bin_expr = _bin_expr(model["cuts"], col)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
