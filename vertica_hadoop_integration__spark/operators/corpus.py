@@ -1185,12 +1185,19 @@ def ngram_novelty(
     emits edits) — rank by ``shared_frac`` to find boilerplate-heavy
     and templated docs, or threshold it as a memorization-risk gate.
 
-    Shape: one scan to distinct (doc, gram-hash) pairs, one gram-keyed
-    count (map-side combine), one join back, one doc-keyed aggregate —
-    all equi-keyed, nothing quadratic; grams are reduced to portable
-    md5-60 hashes before any shuffle so the pipeline replays in SQL and
-    the exchange carries 8-byte keys, not text.  Output:
-    (id, n_grams, n_shared_grams, shared_frac)."""
+    Shape: one scan to distinct (doc, gram-hash) pairs (persisted — two
+    bounded aggregations consume it), then NO gram-keyed join-back: a
+    shared gram's count is n_grams - n_hapax, and a hapax gram (global
+    doc-frequency 1 — the long tail, typically >40% of distinct grams)
+    has exactly ONE owning doc, recoverable as min(doc) inside the same
+    gram-keyed aggregate that computes the frequency.  The old shape
+    re-shuffled every (gram, doc) pair through the df join-back — the
+    one near-linear op in the r07 scale harness (4.9x at 10x data);
+    this shape's shuffles are all aggregate-combined (gram-keyed state
+    is one row per distinct gram, doc-keyed states one row per doc).
+    Grams are reduced to portable md5-60 hashes before any shuffle so
+    the pipeline replays in SQL and the exchange carries 8-byte keys,
+    not text.  Output: (id, n_grams, n_shared_grams, shared_frac)."""
     from ..functions.text_fns import md5_hash60, shingles
 
     df = spread(df)
@@ -1199,18 +1206,28 @@ def ngram_novelty(
         F.explode(
             F.array_distinct(shingles(F.col(text_col), shingle_n))
         ).alias("_g"),
-    ).select(F.col(id_col), md5_hash60(F.col("_g")).alias("_h"))
-    df_count = grams.groupBy("_h").agg(
-        F.countDistinct(F.col(id_col)).alias("_nd")
+    ).select(F.col(id_col), md5_hash60(F.col("_g")).alias("_h")).persist()
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    # (doc, gram) pairs are distinct by construction (array_distinct per
+    # doc), so count(1) == countDistinct(doc) and for a hapax gram
+    # min(doc) IS its sole owner
+    hapax_per_doc = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"), F.min(id_col).alias("_owner"))
+        .filter(F.col("_nd") == 1)
+        .groupBy(F.col("_owner").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_hapax"))
     )
     return (
-        grams.join(df_count, on="_h")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_shared_grams"),
+        totals.join(hapax_per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            (
+                F.col("n_grams") - F.coalesce(F.col("_n_hapax"), F.lit(0))
+            ).cast("bigint").alias("n_shared_grams"),
         )
         .select(
             F.col(id_col),

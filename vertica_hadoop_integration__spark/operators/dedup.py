@@ -371,14 +371,18 @@ def containment_pairs_portable(
 def _containment_stage(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared staging for the containment family: per-doc distinct
-    md5-60 shingle hashes (``staged``: one row per (doc, hash)) and the
-    per-doc hash-set frame (``sets``: doc, sh array, n). Both persisted;
-    cleanup is the caller's (pairs fn hands it to ITS caller; the
-    clustered fn unpersists after its eager clustering step)."""
+    """Shared staging for the containment family: the per-doc hash-set
+    frame (``sets``: doc, sh array, n — persisted) and per-doc distinct
+    md5-60 shingle hashes (``staged``: one row per (doc, hash), a
+    MAP-ONLY explode of the cached sets frame, so it needs no cache of
+    its own).  One shuffle total: collect_set both groups and dedups
+    the hashes, replacing the previous distinct + groupBy double
+    shuffle of the doc x shingle frame.  Cleanup of ``sets`` is the
+    caller's (pairs fn hands it to ITS caller; the clustered fn
+    unpersists after its eager clustering step)."""
     from ..functions.text_fns import md5_hash60
 
-    staged = (
+    sets = (
         _spread(df)
         .select(
             F.col(id_col),
@@ -387,12 +391,12 @@ def _containment_stage(
             ).alias("_sh"),
         )
         .select(F.col(id_col), md5_hash60(F.col("_sh")).alias("_h"))
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("sh"))
+        .select(F.col(id_col), "sh", F.size("sh").cast("bigint").alias("n"))
         .persist()
     )
-    sets = staged.groupBy(id_col).agg(
-        F.collect_set("_h").alias("sh"), F.count(F.lit(1)).alias("n")
-    ).persist()
+    staged = sets.select(F.col(id_col), F.explode("sh").alias("_h"))
     return staged, sets
 
 
@@ -402,10 +406,11 @@ def _containment_core(
     id_col: str,
     min_containment: float,
 ) -> DataFrame:
-    """Prefix-filter candidate generation + exact containment verify
-    over a (staged, sets) pair (see containment_pairs_portable)."""
+    """Prefix-filter + positional-filter candidate generation + exact
+    containment verify over a (staged, sets) pair (see
+    containment_pairs_portable)."""
     freq = staged.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    prefix = (
+    ranked = (
         staged.join(freq, on="_h")
         .withColumn(
             "_rn",
@@ -414,20 +419,47 @@ def _containment_core(
             ),
         )
         .join(sets.select(id_col, "n"), on=id_col)
-        .filter(
-            F.col("_rn")
-            <= F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1
-        )
-        .select(F.col(id_col).alias("_p"), F.col("n").alias("_np"), "_h")
+        .persist()  # ONE ranking pass feeds both the prefix and index sides
     )
-    index = staged.join(sets.select(id_col, "n"), on=id_col).select(
-        F.col(id_col).alias("_i"), F.col("n").alias("_ni"), "_h"
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1
+    ).select(
+        F.col(id_col).alias("_p"),
+        F.col("n").alias("_np"),
+        F.col("_rn").alias("_kp"),
+        "_h",
     )
+    index = ranked.select(
+        F.col(id_col).alias("_i"),
+        F.col("n").alias("_ni"),
+        F.col("_rn").alias("_mi"),
+        "_h",
+    )
+    # PPJoin-style positional filter (lossless): both docs' shingle
+    # lists are ranked by the SAME global (df, hash) order, so a match
+    # at rank kp of the probe and rank mi of the indexed doc bounds the
+    # overlap by min(np - kp, ni - mi) + 1 — common elements can only
+    # sit at or after the match in both orders.  A qualifying pair
+    # (overlap >= ceil(t * np); np is the min side by the probe-
+    # direction rule) always has its FIRST common element inside the
+    # probe prefix carrying the loosest bound, so dropping match rows
+    # whose bound is below the requirement never loses a true pair —
+    # while pruning the random one-rare-shingle coincidences that
+    # dominated the candidate set (152k candidates -> 241 verified
+    # pairs at sf0.1 before this filter).
     cands = (
         prefix.join(index, on="_h")
         .filter(
             (F.col("_ni") > F.col("_np"))
             | ((F.col("_ni") == F.col("_np")) & (F.col("_i") > F.col("_p")))
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("_np") - F.col("_kp"), F.col("_ni") - F.col("_mi")
+            )
+            >= F.ceil(F.lit(min_containment) * F.col("_np"))
         )
         .select(
             F.least("_p", "_i").alias("doc_id_a"),
@@ -492,8 +524,8 @@ def containment_dedup_clustered(
     returned frame has no lineage into them."""
     from .graph import dedup_clusters
 
-    staged, sets = _containment_stage(df, text_col, id_col, shingle_n)
-    grp = None
+    _, sets = _containment_stage(df, text_col, id_col, shingle_n)
+    grp = rep_sets = None
     try:
         sig = sets.select(
             F.col(id_col),
@@ -511,8 +543,13 @@ def containment_dedup_clustered(
             F.min(id_col).over(Window.partitionBy("_sig")).alias("_rep"),
         ).persist()
         reps = grp.filter(F.col(id_col) == F.col("_rep")).select(id_col)
-        rep_staged = staged.join(reps, on=id_col, how="left_semi")
-        rep_sets = sets.join(reps, on=id_col, how="left_semi")
+        # ONE persisted representative frame: rep_sets is a doc-count-
+        # sized semi-join of the cached sets; the (doc, hash) side the
+        # core needs is a map-only explode of it, so no doc x shingle
+        # frame is ever semi-joined or cached (the three-round
+        # 6.5-7.1s plateau came from re-deriving these per consumer)
+        rep_sets = sets.join(reps, on=id_col, how="left_semi").persist()
+        rep_staged = rep_sets.select(F.col(id_col), F.explode("sh").alias("_h"))
         rep_pairs = _containment_core(
             rep_staged, rep_sets, id_col, min_containment
         )
@@ -530,9 +567,9 @@ def containment_dedup_clustered(
         out = dedup_clusters(edges)
         return out
     finally:
-        if grp is not None:
-            grp.unpersist()
-        staged.unpersist()
+        for frame in (grp, rep_sets):
+            if frame is not None:
+                frame.unpersist()
         sets.unpersist()
 
 

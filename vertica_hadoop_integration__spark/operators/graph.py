@@ -48,36 +48,52 @@ def connected_components(
     # containment logical plan through the cached layers.)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint()
+    # hop 0 folded into initialization: label(u) = min(u, min neighbor)
+    # straight from the symmetric edge list — one aggregate instead of a
+    # full propagate round (labels == node ids makes the first join a
+    # no-op rename)
+    # no eager materialization for the seed labels: their lineage is one
+    # aggregate over the already-checkpointed sym, so the round-1 plan
+    # stays tiny without paying a separate checkpoint job (every later
+    # generation IS checkpointed below)
     labels = (
-        sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("label"))
-    ).localCheckpoint()
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
+    )
 
-    converged = False
-    for _ in range(max_iter):
+    def _propagate(lbl: DataFrame, keep: list[str]) -> DataFrame:
         nbr_min = (
-            sym.join(labels, sym.u == labels.node)
+            sym.join(lbl, sym.u == lbl.node)
             .select(F.col("v").alias("node"), F.col("label"))
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # the new generation carries its own change flag, so the
-        # stability probe after the checkpoint is a cached-scan +
-        # limit(1) — the previous shape re-JOINED old vs new labels,
-        # paying a full extra shuffle per iteration just to test
-        # convergence
-        new_gen = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nbr_label"), F.col("label"))
-                    < F.col("label")
-                ).alias("_changed"),
-            )
+        return lbl.join(nbr_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            *keep,
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        # TWO propagation hops per checkpoint+probe: the per-round fixed
+        # cost (checkpoint job + stability probe job) dominates on small
+        # or shallow graphs and halves when rounds cover two hops; the
+        # un-checkpointed middle hop keeps the plan a bounded two-join
+        # chain.  Label reach per round doubles, so max_iter rounds now
+        # certify diameters up to ~2*max_iter.  The starting label rides
+        # along as _prev so the change flag costs no extra join, and the
+        # stability probe on the checkpointed result is a cached-scan +
+        # limit(1).
+        seeded = labels.select("node", "label", F.col("label").alias("_prev"))
+        two_hops = _propagate(_propagate(seeded, ["_prev"]), ["_prev"])
+        new_gen = two_hops.select(
+            "node",
+            "label",
+            (F.col("label") < F.col("_prev")).alias("_changed"),
         ).localCheckpoint()
         stable = new_gen.filter(F.col("_changed")).limit(1).isEmpty()
         labels = new_gen.select("node", "label")
