@@ -109,3 +109,61 @@ def test_jdbc_pushdown_subquery(spark, derby_src):
     assert set(got.columns) == {"C_CUSTKEY", "C_ACCTBAL"} or set(
         got.columns
     ) == {"c_custkey", "c_acctbal"}
+
+
+def test_jdbc_write_options_decimal_timestamp_roundtrip_and_truncate(
+    spark, tmp_path
+):
+    """The writer option surface against a live endpoint (r07 verdict
+    item 7): createTableColumnTypes pins exact DECIMAL(12,2)/TIMESTAMP
+    column types at create time (the D11 map applied on write), values
+    round-trip bit-exact, and overwrite with truncate=True REUSES the
+    table — proven by the pinned DECIMAL type surviving an overwrite
+    that does not resend createTableColumnTypes (a drop+recreate would
+    fall back to the generic type mapping)."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    from vertica_hadoop_integration__spark.sources.jdbc import (
+        write_jdbc,
+    )
+
+    db_dir = tmp_path / "derby_w"
+    src = JdbcSource(
+        url=f"jdbc:derby:{db_dir};create=true",
+        table="typed_sink",
+        driver=DERBY_DRIVER,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("12345.67"), datetime(2024, 3, 1, 12, 30, 45)),
+            (2, Decimal("-0.01"), datetime(2024, 3, 2, 0, 0, 0)),
+        ],
+        "id bigint, bal decimal(12,2), ts timestamp",
+    )
+    write_jdbc(
+        df,
+        src,
+        mode="overwrite",
+        batchsize=500,
+        isolation_level="READ_COMMITTED",
+        create_table_column_types="id BIGINT, bal DECIMAL(12,2), ts TIMESTAMP",
+    )
+    back = read_partitioned(spark, src)
+    assert dict(back.dtypes)["bal"] == "decimal(12,2)"
+    got = {r["id"]: (r["bal"], r["ts"]) for r in back.collect()}
+    want = {r["id"]: (r["bal"], r["ts"]) for r in df.collect()}
+    assert got == want
+
+    # overwrite WITHOUT resending the column types, truncate=True: the
+    # table (and its pinned DECIMAL(12,2)) must survive
+    df2 = spark.createDataFrame(
+        [(3, Decimal("999.99"), datetime(2025, 1, 1, 6, 0, 0))],
+        "id bigint, bal decimal(12,2), ts timestamp",
+    )
+    write_jdbc(df2, src, mode="overwrite", truncate=True)
+    back2 = read_partitioned(spark, src)
+    assert dict(back2.dtypes)["bal"] == "decimal(12,2)"
+    assert back2.count() == 1
+    (row,) = back2.collect()
+    assert (row["id"], row["bal"]) == (3, Decimal("999.99"))

@@ -105,3 +105,53 @@ def test_unmapped_types_raise():
         spark_type_to_vertica(T.MapType(T.StringType(), T.LongType()))
     with pytest.raises(ValueError):
         vertica_type_to_spark("geometry(800)")
+
+
+def test_write_jdbc_options_golden():
+    """The writer's option surface for a Vertica target, pinned exactly
+    (r07 verdict item 7): batchsize loader throttle, isolationLevel,
+    truncate-not-drop on overwrite, dialect column types."""
+    from vertica_hadoop_integration__spark.sources.jdbc import (
+        JdbcSource,
+        write_jdbc_options,
+    )
+
+    src = JdbcSource(
+        url="jdbc:vertica://vhost:5433/warehouse",
+        table="public.orders_out",
+        user="etl",
+        password="pw",
+    )
+    got = write_jdbc_options(
+        src,
+        batchsize=50000,
+        isolation_level="READ_COMMITTED",
+        truncate=True,
+        create_table_column_types="o_orderkey int, o_totalprice float",
+    )
+    assert got == {
+        "url": "jdbc:vertica://vhost:5433/warehouse",
+        "dbtable": "public.orders_out",
+        "driver": "com.vertica.jdbc.Driver",
+        "batchsize": "50000",
+        "isolationLevel": "READ_COMMITTED",
+        "truncate": "true",
+        "user": "etl",
+        "password": "pw",
+        "createTableColumnTypes": "o_orderkey int, o_totalprice float",
+    }
+
+
+def test_vertica_column_types_golden(spark):
+    """The D11 type map applied on WRITE: createTableColumnTypes for the
+    orders fixture, every column through spark_type_to_vertica."""
+    from vertica_hadoop_integration__spark.sources.jdbc import (
+        vertica_column_types,
+    )
+
+    df = load_table(spark, SF_DIR, "orders")
+    assert vertica_column_types(df) == (
+        "o_orderkey int, o_custkey int, o_orderstatus varchar(65000), "
+        "o_totalprice float, o_orderdate timestamp, "
+        "o_orderpriority varchar(65000)"
+    )

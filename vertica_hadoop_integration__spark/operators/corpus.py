@@ -33,8 +33,16 @@ def clean_corpus(
     num_hashes: int = 16,
     bands: int = 8,
     dedup_strategy: str = "pairs",
+    near_dedup: str = "xxhash",
 ) -> DataFrame:
     """Return the cleaned corpus: original columns + ``predicted_lang``.
+
+    ``near_dedup`` picks the MinHash hash family: ``"xxhash"`` (default,
+    the production path — cheapest per shingle) or ``"portable"``
+    (md5-60 hashes via :func:`..operators.dedup.minhash_dedup_portable`,
+    making the ENTIRE pipeline — gates, language argmax, exact dedup,
+    banding, verify, drops — replayable in DuckDB SQL; the registered
+    oracle-checked queries use this).
 
     Drops, in order: low-quality docs (length / token-count / punctuation
     gates, computed inline — same thresholds as
@@ -94,14 +102,26 @@ def clean_corpus(
         .select("_r.*")
     )
 
-    pairs = minhash_dedup(
-        exact_canon,
-        text_col=text_col,
-        id_col=id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        min_jaccard=min_jaccard,
-    )
+    if near_dedup == "portable":
+        from .dedup import minhash_dedup_portable
+
+        pairs = minhash_dedup_portable(
+            exact_canon,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_jaccard=min_jaccard,
+        )
+    else:
+        pairs = minhash_dedup(
+            exact_canon,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_jaccard=min_jaccard,
+        )
     if dedup_strategy == "clusters":
         from .graph import dedup_clusters
 

@@ -48,6 +48,10 @@ _HEAD_PROMOTE = [
     # r08: NULL values moved to a dedicated -1 bin (ADVICE fix), plan +
     # oracle changed together — re-certify under the driver.
     "dq_distribution_drift",
+    # r08: rows-only -> oracle-checked (near_dedup='portable' swap, full
+    # pipeline replay) — first driver rows with the new oracles.
+    "pipeline_clean_corpus",
+    "pipeline_clean_corpus_clustered",
 ]
 
 

@@ -106,3 +106,60 @@ def pq_topk_oracle(k: int = 5) -> str:
     SELECT query_id, neighbor_id, CAST(a AS DOUBLE) AS approx_l2sq,
            CAST(rnk AS INT) AS rank
     FROM ranked WHERE rnk <= {k}"""
+
+
+def clean_corpus_kept_ctes(
+    min_chars: int = 20,
+    min_tokens: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> str:
+    """WITH-body replaying clean_corpus(near_dedup='portable') up to the
+    verified near-dup pairs: quality gate (length / token / punctuation,
+    same expressions the green text_quality_logreg oracle uses),
+    stopword-marker language argmax (same CASE tie-break as the green
+    text_language_id oracle), exact dedup (min doc per md5 of normalized
+    text), then the portable MinHash pipeline over the kept rows
+    (CTEs through ``ver``; consumers filter ``ver.jaccard`` and derive
+    drops). Final kept columns: doc_id, text, lang, source, n_chars,
+    predicted_lang (the ``kept`` CTE)."""
+    from ..operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], x))) AS score_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    punct = (
+        "length(text) - length(regexp_replace(text,"
+        " '[.,!?;:''\"()\\[\\]{}-]', '', 'g'))"
+    )
+    return rf"""gate AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE length(text) >= {min_chars}
+        AND len(string_split_regex(lower(trim(text)), '\s+')) >= {min_tokens}
+        AND ({punct}) * 5 <= length(text)),
+    lsc AS (
+      SELECT doc_id, text, lang, source, n_chars,
+           {score_cols}
+      FROM gate),
+    gated AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             {case} AS predicted_lang
+      FROM lsc),
+    kept AS (
+      SELECT doc_id, text, lang, source, n_chars, predicted_lang FROM (
+        SELECT g.*, row_number() OVER (
+                 PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS _rn
+        FROM gated g) WHERE _rn = 1),
+    {minhash_portable_cte(num_hashes, bands, src="kept")}"""

@@ -618,18 +618,47 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(e, stages=("view", "click", "purchase"))
 
 
-# -- cluster-canonical corpus cleaning (rows-only) -------------------------
-@register("pipeline_clean_corpus_clustered")
+# -- cluster-canonical corpus cleaning (oracle-replayed end to end) --------
+def _clean_corpus_clustered_oracle() -> str:
+    from .oracle_fragments import clean_corpus_kept_ctes
+
+    return f"""
+    WITH RECURSIVE {clean_corpus_kept_ctes(min_chars=20, min_tokens=5,
+                                           num_hashes=16, bands=8)},
+    pairs AS (SELECT doc_id_a, doc_id_b FROM ver WHERE jaccard >= 0.7),
+    edges AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+      UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v),
+    labels AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    drops AS (SELECT node AS doc_id FROM labels WHERE node <> component)
+    SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars, k.predicted_lang
+    FROM kept k LEFT JOIN drops d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    """
+
+
+@register(
+    "pipeline_clean_corpus_clustered",
+    oracle=_clean_corpus_clustered_oracle(),
+)
 def pipeline_clean_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_corpus with dedup_strategy='clusters': near-dup drops come
     from connected components over verified pairs (exact under chains —
     pairwise drop can over-keep docs that are only transitively similar
-    through a higher-id hub). Non-SQL-expressible (LSH + iterative CC);
-    keep-set invariants pytest-asserted (tests/test_curation.py)."""
+    through a higher-id hub). Upgraded r08 from rows-only via
+    near_dedup='portable' (md5-60 MinHash; same plan shape): the oracle
+    replays gates, exact canon, the full LSH pipeline, AND the
+    transitive closure (recursive-CTE min-label fixpoint) against the
+    iterative label-propagation operator.  The xxhash production
+    default stays pytest-covered (tests/test_curation.py)."""
     d = load_table(spark, sf_dir, "documents")
     return C.clean_corpus(
         d, min_chars=20, min_tokens=5, min_jaccard=0.7,
-        dedup_strategy="clusters",
+        dedup_strategy="clusters", near_dedup="portable",
     )
 
 

@@ -868,17 +868,39 @@ def text_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(d)
 
 
-# -- end-to-end corpus cleaning pipeline (rows-only; invariants in pytest) -
-@register("pipeline_clean_corpus")
+# -- end-to-end corpus cleaning pipeline (oracle-replayed end to end) ------
+def _clean_corpus_oracle() -> str:
+    from .oracle_fragments import clean_corpus_kept_ctes
+
+    return f"""
+    WITH {clean_corpus_kept_ctes(min_chars=20, min_tokens=5,
+                                 num_hashes=16, bands=8)},
+    drops AS (SELECT DISTINCT doc_id_b AS doc_id FROM ver
+              WHERE jaccard >= 0.7)
+    SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars, k.predicted_lang
+    FROM kept k LEFT JOIN drops d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    """
+
+
+@register("pipeline_clean_corpus", oracle=_clean_corpus_oracle())
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality gate -> language gate -> exact dedup -> MinHash near-dedup,
-    the full training-data cleaning composition (operators/corpus.py).
-    Non-SQL-expressible (LSH inside); invariants (no exact dups survive,
-    planted near-dups dropped, gates hold) are pytest-asserted."""
+    """quality gate -> language argmax -> exact dedup -> MinHash
+    near-dedup (drop the higher-id side of each verified pair), the
+    full training-data cleaning composition (operators/corpus.py).
+    Upgraded r08 from rows-only: near_dedup='portable' swaps the
+    xxhash64 MinHash internals for the md5-60 pipeline (same plan
+    shape), so EVERY stage — gates, language scores + tie-break, exact
+    canon, seeded signature mins, banding, exact-Jaccard verify,
+    pair-wise drops — replays in the oracle.  The xxhash production
+    default stays pytest-covered (tests/test_pipeline.py)."""
     from ..operators.corpus import clean_corpus
 
     d = load_table(spark, sf_dir, "documents")
-    return clean_corpus(d, min_chars=20, min_tokens=5, min_jaccard=0.7)
+    return clean_corpus(
+        d, min_chars=20, min_tokens=5, min_jaccard=0.7,
+        near_dedup="portable",
+    )
 
 
 # -- near-dup clusters via connected components (rows-only) ----------------

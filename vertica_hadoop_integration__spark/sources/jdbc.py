@@ -129,29 +129,79 @@ def read_partitioned(
     return reader.load()
 
 
+def vertica_column_types(df: DataFrame) -> str:
+    """The D11 type map applied on WRITE: a ``createTableColumnTypes``
+    clause mapping every column through spark_type_to_vertica
+    (catalog.py), so a table Spark creates in Vertica carries the
+    dialect's types (VARCHAR widths, TIMESTAMP(6), NUMERIC precision)
+    instead of the generic JDBC defaults."""
+    return ", ".join(
+        f"{f.name} {spark_type_to_vertica(f.dataType)}"
+        for f in df.schema.fields
+    )
+
+
+def write_jdbc_options(
+    src: JdbcSource,
+    batchsize: int = 10000,
+    isolation_level: str = "READ_UNCOMMITTED",
+    truncate: bool = False,
+    create_table_column_types: str | None = None,
+) -> dict[str, str]:
+    """Writer option surface (pure construction — golden-tested):
+
+    * ``batchsize`` — rows per INSERT batch (the reference's loader
+      throttle; Vertica ingests efficiently at 10k+ per batch).
+    * ``isolationLevel`` — transaction level for the writes;
+      READ_UNCOMMITTED (Spark's default) avoids lock contention across
+      the parallel loader connections.
+    * ``truncate`` — on overwrite, TRUNCATE the target instead of
+      DROP+CREATE: preserves Vertica-side DDL (projections, grants,
+      partition clauses) that a recreate would destroy.
+    * ``createTableColumnTypes`` — dialect column types for tables the
+      writer creates (see vertica_column_types)."""
+    opts = {
+        "url": src.url,
+        "dbtable": src.table,
+        "driver": src.driver,
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation_level,
+        "truncate": "true" if truncate else "false",
+    }
+    if src.user:
+        opts["user"] = src.user
+        opts["password"] = src.password
+    if create_table_column_types:
+        opts["createTableColumnTypes"] = create_table_column_types
+    return opts
+
+
 def write_jdbc(
     df: DataFrame,
     src: JdbcSource,
     mode: str = "append",
     batchsize: int = 10000,
     num_partitions: int | None = None,
+    isolation_level: str = "READ_UNCOMMITTED",
+    truncate: bool = False,
+    create_table_column_types: str | None = None,
 ) -> None:
     """JDBC write (the Vertica-sink half). num_partitions caps concurrent
-    connections — the reference's numLoaders throttle."""
+    connections — the reference's numLoaders throttle; the remaining
+    knobs are documented on write_jdbc_options."""
     out = df
     if num_partitions:
         out = df.coalesce(num_partitions)
-    (
-        out.write.format("jdbc")
-        .option("url", src.url)
-        .option("dbtable", src.table)
-        .option("driver", src.driver)
-        .option("user", src.user)
-        .option("password", src.password)
-        .option("batchsize", str(batchsize))
-        .mode(mode)
-        .save()
-    )
+    writer = out.write.format("jdbc")
+    for k, v in write_jdbc_options(
+        src,
+        batchsize=batchsize,
+        isolation_level=isolation_level,
+        truncate=truncate,
+        create_table_column_types=create_table_column_types,
+    ).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
 
 
 def vertica_external_table_ddl(
