@@ -187,6 +187,11 @@ HEADLINE = [
     "text_readability_scores",
     "events_trajectory_similarity",
     "ann_topk_paged_serving",
+    # round-8 additions
+    "embedding_diversity_report",
+    "ann_ivf_filtered_topk",
+    "dq_distribution_drift_by_group",
+    "dq_pii_density",
 ]
 
 

@@ -22,6 +22,9 @@ BNLJ_OK = {
     "ann_cosine_topk_arrow",    # same kernel, Arrow scorer
     "ann_range_search",         # broadcast query side, radius predicate
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
+    "ann_ivf_filtered_topk",    # same probe pipeline (broadcast centroid
+                                # table); the metadata filter is an
+                                # id-keyed semi-join, never a cross
     "ann_ivf_kmeans_topk",      # same probe, k-means-refined centroid table
     "ann_ivf_pq_topk",          # broadcast centroid table (probe selection)
     "ann_pq_rerank_topk",       # PQ stage broadcasts codebook/LUT; rerank
@@ -94,6 +97,10 @@ SCALAR_BROADCAST_OK = {
     "basket_affinity_rules",        # 1-row distinct-order-total scalar
     "dq_distribution_drift",        # 1-row percentile-cuts + split-total
                                     # scalars (PSI binning)
+    "dq_distribution_drift_by_group",  # groups x 11-row bin spine cross
+                                    # (both sides bounded by the group
+                                    # cardinality, never fact rows) +
+                                    # broadcast per-group cut table
     "customer_rfm_segments",        # 1-row RFM quintile-cuts scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK

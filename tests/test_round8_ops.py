@@ -1,0 +1,140 @@
+"""Round-8 operator tests: one-pass embedding diversity, filtered
+vector search, grouped PSI drift, per-source PII density."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_diversity_report_matches_numpy_all_pairs(spark):
+    """The sum-of-squares identity must reproduce the naive all-pairs
+    mean squared distance exactly (well under float noise), and a
+    duplicated class must score ~0 while a spread class scores > 0."""
+    import numpy as np
+
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        diversity_report,
+    )
+
+    rng = np.random.RandomState(7)
+    spread = rng.randn(20, 64)
+    dup = np.tile(rng.randn(1, 64), (15, 1))
+    rows = [
+        (i, 0, [float(x) for x in spread[i]]) for i in range(20)
+    ] + [
+        (100 + i, 1, [float(x) for x in dup[i]]) for i in range(15)
+    ] + [(999, 2, [0.0] * 64)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in diversity_report(emb).collect()}
+
+    xs = np.array(
+        [[float(np.float32(x)) for x in row] for row in spread]
+    )
+    n = len(xs)
+    want = sum(
+        float(np.dot(xs[i] - xs[j], xs[i] - xs[j]))
+        for i in range(n)
+        for j in range(n)
+        if i != j
+    ) / (n * (n - 1))
+    assert math.isclose(out[0]["mean_pairwise_sq_dist"], want, rel_tol=1e-9)
+    assert out[0]["n_vectors"] == 20
+    # exact duplicates: identity cancels to ~0 (decimal sums keep it tiny)
+    assert abs(out[1]["mean_pairwise_sq_dist"]) < 1e-9
+    # singleton: NULL distance, norm still reported
+    assert out[2]["mean_pairwise_sq_dist"] is None
+    assert out[2]["mean_sq_norm"] == 0.0
+
+
+def test_ivf_filtered_topk_prefilter_semantics(spark, sf_dir):
+    """Every returned neighbor matches the predicate, and with nprobe
+    covering ALL centroids the result equals exact brute-force top-k
+    over the filtered corpus (prefilter, never filter-after-rank)."""
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        ivf_filtered_topk,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    n_cents = e.filter(F.col("vec_id") % 50 == 0).count()
+
+    got = ivf_filtered_topk(
+        e, q, F.col("label") == 3, k=5, every_nth=50, nprobe=n_cents
+    )
+    labels = {
+        r["label"]
+        for r in got.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            on="neighbor_id",
+        ).collect()
+    }
+    assert labels == {3}
+
+    want = brute_force_topk(e.filter(F.col("label") == 3), q, k=5)
+    g = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    w = {(r.query_id, r.rank): r.neighbor_id for r in want.collect()}
+    # queries may themselves carry label 3: brute_force excludes self
+    # matches the same way the IVF path does, so rankings must agree
+    assert g == w
+
+
+def test_distribution_drift_by_group_localizes_segment_shift(spark):
+    """A mean shift confined to ONE segment must alarm that segment's
+    PSI and leave the stable segment near zero — the dilution case the
+    global monitor misses."""
+    from vertica_hadoop_integration__spark.operators.profile import (
+        distribution_drift_by_group,
+    )
+
+    base = spark.range(0, 4000).select(
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    shifted = spark.range(0, 4000).select(
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+        F.when(
+            F.col("id") % 2 == 0, (F.col("id") % 100) + 80
+        ).otherwise(F.col("id") % 100).cast("double").alias("v"),
+    )
+    out = distribution_drift_by_group(base, shifted, "v", "g").collect()
+    psi = {}
+    for r in out:
+        psi[r["g"]] = psi.get(r["g"], 0.0) + r["psi_term"]
+    assert psi["A"] > 0.2
+    assert psi["B"] < 0.01
+    # bins partition each segment completely, NULL bin present
+    bins = {(r["g"], r["bin"]) for r in out}
+    assert bins == {(g, b) for g in ("A", "B") for b in range(-1, 10)}
+    n_cur = sum(r["n_cur"] for r in out)
+    assert n_cur == 4000
+
+
+def test_pii_density_counts_planted_leaks_per_source(spark):
+    from vertica_hadoop_integration__spark.operators.text import pii_density
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or sue@test.org now", "feedA"),
+            (2, "call +1 (555) 123-4567 today", "feedA"),
+            (3, "server at 10.0.0.1 and 192.168.1.254", "feedB"),
+            (4, "clean text with no pii at all", "feedB"),
+            (5, "x", "feedC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in pii_density(docs).collect()}
+    assert out["feedA"]["n_emails"] == 2
+    assert out["feedA"]["n_phones"] == 1
+    assert out["feedA"]["n_ips"] == 0
+    assert out["feedB"]["n_ips"] == 2
+    assert out["feedB"]["n_emails"] == 0
+    assert out["feedC"]["pii_per_kchar"] == 0.0
+    a = out["feedA"]
+    assert a["pii_per_kchar"] == (3 * 1000.0) / a["n_chars"]
+    assert a["n_docs"] == 2

@@ -309,3 +309,100 @@ def distribution_drift(
         q.alias("p_cur"),
         ((q - p) * F.log(q / p)).alias("psi_term"),
     )
+
+
+def distribution_drift_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Per-segment PSI: distribution_drift generalized over a group key
+    — the monitor that catches drift confined to ONE segment (a single
+    source, region, or tenant) that the global PSI dilutes below the
+    alarm threshold.  Same binning contract as the ungrouped twin
+    (reference-decile edges per group, NULLs in the dedicated -1 bin,
+    add-one smoothing over num_bins + 1 bins), grouped end to end:
+
+    * per-group cut arrays come from ONE grouped percentile aggregate
+      (groups x (num_bins-1) doubles — a broadcastable table at any
+      fact size);
+    * binning joins the cut table on the group key and stays map-side
+      after that join;
+    * the report joins per-(group, bin) counts to a groups x bins spine
+      so abandoned bins still score.
+
+    Output: (group, bin, n_ref, n_cur, p_ref, p_cur, psi_term);
+    sum(psi_term) per group is that segment's PSI."""
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    cuts = ref.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "c"
+        )
+    )
+
+    def _bins(df: DataFrame) -> DataFrame:
+        return (
+            df.join(
+                F.broadcast(cuts), on=df[group_col] == cuts["_g"], how="inner"
+            )
+            .select(
+                F.col("_g"),
+                F.when(F.col(col).isNull(), F.lit(-1))
+                .otherwise(
+                    F.size(F.filter(F.col("c"), lambda x: F.col(col) > x))
+                )
+                .cast("int")
+                .alias("bin"),
+            )
+            .groupBy("_g", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spark = ref.sparkSession
+    spine = (
+        cuts.select("_g")
+        .crossJoin(
+            spark.range(-1, num_bins).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    rc = _bins(ref).withColumnRenamed("n", "_nr")
+    cc = _bins(cur).withColumnRenamed("n", "_nc")
+    tr = ref.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_tr")
+    )
+    tc = cur.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    j = (
+        spine.join(rc, on=["_g", "bin"], how="left")
+        .join(cc, on=["_g", "bin"], how="left")
+        .join(F.broadcast(tr), on="_g", how="left")
+        .join(F.broadcast(tc), on="_g", how="left")
+        .select(
+            F.col("_g").alias(group_col),
+            "bin",
+            F.coalesce(F.col("_nr"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("bigint").alias("n_cur"),
+            F.coalesce(F.col("_tr"), F.lit(0)).alias("_tr"),
+            F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
+        )
+    )
+    p = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
+        F.col("_tr").cast("double") + F.lit(float(num_bins + 1))
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
+        F.col("_tc").cast("double") + F.lit(float(num_bins + 1))
+    )
+    return j.select(
+        group_col,
+        "bin",
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("p_cur"),
+        ((q - p) * F.log(q / p)).alias("psi_term"),
+    )

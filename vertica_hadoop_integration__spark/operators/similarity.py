@@ -1540,3 +1540,105 @@ def cluster_balanced_sample(
         F.col("sample_rank").cast("int").alias("sample_rank"),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+
+
+def ivf_filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 5,
+    every_nth: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+) -> DataFrame:
+    """Filtered vector search: approximate top-k restricted to corpus
+    rows matching a metadata ``predicate`` (the vector-database
+    "filtered ANN" workload — e.g. nearest documents WITH label = 3).
+
+    PREFILTER semantics: the predicate cuts the candidate set BEFORE
+    ranking, so the returned k are the true top-k among matching rows
+    inside the probed clusters — never top-k-then-filter (which returns
+    fewer than k, or none, at selective filters).  Implementation is a
+    semi-join of the stored IVF assignment against the predicate's id
+    set, handed to the unmodified probe pipeline: the filter scan
+    pushes into the corpus parquet (ids + predicate columns only), the
+    semi-join is id-keyed, and centroids stay built over the FULL
+    corpus (matching how production indexes serve many filters from one
+    index).  At selectivity s, scanned vectors drop to ~s * nprobe /
+    num_centroids of the corpus."""
+    cents, assigned = index if index is not None else build_ivf_index(
+        corpus, every_nth, id_col, vec_col
+    )
+    allowed = corpus.filter(predicate).select(F.col(id_col))
+    assigned_f = assigned.join(allowed, on=id_col, how="left_semi")
+    return ivf_topk(
+        corpus, queries, k=k, every_nth=every_nth, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, index=(cents, assigned_f),
+    )
+
+
+def diversity_report(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label embedding diversity: the mean pairwise squared L2
+    distance over every ordered pair in the group, WITHOUT forming any
+    pair — sum-of-squares identity
+    ``sum_{i,j} ||xi-xj||^2 = 2n * sum||xi||^2 - 2 * ||sum xi||^2``,
+    so one aggregation pass (a DECIMAL scalar per group for the squared
+    norms plus ``dim`` DECIMAL per-dimension sums) yields the exact
+    all-pairs statistic.  The monitor a curation pipeline watches for
+    collapsing diversity (a class whose members converge) or injected
+    duplication (mean distance dropping toward 0) — quadratic in naive
+    form, map-side-combining linear here, at any corpus size.
+
+    Exactness contract: every accumulated quantity is a
+    DECIMAL(38,12) sum of a SINGLE double-precision term (x_d or
+    x_d * x_d — one multiply, bit-identical in any engine), so the
+    aggregation is partial-order-free end to end; the squared-norm
+    total is the exact DECIMAL sum of the per-dimension squares (no
+    per-row float fold anywhere), and the closed-form double
+    arithmetic keeps one fixed association the oracle mirrors
+    term-for-term.  Output: (label, n_vectors, mean_sq_norm,
+    mean_pairwise_sq_dist); singleton groups yield NULL distance."""
+    dec = "decimal(38,12)"
+    v = F.col(vec_col)
+
+    def _el(d):
+        return F.element_at(v, d + 1).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((_el(d) * _el(d)).cast(dec)).alias(f"_ss_{d}") for d in range(dim)
+    ] + [
+        F.sum(_el(d).cast(dec)).alias(f"_s1_{d}") for d in range(dim)
+    ]
+    g = emb.groupBy(F.col(label_col).alias("label")).agg(*aggs)
+    # combine the exact per-dimension DECIMAL sums as DOUBLES in one
+    # fixed left-to-right order (the oracle mirrors the same chain):
+    # chaining decimal '+' instead would trip Spark's precision-overflow
+    # scale reduction (38,12)+(38,12) -> (38,11) and drift off the
+    # oracle one lost digit per term
+    s2 = None
+    for d in range(dim):
+        term = F.col(f"_ss_{d}").cast("double")
+        s2 = term if s2 is None else s2 + term
+    n = F.col("n").cast("double")
+    musq = None
+    for d in range(dim):
+        term = F.col(f"_s1_{d}").cast("double") * F.col(f"_s1_{d}").cast("double")
+        musq = term if musq is None else musq + term
+    mean_pair = F.when(
+        F.col("n") > 1,
+        (F.lit(2.0) * n * s2 - F.lit(2.0) * musq) / (n * (n - F.lit(1.0))),
+    )
+    return g.select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        (s2 / n).alias("mean_sq_norm"),
+        mean_pair.alias("mean_pairwise_sq_dist"),
+    )

@@ -1377,3 +1377,52 @@ def readability_scores(
             "fk_grade"
         ),
     )
+
+
+def pii_density(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source PII density report: how many email / phone / IP
+    literals each source ships per thousand characters — the dashboard
+    that catches a LEAKY SOURCE before its documents enter training
+    (redact_pii scrubs per doc; this aggregates exposure per upstream
+    feed so curation can quarantine or re-contract the feed itself).
+
+    One aggregation scan: per-row match counts come from
+    regexp_count with the SAME conservative cross-engine patterns as
+    redact_pii (PII_PATTERNS — no backrefs/lookaround, identical in
+    Java regex and RE2), then DECIMAL-summed per source.  Output:
+    (source, n_docs, n_chars, n_emails, n_phones, n_ips,
+    pii_per_kchar)."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"_c{i}")
+        for i, (pat, _) in enumerate(PII_PATTERNS)
+    ]
+    staged = df.select(
+        F.col(group_col), F.length(text).alias("_len"), *counts
+    )
+    g = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("_len").cast("decimal(38,0)")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("_c0").cast("decimal(38,0)")).cast("bigint").alias("n_emails"),
+        F.sum(F.col("_c1").cast("decimal(38,0)")).cast("bigint").alias("n_phones"),
+        F.sum(F.col("_c2").cast("decimal(38,0)")).cast("bigint").alias("n_ips"),
+    )
+    total = (
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ips")
+    ).cast("double")
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_chars",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.when(
+            F.col("n_chars") > 0,
+            total * F.lit(1000.0) / F.col("n_chars").cast("double"),
+        ).alias("pii_per_kchar"),
+    )
