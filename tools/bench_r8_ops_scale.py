@@ -71,7 +71,33 @@ def main() -> None:
 
     out: dict = {"batch": {}, "streaming": {}}
     docs10 = replicate(docs, "doc_id")
-    for scale, d in (("1x", docs), ("10x", docs10)):
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    emb10 = replicate(emb, "vec_id")
+    orders = load_table(spark, SF, "orders")
+    orders10 = replicate(orders, "o_orderkey")
+
+    from vertica_hadoop_integration__spark.operators.profile import (
+        distribution_drift_by_group,
+    )
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        diversity_report,
+        ivf_filtered_topk,
+    )
+    from vertica_hadoop_integration__spark.operators.text import pii_density
+
+    def _drift_grouped(o):
+        ref = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderpriority", F.col("o_totalprice").alias("v")
+        )
+        cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderpriority", F.col("o_totalprice").alias("v")
+        )
+        return distribution_drift_by_group(ref, cur, "v", "o_orderpriority")
+
+    for scale, d, e, o in (
+        ("1x", docs, emb, orders),
+        ("10x", docs10, emb10, orders10),
+    ):
         out["batch"].setdefault("ngram_novelty", {})[scale] = run_batch(
             lambda d=d: ngram_novelty(d).agg(F.sum("n_shared_grams")).collect()
         )
@@ -81,6 +107,25 @@ def main() -> None:
                 .agg(F.count(F.lit(1)))
                 .collect()
             )
+        )
+        # r08 new ops: diversity is one map-side-combined agg; filtered
+        # ANN touches ~nprobe/num_centroids of the (grown) corpus;
+        # grouped PSI reduces to groups x bins; PII density is one scan
+        out["batch"].setdefault("embedding_diversity_report", {})[scale] = (
+            run_batch(lambda e=e: diversity_report(e).count())
+        )
+        out["batch"].setdefault("ann_ivf_filtered_topk", {})[scale] = (
+            run_batch(
+                lambda e=e: ivf_filtered_topk(
+                    e, e.filter(F.col("vec_id") < 5), F.col("label") == 3
+                ).count()
+            )
+        )
+        out["batch"].setdefault("drift_by_group", {})[scale] = run_batch(
+            lambda o=o: _drift_grouped(o).agg(F.sum("psi_term")).collect()
+        )
+        out["batch"].setdefault("pii_density", {})[scale] = run_batch(
+            lambda d=d: pii_density(d).count()
         )
 
     # -- streaming: one micro-batch per run, 1x vs 10x batch rows ---------
