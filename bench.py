@@ -192,6 +192,8 @@ HEADLINE = [
     "ann_ivf_filtered_topk",
     "dq_distribution_drift_by_group",
     "dq_pii_density",
+    "sketch_hll_sliding",
+    "corpus_quantile_normalize",
 ]
 
 

@@ -102,6 +102,7 @@ SCALAR_BROADCAST_OK = {
                                     # cardinality, never fact rows) +
                                     # broadcast per-group cut table
     "customer_rfm_segments",        # 1-row RFM quintile-cuts scalar
+    "corpus_quantile_normalize",    # 1-row 101-knot global-quantile grid
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

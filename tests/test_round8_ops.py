@@ -138,3 +138,69 @@ def test_pii_density_counts_planted_leaks_per_source(spark):
     a = out["feedA"]
     assert a["pii_per_kchar"] == (3 * 1000.0) / a["n_chars"]
     assert a["n_docs"] == 2
+
+
+def test_hll_sliding_matches_single_window_estimates(spark):
+    """Each sliding window's estimate must equal the plain portable-HLL
+    estimate computed directly over that window's rows (register
+    max-merge == recompute), and track true distincts within the
+    published error band."""
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        hll_distinct_portable,
+        hll_sliding_distinct,
+    )
+
+    rows = []
+    uid = 0
+    for day in range(1, 15):
+        for _ in range(200):
+            # churning population: ~50% carryover between days
+            rows.append((f"2024-03-{day:02d} 10:00:00", uid % 300 + day * 37))
+            uid += 1
+    ev = spark.createDataFrame(rows, "ts_s string, user_id long").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = {
+        str(r["window_end"]): r["distinct_est"]
+        for r in hll_sliding_distinct(ev, "user_id", window_days=7).collect()
+    }
+    assert len(got) == 14  # one row per day present
+    for day in (7, 10, 14):
+        lo = max(1, day - 6)
+        window = ev.filter(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") <= day)
+        )
+        (want,) = hll_distinct_portable(window, "user_id").collect()
+        key = f"2024-03-{day:02d}"
+        assert got[key] == want["distinct_est"]  # merge == recompute
+        true = window.select("user_id").distinct().count()
+        assert abs(got[key] - true) / true < 0.15  # p=8 error band
+
+
+def test_quantile_normalize_calibrates_shifted_source(spark):
+    """Two sources drawing the same ranks from shifted scales must land
+    on the SAME normalized values at matching within-source ranks, and
+    the normalized values live on the global value scale."""
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "lo", float(i)) for i in range(100)] + [
+        (1000 + i, "hi", 1000.0 + i) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = quantile_normalize(docs, "v", "source", grid_points=100).collect()
+    by = {(r["source"], round(r["pct"], 9)): r["normalized"] for r in out}
+    # matching ranks across sources -> identical calibrated scores
+    for i in range(100):
+        pct = round(i / 99, 9)
+        assert by[("lo", pct)] == by[("hi", pct)]
+    vals = [r["normalized"] for r in out]
+    assert min(vals) >= 0.0 and max(vals) <= 1099.0
+    # monotone within each source
+    lo_sorted = sorted(
+        (r["pct"], r["normalized"]) for r in out if r["source"] == "lo"
+    )
+    assert all(
+        a[1] <= b[1] for a, b in zip(lo_sorted, lo_sorted[1:])
+    )

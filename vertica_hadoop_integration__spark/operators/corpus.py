@@ -1259,3 +1259,62 @@ def ngram_novelty(
             ).alias("shared_frac"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    grid_points: int = 100,
+) -> DataFrame:
+    """Cross-source score calibration: heterogeneous feeds score the
+    same quality signal on different scales (one crawler's length
+    distribution is another's tail), so per-source thresholds drift.
+    Quantile normalization maps each row to its WITHIN-source percentile
+    (a per-group window — deterministic ``(value, id)`` tie-break), then
+    to the GLOBAL value distribution by linear interpolation over a
+    broadcast (grid_points+1)-knot global quantile grid — after which
+    one corpus-wide cut applies fairly to every source (the standard
+    bioinformatics/LTR trick applied to corpus curation).
+
+    Scale shape: one grouped window (per-source partitions), one 1-row
+    exact-percentile aggregate broadcast to a map-side interpolation —
+    no global sort, no per-source subplans.  ``percentile`` is
+    bit-identical to DuckDB ``quantile_cont`` and the interpolation
+    keeps one fixed association, so the whole mapping replays in SQL;
+    ``approx_percentile`` is the 100 TB grid switch.  Output:
+    (id, group, value, pct, normalized)."""
+    fracs = [i / grid_points for i in range(grid_points + 1)]
+    grid = df.agg(
+        F.percentile(
+            F.col(value_col).cast("double"),
+            F.array(*[F.lit(f) for f in fracs]),
+        ).alias("_grid")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("value"), F.col(id_col)
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("value"),
+    ).withColumn("_pct", F.percent_rank().over(w))
+    j = staged.crossJoin(F.broadcast(grid))
+    idx = F.col("_pct") * F.lit(float(grid_points))
+    lo = F.floor(idx).cast("int")
+    frac = idx - F.floor(idx)
+    g = F.col("_grid")
+    interp = F.element_at(g, lo + 1) + (
+        F.element_at(g, lo + 2) - F.element_at(g, lo + 1)
+    ) * frac
+    normalized = F.when(
+        F.col("_pct") >= F.lit(1.0), F.element_at(g, grid_points + 1)
+    ).otherwise(interp)
+    return j.select(
+        id_col,
+        group_col,
+        "value",
+        F.col("_pct").alias("pct"),
+        normalized.alias("normalized"),
+    )

@@ -393,13 +393,23 @@ def hll_distinct_portable(
         .groupBy(*[F.col(g) for g in group_cols], F.col("_b"))
         .agg(F.max("_rho").alias("_reg"))
     )
+    return _hll_estimate_from_regs(regs, group_cols, m)
+
+
+def _hll_estimate_from_regs(
+    regs: DataFrame, group_cols: tuple[str, ...], m: int
+) -> DataFrame:
+    """Published HLL estimator over a (group..., _b, _reg) register
+    table — shared by hll_distinct_portable and the sliding-window
+    merge (registers are max-mergeable, the estimator is identical).
+
+    Integer-exact harmonic sum: each register contributes 2^(R - reg)
+    with R = the group's max register, so the sum is a plain BIGINT
+    (<= m * 2^R <= 2^61 for p=8 / 60-bit hashes) — float summation
+    would round order-dependently once the term span exceeds the
+    53-bit mantissa.  R comes from a window over the register table,
+    which is <= m rows per group by construction (bounded input)."""
     gcols = [F.col(g) for g in group_cols]
-    # integer-exact harmonic sum: each register contributes 2^(R - reg)
-    # with R = the group's max register, so the sum is a plain BIGINT
-    # (<= m * 2^R <= 2^61 for p=8 / 60-bit hashes) — float summation
-    # would round order-dependently once the term span exceeds the
-    # 53-bit mantissa.  R comes from a window over the register table,
-    # which is <= m rows per group by construction (bounded input).
     wr = Window.partitionBy(*[F.col(g) for g in group_cols])
     staged = regs.withColumn("_R", F.max("_reg").over(wr)).withColumn(
         "_term", F.expr("shiftleft(CAST(1 AS BIGINT), _R - _reg)")
@@ -429,6 +439,70 @@ def hll_distinct_portable(
     return per_group.select(
         *gcols, e_corr.alias("distinct_est")
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 8,
+) -> DataFrame:
+    """Sliding-window distinct counts from MERGEABLE daily HLL sketches:
+    one register table per day (the hll_partial_rollup shape), each
+    day's registers fanned forward into the ``window_days`` windows
+    they belong to (a map-only explode of day x m register rows — never
+    fact rows), register-wise max-merge per window, then the shared
+    published estimator.  The pattern that answers "distinct users over
+    the trailing 7 days, every day" from state that is days x m rows
+    total — the raw fact table is scanned ONCE regardless of how many
+    windows it feeds, and adding a day merges m registers instead of
+    recounting the window (the mergeable-sketch contract).
+
+    Same portable md5-60 kernel as hll_distinct_portable, so the whole
+    pipeline — daily registers, window fan-out, max-merge, estimator —
+    replays in SQL.  Output: (window_end DATE, distinct_est DOUBLE),
+    one row per day present in the data (windows ending on event-less
+    days are not emitted)."""
+    from ..functions.text_fns import md5_hash60
+
+    df = df.filter(F.col(col).isNotNull())
+    m = 1 << p
+    h = md5_hash60(F.col(col).cast("string"))
+    bucket = F.shiftright(h, 60 - p)
+    rest = h.bitwiseAND(F.lit((1 << (60 - p)) - 1))
+    width = 60 - p
+    rho = (
+        F.when(rest == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - F.length(F.conv(rest, 10, 2)) + 1)
+        .cast("int")
+    )
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    day_regs = (
+        df.select(day.alias("_day"), bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy("_day", "_b")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    contrib = day_regs.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("_i"),
+        "_day",
+        "_b",
+        "_reg",
+    ).select(
+        F.date_add(F.col("_day"), F.col("_i")).alias("window_end"),
+        "_b",
+        "_reg",
+    )
+    merged = contrib.groupBy("window_end", "_b").agg(
+        F.max("_reg").alias("_reg")
+    )
+    # only emit windows ending on a day that actually has events (the
+    # fan-out also lands on the trailing ghost days after the last day)
+    days = day_regs.select(F.col("_day").alias("window_end")).distinct()
+    merged = merged.join(F.broadcast(days), on="window_end", how="left_semi")
+    return _hll_estimate_from_regs(merged, ("window_end",), m)
 
 
 def source_overlap_matrix(

@@ -239,3 +239,115 @@ def dq_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pii_density(d)
+
+
+# -- sliding-window distinct from mergeable daily HLL sketches ----------------
+def _hll_sliding_oracle(p: int = 8, window_days: int = 7) -> str:
+    m = 1 << p
+    width = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = alpha * float(m) * float(m)
+    h = "CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)"
+    return f"""
+    WITH hashed AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               {h} AS h
+        FROM events WHERE user_id IS NOT NULL),
+    rho AS (
+        SELECT d, h >> {width} AS b,
+               CASE WHEN (h & {(1 << width) - 1}) = 0 THEN {width + 1}
+                    ELSE {width} - length(bin(h & {(1 << width) - 1})) + 1
+               END AS rho
+        FROM hashed),
+    day_regs AS (
+        SELECT d, b, CAST(max(rho) AS INT) AS reg FROM rho GROUP BY 1, 2),
+    contrib AS (
+        SELECT d + i.i AS window_end, b, reg
+        FROM day_regs CROSS JOIN (
+            SELECT CAST(range AS INT) AS i FROM range({window_days})) i),
+    merged AS (
+        SELECT window_end, b, max(reg) AS reg
+        FROM contrib
+        WHERE window_end IN (SELECT DISTINCT d FROM day_regs)
+        GROUP BY 1, 2),
+    g AS (
+        SELECT window_end, max(reg) AS r, count(*) AS ne, list(reg) AS regs
+        FROM merged GROUP BY 1),
+    est AS (
+        SELECT window_end, r, ne,
+               CAST(list_sum(list_transform(regs,
+                        x -> (CAST(1 AS BIGINT) << (r - x))))
+                    + ({m} - ne) * (CAST(1 AS BIGINT) << r) AS BIGINT)
+                   AS scaled
+        FROM g),
+    raw AS (
+        SELECT window_end, r, ne,
+               {amm!r} * pow(2.0, CAST(r AS DOUBLE))
+                   / CAST(scaled AS DOUBLE) AS e
+        FROM est)
+    SELECT window_end,
+           CASE WHEN e <= {2.5 * m!r} AND ({m} - ne) > 0
+                THEN {float(m)!r} * ln({float(m)!r}
+                         / CAST({m} - ne AS DOUBLE))
+                ELSE e END AS distinct_est
+    FROM raw
+    """
+
+
+@register("sketch_hll_sliding", oracle=_hll_sliding_oracle())
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGEABLE daily HLL
+    register tables (operators/sketches.py::hll_sliding_distinct): the
+    fact table is scanned once, each day's m registers fan forward into
+    the windows they serve (map-only explode of sketch rows, never
+    events), max-merge per window, shared published estimator — the
+    continuous "weekly active users" metric from days x m rows of
+    state.  Portable md5-60 kernel: registers, fan-out, merge, and
+    estimator all replay in SQL."""
+    from ..operators.sketches import hll_sliding_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return hll_sliding_distinct(e, "user_id", ts_col="ts", window_days=7)
+
+
+# -- cross-source quantile normalization (score calibration) ------------------
+def _quantile_normalize_oracle(grid_points: int = 100) -> str:
+    fracs = ", ".join(
+        repr(i / grid_points) for i in range(grid_points + 1)
+    )
+    gp = float(grid_points)
+    return f"""
+    WITH grid AS (
+        SELECT quantile_cont(CAST(n_chars AS DOUBLE), [{fracs}]) AS g
+        FROM documents),
+    st AS (
+        SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS value,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS pct
+        FROM documents)
+    SELECT doc_id, source, value, pct,
+           CASE WHEN pct >= 1.0 THEN g[{grid_points + 1}]
+                ELSE g[CAST(floor(pct * {gp!r}) AS INT) + 1]
+                     + (g[CAST(floor(pct * {gp!r}) AS INT) + 2]
+                        - g[CAST(floor(pct * {gp!r}) AS INT) + 1])
+                       * (pct * {gp!r} - floor(pct * {gp!r}))
+           END AS normalized
+    FROM st CROSS JOIN grid
+    """
+
+
+@register("corpus_quantile_normalize", oracle=_quantile_normalize_oracle())
+def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration
+    (operators/corpus.py::quantile_normalize): each doc's n_chars maps
+    to its within-source percentile (grouped window, deterministic
+    (value, id) tie-break) and then onto the GLOBAL length distribution
+    by linear interpolation over a broadcast 101-knot exact-quantile
+    grid — after which one corpus-wide cut treats every feed fairly.
+    percentile == quantile_cont bit-for-bit and the interpolation keeps
+    one fixed association, so the full mapping replays in SQL."""
+    from ..operators.corpus import quantile_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(d, "n_chars", "source")
