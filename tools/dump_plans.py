@@ -1,5 +1,5 @@
 """Dump the formatted physical plan of every bench headline query at
-sf0.001 into reports/plans_round3.txt — reviewable evidence that scans
+sf0.001 into reports/plans_round8.txt — reviewable evidence that scans
 prune/push down, joins broadcast or co-locate, and no accidental
 all-pairs plan exists (complements tests/test_plan_guards.py, which
 asserts the same machine-checkably).
@@ -17,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "reports/plans_round3.txt"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "reports/plans_round8.txt"
     from bench import HEADLINE
     from vertica_hadoop_integration__spark.plans import QUERIES
     from vertica_hadoop_integration__spark.session import get_session
