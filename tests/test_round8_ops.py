@@ -204,3 +204,50 @@ def test_quantile_normalize_calibrates_shifted_source(spark):
     assert all(
         a[1] <= b[1] for a, b in zip(lo_sorted, lo_sorted[1:])
     )
+
+
+def test_propagate_deletes_scrubs_corpus_and_derived_tables(spark, tmp_path):
+    """GDPR delete propagation: tombstoned ids vanish from the corpus
+    AND the derived LSH index frames in one audited pass; untouched
+    rows survive byte-identical; a second run is a no-op (idempotent)."""
+    from vertica_hadoop_integration__spark.operators.dedup import minhash_index
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.sources.maintenance import (
+        propagate_deletes,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bands, verify = minhash_index(docs)
+    paths = {
+        "documents": (str(tmp_path / "docs"), "doc_id"),
+        "index_bands": (str(tmp_path / "bands"), "doc_id"),
+        "index_verify": (str(tmp_path / "verify"), "doc_id"),
+    }
+    docs.write.parquet(paths["documents"][0])
+    bands.write.parquet(paths["index_bands"][0])
+    verify.write.parquet(paths["index_verify"][0])
+
+    tomb = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    tomb_ids = {r["id"] for r in tomb.collect()}
+    report = {
+        r["table"]: r for r in propagate_deletes(spark, tomb, paths)
+    }
+    assert report["documents"]["n_deleted"] == len(tomb_ids)
+    assert report["index_bands"]["n_deleted"] > 0
+    for name, (path, id_col) in paths.items():
+        back = spark.read.parquet(path)
+        assert back.filter(F.col(id_col).isin(tomb_ids)).count() == 0
+        assert back.count() == report[name]["n_after"]
+    # survivors intact in the corpus
+    back_docs = spark.read.parquet(paths["documents"][0])
+    want = {
+        (r["doc_id"], r["text"])
+        for r in docs.filter(~F.col("doc_id").isin(tomb_ids)).collect()
+    }
+    got = {(r["doc_id"], r["text"]) for r in back_docs.collect()}
+    assert got == want
+    # idempotent: second run deletes nothing
+    again = {r["table"]: r for r in propagate_deletes(spark, tomb, paths)}
+    assert all(r["n_deleted"] == 0 for r in again.values())

@@ -98,3 +98,76 @@ def test_stream_drift_matches_batch_twin_and_restart_is_stable(
         )
     )
     assert after == before
+
+
+def test_stream_drift_by_group_localizes_and_flags_unknown_segment(
+    spark, tmp_path
+):
+    """Grouped streaming PSI: a shift confined to one segment alarms
+    only that segment (batch-twin parity per segment); a segment absent
+    from the frozen reference surfaces with NULL psi + alarm, never
+    silently dropped."""
+    from vertica_hadoop_integration__spark.operators.profile import (
+        distribution_drift_by_group,
+    )
+    from vertica_hadoop_integration__spark.streaming.drift import (
+        stream_drift_monitor_by_group,
+    )
+
+    def _mk(shift_a, n, with_new=False):
+        base = spark.range(0, n).select(
+            F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+            F.when(
+                F.col("id") % 2 == 0, (F.col("id") % 100) + shift_a
+            ).otherwise(F.col("id") % 100).cast("double").alias("v"),
+        )
+        if with_new:
+            extra = spark.range(0, 50).select(
+                F.lit("NEWFEED").alias("g"),
+                (F.col("id") % 10).cast("double").alias("v"),
+            )
+            base = base.unionByName(extra)
+        return base
+
+    ref = _mk(0, 4000)
+    batch = _mk(80, 3000, with_new=True)  # A shifted, B stable, NEWFEED unseen
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_drift_monitor_by_group(
+        stream,
+        ref,
+        "v",
+        "g",
+        out_dir=out,
+        ledger_path=str(tmp_path / "led"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["g"]: r
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .collect()
+    }
+    assert set(rows) == {"A", "B", "NEWFEED"}
+    assert rows["A"]["alarm"] is True and rows["A"]["psi"] > 0.2
+    assert rows["B"]["alarm"] is False and rows["B"]["psi"] < 0.01
+    assert rows["NEWFEED"]["psi"] is None and rows["NEWFEED"]["alarm"] is True
+    assert rows["NEWFEED"]["n_rows"] == 50
+
+    # per-segment batch-twin parity: streamed PSI == sum(psi_term) of the
+    # batch operator for the segments the reference knows
+    want = {}
+    for r in distribution_drift_by_group(
+        ref, batch.filter(F.col("g") != "NEWFEED"), "v", "g"
+    ).collect():
+        want[r["g"]] = want.get(r["g"], 0.0) + r["psi_term"]
+    for g in ("A", "B"):
+        assert abs(rows[g]["psi"] - want[g]) < 1e-9, (g, rows[g]["psi"], want[g])

@@ -55,3 +55,51 @@ def compact_path(
     write_atomic(df.coalesce(n), path, output_format=fmt)
     _, files_after = _dir_bytes(path)
     return {"files_before": files_before, "files_after": files_after, "bytes": size}
+
+
+def propagate_deletes(
+    spark,
+    tombstones: DataFrame,
+    tables: dict[str, tuple[str, str]],
+) -> list[dict]:
+    """Right-to-be-forgotten propagation: remove every tombstoned id
+    from a set of stored tables — the raw corpus AND the derived
+    artifacts that embed per-document rows (LSH index bands/verify
+    frames, chunk tables, posting lists) — rewriting each table
+    atomically and returning a per-table audit report.
+
+    ``tables`` maps a table name to ``(parquet_path, id_col)``; the
+    tombstone frame has one ``id`` column.  Per table: one broadcast
+    LEFT ANTI join (tombstone lists are small by nature — deletion
+    requests, not corpora) and one atomic rewrite (write-to-temp +
+    rename, same crash contract as every loader here), so a reader
+    never sees a half-deleted table and a crashed run leaves the
+    original in place.  Returns
+    [{table, n_before, n_deleted, n_after}, ...] — the audit row a
+    governance pipeline logs per deletion request.
+
+    Scale note: anti-join + full rewrite is the parquet-native shape
+    (immutable files); at 100 TB, partition the stored tables by an
+    id-derived key so the anti-join prunes to the partitions that can
+    contain tombstoned rows, and rewrite only those partitions."""
+    from pyspark.sql import functions as F
+
+    tomb = F.broadcast(tombstones.select(F.col("id")).distinct())
+    report = []
+    for name, (path, id_col) in sorted(tables.items()):
+        df = spark.read.parquet(path)
+        n_before = df.count()
+        kept = df.join(
+            tomb.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+        )
+        write_atomic(kept, path, output_format="parquet")
+        n_after = spark.read.parquet(path).count()
+        report.append(
+            {
+                "table": name,
+                "n_before": n_before,
+                "n_deleted": n_before - n_after,
+                "n_after": n_after,
+            }
+        )
+    return report

@@ -134,3 +134,155 @@ def stream_drift_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def freeze_reference_by_group(
+    ref: DataFrame, col: str, group_col: str, num_bins: int = 10
+) -> dict:
+    """Per-group frozen drift models: one grouped percentile aggregate
+    for the cut arrays plus one grouped binning pass for the reference
+    counts — the whole model is groups x (num_bins + 1) integers plus
+    groups x (num_bins - 1) cut doubles (kilobytes for any realistic
+    segment count), collected once for the stream's lifetime.  Same
+    binning contract as the batch twin
+    (operators/profile.py::distribution_drift_by_group): NULLs in the
+    dedicated -1 bin, counts over all rows.  Group keys are segment
+    NAMES (string) — the monitored dimension of this monitor class."""
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    cut_rows = ref.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "c"
+        )
+    ).collect()
+    models: dict = {}
+    for r in cut_rows:
+        models[r["_g"]] = {
+            "cuts": [float(x) for x in r["c"]],
+            "counts": [0] * (num_bins + 1),
+            "total": 0,
+            "num_bins": num_bins,
+        }
+    # ONE grouped binning pass for every group's reference counts: the
+    # per-group cut arrays join in as a broadcast literal table (never a
+    # per-group rescan of the reference)
+    spark = ref.sparkSession
+    cut_table = F.broadcast(
+        spark.createDataFrame(
+            [(g, m["cuts"]) for g, m in models.items()],
+            f"{group_col} string, _cuts array<double>",
+        )
+    )
+    rows = (
+        ref.join(cut_table, on=group_col, how="inner")
+        .select(
+            F.col(group_col).alias("_g"),
+            F.when(F.col(col).isNull(), F.lit(-1))
+            .otherwise(
+                F.size(F.filter(F.col("_cuts"), lambda x: F.col(col) > x))
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("_g", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        models[r["_g"]]["counts"][int(r["bin"]) + 1] += int(r["n"])
+    for m in models.values():
+        m["total"] = sum(m["counts"])
+    return models
+
+
+def stream_drift_monitor_by_group(
+    values,
+    reference: DataFrame,
+    col: str,
+    group_col: str,
+    out_dir: str,
+    ledger_path: str,
+    table_name: str = "drift_monitor_grouped",
+    num_bins: int = 10,
+    alarm_threshold: float = 0.2,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Per-segment streaming PSI: the grouped twin of
+    stream_drift_monitor (and of the batch
+    distribution_drift_by_group) — every micro-batch appends one
+    (batch_id, group, n_rows, psi, alarm) row PER SEGMENT, so drift
+    confined to a single source alarms even when the global PSI
+    dilutes it.  Segments absent from the frozen reference are
+    surfaced with a NULL psi and alarm=true (an unknown feed IS an
+    anomaly) rather than silently dropped.
+
+    Per batch the distributed work is ONE grouped binning pass (the
+    per-group cut arrays join in as a broadcast literal table); the PSI
+    folds run driver-side over groups x bins exact counts in fixed
+    order (rerun-identical).  Exactly-once via the ledger batch guard +
+    atomic batch directories, like every loader here."""
+    models = freeze_reference_by_group(reference, col, group_col, num_bins)
+    spark0 = reference.sparkSession
+    cut_table = F.broadcast(
+        spark0.createDataFrame(
+            [(g, m["cuts"]) for g, m in models.items()],
+            f"{group_col} string, _cuts array<double>",
+        )
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = Ledger(spark, ledger_path)
+        key = str(batch_id)
+        ledger.enqueue_whole_table(f"{table_name}#{key}", "stream", 1)
+        if not ledger.pending_exists(f"{table_name}#{key}"):
+            return  # replayed batch, already applied
+        binned = (
+            batch_df.join(cut_table, on=group_col, how="left")
+            .select(
+                F.col(group_col).alias("_g"),
+                F.when(F.col(col).isNull() | F.col("_cuts").isNull(), F.lit(-1))
+                .otherwise(
+                    F.size(
+                        F.filter(F.col("_cuts"), lambda x: F.col(col) > x)
+                    )
+                )
+                .cast("int")
+                .alias("bin"),
+            )
+            .groupBy("_g", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_group: dict = {}
+        for r in binned:
+            per_group.setdefault(r["_g"], {})[int(r["bin"])] = int(r["n"])
+        out_rows = []
+        for g in sorted(per_group, key=str):
+            cur = per_group[g]
+            n = sum(cur.values())
+            if g in models:
+                psi = psi_from_counts(models[g], cur, n)
+                out_rows.append(
+                    (int(batch_id), g, n, float(psi), bool(psi > alarm_threshold))
+                )
+            else:
+                # segment unseen in the reference: no cuts to bin
+                # against — surface it as an alarm, never drop it
+                out_rows.append((int(batch_id), g, n, None, True))
+        out = spark.createDataFrame(
+            out_rows,
+            f"batch_id long, {group_col} string, n_rows long, "
+            "psi double, alarm boolean",
+        )
+        write_atomic(
+            out, os.path.join(out_dir, f"batch={key}"), output_format="parquet"
+        )
+        ledger.mark_complete(f"{table_name}#{key}", None)
+
+    writer = values.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
