@@ -218,6 +218,7 @@ def pagerank(
     teleport: float = 0.15,
     iters: int = 10,
     dangling: str = "redistribute",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank over an arbitrary directed edge list; returns
     (node, pagerank) for every node appearing as a source or target.
@@ -279,7 +280,7 @@ def pagerank(
         rank = nodes.join(F.broadcast(n_df)).select(
             "p", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
         )
-        for _ in range(iters):
+        for _i in range(iters):
             contrib = edges_n.join(rank, on="p").select(
                 F.col("q"),
                 (
@@ -324,8 +325,18 @@ def pagerank(
                         + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
                     ).alias("r"),
                 )
-            # truncate lineage: plan size stays flat in `iters`
-            rank = new_rank.localCheckpoint()
+            # truncate lineage every checkpoint_every iterations (and at
+            # the end).  Default 1 — interleaved A/B at sf0.1 (4 trials
+            # each) measured checkpoint_every=2 a wash on the co-order
+            # graph at iters=3 (medians 5.07 vs 4.92s): the saved
+            # checkpoint job is repaid in deeper per-iteration plans.
+            # The knob stays for high-iters graphs where the trade
+            # flips.  Values are checkpoint-invariant either way, so the
+            # iteration-replay oracle is untouched.
+            if _i % checkpoint_every == checkpoint_every - 1 or _i == iters - 1:
+                rank = new_rank.localCheckpoint()
+            else:
+                rank = new_rank
         return rank.select(F.col("p").alias("node"), F.col("r").alias("pagerank"))
     finally:
         edges_n.unpersist()
