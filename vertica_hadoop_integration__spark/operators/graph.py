@@ -90,11 +90,14 @@ def connected_components(
         # limit(1).
         seeded = labels.select("node", "label", F.col("label").alias("_prev"))
         two_hops = _propagate(_propagate(seeded, ["_prev"]), ["_prev"])
+        # eager=False: the stability probe right below is the round's
+        # ONLY job — it materializes the checkpoint as it runs (the
+        # text_bpe_encode lesson: one job per round, not two)
         new_gen = two_hops.select(
             "node",
             "label",
             (F.col("label") < F.col("_prev")).alias("_changed"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         stable = new_gen.filter(F.col("_changed")).limit(1).isEmpty()
         labels = new_gen.select("node", "label")
         if stable:
