@@ -194,6 +194,7 @@ HEADLINE = [
     "dq_pii_density",
     "sketch_hll_sliding",
     "corpus_quantile_normalize",
+    "sketch_ams_f2",
 ]
 
 

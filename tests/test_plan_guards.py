@@ -103,6 +103,7 @@ SCALAR_BROADCAST_OK = {
                                     # broadcast per-group cut table
     "customer_rfm_segments",        # 1-row RFM quintile-cuts scalar
     "corpus_quantile_normalize",    # 1-row 101-knot global-quantile grid
+    "sketch_ams_f2",                # 1-row sign-sum sketch x 1-row exact-F2
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

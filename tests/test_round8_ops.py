@@ -251,3 +251,32 @@ def test_propagate_deletes_scrubs_corpus_and_derived_tables(spark, tmp_path):
     # idempotent: second run deletes nothing
     again = {r["table"]: r for r in propagate_deletes(spark, tomb, paths)}
     assert all(r["n_deleted"] == 0 for r in again.values())
+
+
+def test_ams_f2_sketch_tracks_exact_second_moment(spark):
+    """AMS sign-sum estimator: on a planted frequency profile the
+    median-of-16 estimate lands within the sketch's concentration band
+    of the exact F2, and the exact side equals the closed form."""
+    from vertica_hadoop_integration__spark.operators.sketches import (
+        ams_f2_estimate,
+    )
+
+    # 50 keys with f=1, 10 with f=10, 1 with f=100:
+    # F2 = 50 + 10*100 + 10000 = 11050
+    rows = (
+        [(i,) for i in range(50)]
+        + [(100 + i,) for i in range(10) for _ in range(10)]
+        + [(999,)] * 100
+    )
+    df = spark.createDataFrame(rows, "user_id long")
+    (r,) = ams_f2_estimate(df, "user_id").collect()
+    assert r["f2_exact"] == 11050
+    assert abs(r["rel_error"]) < 1.0  # median-of-16 band on a skewed profile
+    # estimate is the median of squared integer sums: non-negative
+    assert r["f2_est"] >= 0.0
+    # NULL keys are ignored
+    withnull = df.unionByName(
+        spark.createDataFrame([(None,)], "user_id long")
+    )
+    (r2,) = ams_f2_estimate(withnull, "user_id").collect()
+    assert r2["f2_exact"] == 11050 and r2["f2_est"] == r["f2_est"]

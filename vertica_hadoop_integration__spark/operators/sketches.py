@@ -619,3 +619,75 @@ def source_overlap_matrix(
         .select("source_a", "source_b", "est_a", "est_b",
                 "est_union", "jaccard_est", "est_intersection")
     )
+
+
+def ams_f2_estimate(
+    df: DataFrame,
+    col: str,
+    num_estimators: int = 16,
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch: estimate
+    F2 = sum_k f(k)^2 — the SELF-JOIN SIZE on ``col`` — from
+    ``num_estimators`` independent +-1 sign sums, without grouping by
+    the key at all.  F2 is what a join planner needs to size a
+    key-equi self-join (and, with one sketch per side, any equi-join:
+    the same S_a * S_b product estimates the inner product of the two
+    frequency vectors); the exact answer needs a full groupBy over the
+    key space, the sketch needs ``num_estimators`` integers.
+
+    Each estimator i: S_i = sum over ROWS of sign_i(key), where
+    sign_i is a +-1 hash (low bit of the seeded portable md5-60, so
+    the whole sketch replays in SQL); E[S_i^2] = F2, and the median of
+    the squared sums concentrates (median-of-even-count = mean of the
+    two middle order statistics — deterministic).  One aggregation
+    pass, map-side combined to ONE row of longs; NULL keys are ignored
+    (they join nothing).
+
+    Output: 1 row (f2_est DOUBLE, f2_exact BIGINT, rel_error DOUBLE) —
+    the exact F2 rides along (one grouped pass) so the query doubles
+    as the estimator's own accuracy report, like dedup_recall_report
+    and ann_recall_report do for their families."""
+    from ..functions.text_fns import md5_hash60
+
+    d = df.filter(F.col(col).isNotNull())
+    signs = [
+        (
+            F.lit(1)
+            - F.lit(2) * (md5_hash60(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))) % 2)
+        ).cast("long")
+        for i in range(num_estimators)
+    ]
+    sums = d.agg(
+        *[F.sum(s).alias(f"_s{i}") for i, s in enumerate(signs)]
+    )
+    ests = F.array_sort(
+        F.array(*[
+            (F.col(f"_s{i}") * F.col(f"_s{i}")).cast("double")
+            for i in range(num_estimators)
+        ])
+    )
+    mid = num_estimators // 2
+    est = (
+        F.element_at(ests, mid) + F.element_at(ests, mid + 1)
+    ) / F.lit(2.0)
+    exact = (
+        d.groupBy(F.col(col))
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .agg(
+            F.sum((F.col("_f") * F.col("_f")).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("f2_exact")
+        )
+    )
+    return (
+        sums.select(est.alias("f2_est"))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "f2_est",
+            "f2_exact",
+            (
+                (F.col("f2_est") - F.col("f2_exact").cast("double"))
+                / F.col("f2_exact").cast("double")
+            ).alias("rel_error"),
+        )
+    )

@@ -351,3 +351,44 @@ def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return quantile_normalize(d, "n_chars", "source")
+
+
+# -- AMS second-moment sketch: self-join size without grouping ----------------
+def _ams_f2_oracle(num_estimators: int = 16) -> str:
+    h = "CAST(('0x'||substr(md5('{i}:'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)"
+    sums = ",\n           ".join(
+        f"SUM(1 - 2 * ({h.format(i=i)} % 2)) AS s_{i}"
+        for i in range(num_estimators)
+    )
+    arr = ", ".join(
+        f"CAST(s_{i} * s_{i} AS DOUBLE)" for i in range(num_estimators)
+    )
+    mid = num_estimators // 2
+    return f"""
+    WITH d AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    s AS (SELECT
+           {sums}
+          FROM d),
+    e AS (SELECT list_sort([{arr}]) AS a FROM s),
+    x AS (SELECT CAST(SUM(CAST(f * f AS DECIMAL(38,0))) AS BIGINT) AS f2_exact
+          FROM (SELECT count(*) AS f FROM d GROUP BY user_id)),
+    m AS (SELECT (a[{mid}] + a[{mid + 1}]) / 2.0 AS f2_est FROM e)
+    SELECT m.f2_est, x.f2_exact,
+           (m.f2_est - CAST(x.f2_exact AS DOUBLE))
+               / CAST(x.f2_exact AS DOUBLE) AS rel_error
+    FROM m CROSS JOIN x
+    """
+
+
+@register("sketch_ams_f2", oracle=_ams_f2_oracle())
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (operators/sketches.py::ams_f2_estimate):
+    the self-join size of events on user_id from 16 +-1 sign sums — the
+    join-size statistic a planner wants, in one map-side-combined pass
+    with a 16-long state, no key groupBy.  Exact F2 rides along as the
+    accuracy report.  Seeded portable md5-60 signs make sketch, median,
+    and exact all SQL-replayable."""
+    from ..operators.sketches import ams_f2_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    return ams_f2_estimate(e, "user_id")
