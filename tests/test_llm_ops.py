@@ -486,10 +486,42 @@ def test_connected_components_unconverged_raises(spark):
         [(i, i + 1) for i in range(1, 12)], ["doc_id_a", "doc_id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2).collect()
+        connected_components(
+            chain, max_iter=2, small_graph_threshold=0
+        ).collect()
     # non-strict: returns (possibly split) labels with a warning only
-    out = connected_components(chain, max_iter=2, strict=False)
+    out = connected_components(
+        chain, max_iter=2, strict=False, small_graph_threshold=0
+    )
     assert out.count() == 12
+
+
+def test_connected_components_paths_agree(spark):
+    """The size-gated driver union-find and the distributed label
+    propagation must produce identical (node, component) labels."""
+    from vertica_hadoop_integration__spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain + star + clique + isolated pair, with duplicate and
+    # reversed edges mixed in
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 3), (11, 10), (12, 10), (13, 10),
+         (20, 21), (30, 31), (31, 32), (32, 30), (30, 32)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {1, 10, 20, 30}
 
 
 def test_minhash_clusters_cover_planted_dups(spark, docs_with_planted_dups):

@@ -25,6 +25,7 @@ def connected_components(
     dst: str = "doc_id_b",
     max_iter: int = 20,
     strict: bool = True,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
@@ -32,11 +33,27 @@ def connected_components(
     simply form their own singleton components downstream (left join +
     coalesce at the call site).
 
-    If the fixpoint is not reached within ``max_iter`` rounds (component
-    diameter exceeds it), labels are WRONG — one component would be
-    silently split into several. ``strict=True`` (default) raises in
-    that case; ``strict=False`` logs a warning and returns the partial
-    labels (callers that only need a conservative over-partitioning)."""
+    Size-gated execution: the symmetrized-distinct edge list is counted
+    first (a cached scan — it is checkpointed either way).  At or below
+    ``small_graph_threshold`` distinct undirected edges, the labels come
+    from a single-pass driver-side union-find over the bounded collect —
+    exact, convergence-free, and O(E α(E)) instead of O(diameter) shuffle
+    rounds (each round is a checkpoint job + probe job; near-dup edge
+    sets after verification are typically 1e2-1e5 rows, so the rounds
+    were pure scheduling overhead).  Above the threshold — the 100 TB
+    case, where verified-pair graphs can reach billions of edges — the
+    distributed label-propagation path engages automatically; the gate is
+    the same "solve the reduced problem where it fits" trade as a
+    broadcast join, with the memory bound explicit (2 longs x threshold
+    ~= tens of MB at the default).  Pass ``small_graph_threshold=0`` to
+    force the distributed path.
+
+    If the distributed fixpoint is not reached within ``max_iter`` rounds
+    (component diameter exceeds it), labels are WRONG — one component
+    would be silently split into several. ``strict=True`` (default)
+    raises in that case; ``strict=False`` logs a warning and returns the
+    partial labels (callers that only need a conservative
+    over-partitioning).  The union-find path is always exact."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -48,6 +65,8 @@ def connected_components(
     # containment logical plan through the cached layers.)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint()
+    if small_graph_threshold and sym.count() <= 2 * small_graph_threshold:
+        return _driver_union_find(sym)
     # hop 0 folded into initialization: label(u) = min(u, min neighbor)
     # straight from the symmetric edge list — one aggregate instead of a
     # full propagate round (labels == node ids makes the first join a
@@ -113,6 +132,46 @@ def connected_components(
             raise RuntimeError(msg + " — raise max_iter or pass strict=False")
         logging.getLogger(__name__).warning(msg)
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact min-label connected components for a bounded symmetrized
+    edge frame: collect (the caller has already counted and gated),
+    union-find with union-by-min-root — every union keeps the smaller id
+    as root, so each node's final root IS the minimum id of its
+    component, matching the label-propagation fixpoint bit for bit."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [
+            StructField("node", LongType(), False),
+            StructField("component", LongType(), False),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(out, schema)
 
 
 def dedup_clusters(
