@@ -195,6 +195,9 @@ HEADLINE = [
     "sketch_hll_sliding",
     "corpus_quantile_normalize",
     "sketch_ams_f2",
+    "dq_k_anonymity",
+    "dq_ks_drift",
+    "events_ab_test",
 ]
 
 

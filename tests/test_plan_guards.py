@@ -104,6 +104,9 @@ SCALAR_BROADCAST_OK = {
     "customer_rfm_segments",        # 1-row RFM quintile-cuts scalar
     "corpus_quantile_normalize",    # 1-row 101-knot global-quantile grid
     "sketch_ams_f2",                # 1-row sign-sum sketch x 1-row exact-F2
+    "dq_ks_drift",                  # 1-row percentile-cuts + split-total
+                                    # scalars (binned KS, same shape as PSI)
+    "events_ab_test",               # two 1-row variant-count scalars crossed
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 
@@ -132,6 +135,8 @@ GLOBAL_WINDOW_OK = {
     "s10_pending_pipeline",      # flagship composes the same month rank
     "corpus_zipf_fit",           # ln-rank over the post-limit top-200
                                  # token rows only
+    "dq_ks_drift",               # cumulative CDF over the bounded
+                                 # 50-row bin spine only (never fact rows)
 }
 
 

@@ -280,3 +280,83 @@ def test_ams_f2_sketch_tracks_exact_second_moment(spark):
     )
     (r2,) = ams_f2_estimate(withnull, "user_id").collect()
     assert r2["f2_exact"] == 11050 and r2["f2_est"] == r["f2_est"]
+
+
+def test_ks_drift_detects_location_shift(spark):
+    """A mean-shifted current split must alarm; an identical split must
+    not — and NULLs are excluded from the CDFs but counted."""
+    from vertica_hadoop_integration__spark.operators.profile import ks_drift
+
+    ref = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    shifted = spark.range(0, 2000).select(
+        ((F.col("id") % 100) + 30.0).alias("v")
+    )
+    row = ks_drift(ref, shifted, "v", num_bins=20).collect()[0]
+    assert row["alarm"] is True
+    assert row["ks_stat"] > 0.25  # 30/100 shift => KS ~ 0.3
+    assert row["n_ref"] == 2000 and row["n_cur"] == 2000
+
+    same = ks_drift(ref, ref, "v", num_bins=20).collect()[0]
+    assert same["ks_stat"] == 0.0 and same["alarm"] is False
+
+    with_nulls = shifted.unionByName(
+        spark.range(0, 500).select(F.lit(None).cast("double").alias("v"))
+    )
+    nn = ks_drift(ref, with_nulls, "v", num_bins=20).collect()[0]
+    assert nn["n_null_cur"] == 500 and nn["n_cur"] == 2000
+    # NULLs excluded: statistic identical to the null-free run
+    assert nn["ks_stat"] == row["ks_stat"]
+
+
+def test_k_anonymity_flags_small_and_uniform_groups(spark):
+    from vertica_hadoop_integration__spark.operators.profile import (
+        k_anonymity,
+    )
+
+    rows = (
+        # group (1, 'x'): 5 members, 5 distinct sensitive values -> safe
+        [(1, "x", float(i)) for i in range(5)]
+        # group (2, 'y'): 2 members -> fails k=5
+        + [(2, "y", 1.0), (2, "y", 2.0)]
+        # group (3, 'z'): 6 members but ONE sensitive value -> fails l=2
+        + [(3, "z", 7.0)] * 6
+    )
+    df = spark.createDataFrame(rows, ["qa", "qb", "s"])
+    out = {
+        (r["qa"], r["qb"]): (r["group_size"], r["n_distinct_sensitive"])
+        for r in k_anonymity(
+            df, ["qa", "qb"], k=5, sensitive_col="s", l_diversity=2
+        ).collect()
+    }
+    assert out == {(2, "y"): (2, 2), (3, "z"): (6, 1)}
+    # without the sensitive audit, only the small group is at risk
+    only_k = k_anonymity(df, ["qa", "qb"], k=5).collect()
+    assert [(r["qa"], r["qb"]) for r in only_k] == [(2, "y")]
+
+
+def test_ab_test_known_value(spark):
+    """z-score matches the closed form on a hand-computed example, and a
+    degenerate pool (everyone converts) yields NULL instead of a
+    division blow-up."""
+    import math
+
+    from vertica_hadoop_integration__spark.operators.profile import (
+        ab_test_proportions,
+    )
+
+    # control: 100 units, 20 conversions; treatment: 100 units, 35
+    rows = [("A", 1)] * 20 + [("A", 0)] * 80 + [("B", 1)] * 35 + [("B", 0)] * 65
+    df = spark.createDataFrame(rows, ["variant", "converted"])
+    r = ab_test_proportions(df, "variant", "converted").collect()[0]
+    pp = 55 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert abs(r["z_score"] - (0.35 - 0.20) / se) < 1e-12
+    assert r["significant"] is True and abs(r["lift"] - 0.15) < 1e-12
+
+    allconv = spark.createDataFrame(
+        [("A", 1)] * 10 + [("B", 1)] * 10, ["variant", "converted"]
+    )
+    d = ab_test_proportions(allconv, "variant", "converted").collect()[0]
+    assert d["z_score"] is None and d["significant"] is None

@@ -10,7 +10,7 @@ fixed state)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.df_utils import spread
@@ -405,4 +405,221 @@ def distribution_drift_by_group(
         p.alias("p_ref"),
         q.alias("p_cur"),
         ((q - p) * F.log(q / p)).alias("psi_term"),
+    )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    num_bins: int = 50,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift statistic between a
+    reference and a current split of one numeric column — the
+    complementary monitor to PSI (``distribution_drift``): PSI weights
+    relative density shifts per bin; KS is the sup-distance between the
+    empirical CDFs, sensitive to a consistent location/scale shift that
+    spreads thinly over many bins.
+
+    The statistic is evaluated at the reference's ``num_bins``-quantile
+    boundaries (the classic histogram KS): exact KS needs a global sort
+    of both samples — a single-partition funnel at 100 TB — while the
+    binned form is two mergeable aggregation passes against a broadcast
+    cut array, and its value is the true KS restricted to the cut
+    points (a lower bound that converges as bins grow; 50 bins resolve
+    CDF steps of 2%).  NULLs are excluded from the CDFs (KS is defined
+    over values) and reported as per-split counts so a NULL surge stays
+    visible next to the statistic.
+
+    Returns ONE row: (n_ref, n_cur, n_null_ref, n_null_cur, ks_stat,
+    threshold, alarm) where ``threshold`` is the large-sample critical
+    value ``alpha_coeff * sqrt((n1+n2)/(n1*n2))`` (1.358 = alpha 0.05)
+    and ``alarm = ks_stat > threshold``.
+
+    Plan shape: one percentile aggregate (1-row broadcast cut array),
+    one map-side binning pass + bin-keyed count per split, cumulative
+    CDFs via a window over the BOUNDED bin spine (num_bins rows — never
+    fact rows), and a final max-abs-diff aggregate.  Counts are exact
+    integers; each CDF value is one integer/integer double division, so
+    the whole report replays bit-for-bit in SQL."""
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    cuts = ref.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "c"
+        )
+    )
+
+    def _bins(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .crossJoin(F.broadcast(cuts))
+            .select(
+                F.size(F.filter(F.col("c"), lambda x: F.col(col) > x))
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spark = ref.sparkSession
+    spine = spark.range(0, num_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    rc = _bins(ref).withColumnRenamed("n", "_nr")
+    cc = _bins(cur).withColumnRenamed("n", "_nc")
+    tots = (
+        ref.agg(
+            F.count(F.col(col)).alias("_tr"),
+            (F.count(F.lit(1)) - F.count(F.col(col))).alias("_nullr"),
+        )
+        .crossJoin(
+            cur.agg(
+                F.count(F.col(col)).alias("_tc"),
+                (F.count(F.lit(1)) - F.count(F.col(col))).alias("_nullc"),
+            )
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        spine.join(rc, on="bin", how="left")
+        .join(cc, on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce(F.col("_nr"), F.lit(0)).alias("_nr"),
+            F.coalesce(F.col("_nc"), F.lit(0)).alias("_nc"),
+        )
+        .select(
+            "bin",
+            F.sum("_nr").over(w).alias("_cr"),
+            F.sum("_nc").over(w).alias("_cc"),
+        )
+    )
+    ks = cum.crossJoin(F.broadcast(tots)).agg(
+        F.max(
+            F.abs(
+                F.col("_cr").cast("double") / F.col("_tr").cast("double")
+                - F.col("_cc").cast("double") / F.col("_tc").cast("double")
+            )
+        ).alias("ks_stat")
+    )
+    # casts BEFORE the multiply: long * long would overflow (ANSI mode
+    # throws) once both splits exceed ~3e9 rows — the 100 TB case
+    thr = F.lit(alpha_coeff) * F.sqrt(
+        (F.col("_tr").cast("double") + F.col("_tc").cast("double"))
+        / (F.col("_tr").cast("double") * F.col("_tc").cast("double"))
+    )
+    return ks.crossJoin(F.broadcast(tots)).select(
+        F.col("_tr").cast("bigint").alias("n_ref"),
+        F.col("_tc").cast("bigint").alias("n_cur"),
+        F.col("_nullr").cast("bigint").alias("n_null_ref"),
+        F.col("_nullc").cast("bigint").alias("n_null_cur"),
+        "ks_stat",
+        thr.alias("threshold"),
+        (F.col("ks_stat") > thr).alias("alarm"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """Privacy-risk audit for a table about to enter a training corpus:
+    list every quasi-identifier combination that fails k-anonymity
+    (fewer than ``k`` rows share the combination — those rows are
+    re-identifiable by joining the quasi-identifiers against any outside
+    dataset) and, when ``sensitive_col`` is given, l-diversity (a group
+    where everyone shares one sensitive value leaks that value even at
+    group size >= k).
+
+    Output: the quasi-identifier columns + ``group_size`` (+
+    ``n_distinct_sensitive`` when audited), one row per AT-RISK group —
+    ``group_size < k`` or ``n_distinct_sensitive < l_diversity``.  An
+    empty result certifies the projection safe to release at (k, l).
+
+    Scale shape: ONE hash aggregation keyed by the quasi-identifier
+    tuple (mergeable count + exact distinct), then a filter — no joins,
+    no windows; output is bounded by the at-risk group count, never the
+    table."""
+    aggs = [F.count(F.lit(1)).alias("group_size")]
+    risk = F.col("group_size") < k
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias(
+                "n_distinct_sensitive"
+            )
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    if sensitive_col is not None:
+        risk = risk | (F.col("n_distinct_sensitive") < l_diversity)
+    return out.filter(risk)
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    variant_col: str,
+    convert_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    z_critical: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test between a control and a treatment variant —
+    the experiment-analysis primitive (conversion-rate A/B test).  Input
+    is one row per UNIT (user) with its variant and a 0/1 conversion
+    flag; aggregating events to units is the caller's join (sessions and
+    repeat events must not inflate n).
+
+    Returns ONE row: per-variant unit and conversion counts, rates, the
+    absolute lift, the pooled-variance z-score, and
+    ``significant = |z| > z_critical`` (1.96 = two-sided alpha 0.05).
+    Degenerate pools (p_pool 0 or 1 — zero or universal conversion)
+    yield NULL z rather than a division blow-up.
+
+    Exactness: counts are integers; every double expression has ONE
+    fixed association mirrored by the SQL oracle (p = c/n computed
+    per-variant FIRST, then differenced; the pooled variance term is
+    p*(1-p)*(1/na+1/nb) in that order).  Scale shape: one mergeable
+    variant-keyed aggregation, two 1-row scalar frames crossed — no
+    windows, no fact-row joins."""
+    agg = (
+        df.groupBy(F.col(variant_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(convert_col).cast("long")).alias("c"),
+        )
+    )
+    a = agg.filter(F.col("_v") == control).select(
+        F.col("n").alias("n_control"), F.col("c").alias("conv_control")
+    )
+    b = agg.filter(F.col("_v") == treatment).select(
+        F.col("n").alias("n_treatment"), F.col("c").alias("conv_treatment")
+    )
+    j = a.crossJoin(b)
+    na = F.col("n_control").cast("double")
+    nb = F.col("n_treatment").cast("double")
+    pa = F.col("conv_control").cast("double") / na
+    pb = F.col("conv_treatment").cast("double") / nb
+    pp = (F.col("conv_control") + F.col("conv_treatment")).cast("double") / (
+        (F.col("n_control") + F.col("n_treatment")).cast("double")
+    )
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (pp > F.lit(0.0)) & (pp < F.lit(1.0)), (pb - pa) / se
+    )
+    return j.select(
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.col("conv_control").cast("bigint").alias("conv_control"),
+        F.col("n_treatment").cast("bigint").alias("n_treatment"),
+        F.col("conv_treatment").cast("bigint").alias("conv_treatment"),
+        pa.alias("rate_control"),
+        pb.alias("rate_treatment"),
+        (pb - pa).alias("lift"),
+        z.alias("z_score"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(z_critical)).alias(
+            "significant"
+        ),
     )

@@ -392,3 +392,184 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return ams_f2_estimate(e, "user_id")
+
+
+# -- k-anonymity / l-diversity privacy audit ----------------------------------
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS INT) AS acctbal_band,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct_sensitive
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5 OR count(DISTINCT c_acctbal) < 2
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-risk audit (operators/profile.py::k_anonymity): every
+    (nation, segment, balance-band) quasi-identifier combination that
+    fails k-anonymity (< 5 customers share it — re-identifiable by an
+    outside join) or l-diversity (< 2 distinct sensitive balances — the
+    group leaks its members' value even at size >= k).  ONE mergeable
+    hash aggregation keyed by the quasi tuple, then a filter; output is
+    bounded by the at-risk group count at any scale."""
+    from ..operators.profile import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias(
+            "acctbal_band"
+        ),
+        "c_acctbal",
+    )
+    return k_anonymity(
+        c,
+        ["c_nationkey", "c_mktsegment", "acctbal_band"],
+        k=5,
+        sensitive_col="c_acctbal",
+        l_diversity=2,
+    )
+
+
+# -- binned two-sample KS drift statistic -------------------------------------
+def _ks_drift_oracle(num_bins: int = 50) -> str:
+    fracs = ", ".join(repr(i / num_bins) for i in range(1, num_bins))
+    return f"""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    cur AS (SELECT o_totalprice AS v FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    cuts AS (SELECT quantile_cont(v, [{fracs}]) AS c FROM ref),
+    rb AS (SELECT CAST(len(list_filter(cuts.c, x -> r.v > x)) AS INT) AS bin
+           FROM ref r CROSS JOIN cuts WHERE r.v IS NOT NULL),
+    cb AS (SELECT CAST(len(list_filter(cuts.c, x -> r.v > x)) AS INT) AS bin
+           FROM cur r CROSS JOIN cuts WHERE r.v IS NOT NULL),
+    rc AS (SELECT bin, count(*) AS n FROM rb GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n FROM cb GROUP BY 1),
+    tots AS (SELECT
+        (SELECT count(v) FROM ref) AS tr,
+        (SELECT count(*) - count(v) FROM ref) AS nullr,
+        (SELECT count(v) FROM cur) AS tc,
+        (SELECT count(*) - count(v) FROM cur) AS nullc),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, {num_bins})),
+    j AS (SELECT s.bin, COALESCE(rc.n, 0) AS nr, COALESCE(cc.n, 0) AS nc
+          FROM spine s
+          LEFT JOIN rc ON rc.bin = s.bin
+          LEFT JOIN cc ON cc.bin = s.bin),
+    cum AS (SELECT bin,
+                   SUM(nr) OVER (ORDER BY bin) AS cr,
+                   SUM(nc) OVER (ORDER BY bin) AS cc2
+            FROM j),
+    ks AS (SELECT max(abs(CAST(cr AS DOUBLE) / CAST(t.tr AS DOUBLE)
+                          - CAST(cc2 AS DOUBLE) / CAST(t.tc AS DOUBLE)))
+               AS ks_stat
+           FROM cum CROSS JOIN tots t)
+    SELECT CAST(t.tr AS BIGINT) AS n_ref,
+           CAST(t.tc AS BIGINT) AS n_cur,
+           CAST(t.nullr AS BIGINT) AS n_null_ref,
+           CAST(t.nullc AS BIGINT) AS n_null_cur,
+           ks.ks_stat,
+           1.358 * sqrt((CAST(t.tr AS DOUBLE) + CAST(t.tc AS DOUBLE))
+                        / (CAST(t.tr AS DOUBLE) * CAST(t.tc AS DOUBLE)))
+               AS threshold,
+           ks.ks_stat > 1.358 * sqrt(
+               (CAST(t.tr AS DOUBLE) + CAST(t.tc AS DOUBLE))
+               / (CAST(t.tr AS DOUBLE) * CAST(t.tc AS DOUBLE))) AS alarm
+    FROM ks CROSS JOIN tots t
+    """
+
+
+@register("dq_ks_drift", oracle=_ks_drift_oracle())
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift statistic
+    (operators/profile.py::ks_drift) between pre- and post-1998 order
+    totals — the sup-CDF-distance complement to the PSI monitor
+    (dq_distribution_drift), evaluated at the reference's 50-quantile
+    boundaries so no global sort ever happens: two mergeable binning
+    passes against a broadcast cut array, CDFs via a window over the
+    BOUNDED 50-row bin spine, exact integer counts divided once."""
+    from ..operators.profile import ks_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_totalprice").alias("v")
+    )
+    return ks_drift(ref, cur, "v", num_bins=50)
+
+
+# -- two-proportion A/B z-test -------------------------------------------------
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS conv
+               FROM events WHERE user_id IS NOT NULL
+               GROUP BY 1, 2, 3),
+    agg AS (SELECT v, count(*) AS n, SUM(conv) AS c FROM u GROUP BY 1),
+    a AS (SELECT n AS n_control, c AS conv_control FROM agg WHERE v = 'A'),
+    b AS (SELECT n AS n_treatment, c AS conv_treatment FROM agg
+          WHERE v = 'B'),
+    j AS (SELECT * FROM a CROSS JOIN b),
+    t AS (SELECT *,
+            CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS pa,
+            CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS pb,
+            CAST((conv_control + conv_treatment) AS DOUBLE)
+                / CAST((n_control + n_treatment) AS DOUBLE) AS pp
+          FROM j)
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(conv_control AS BIGINT) AS conv_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           CAST(conv_treatment AS BIGINT) AS conv_treatment,
+           pa AS rate_control,
+           pb AS rate_treatment,
+           pb - pa AS lift,
+           CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+             (pb - pa) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_control AS DOUBLE)
+                    + 1.0 / CAST(n_treatment AS DOUBLE)))
+           END AS z_score,
+           CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+             abs((pb - pa) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_control AS DOUBLE)
+                    + 1.0 / CAST(n_treatment AS DOUBLE)))) > 1.96
+           END AS significant
+    FROM t
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion z-test
+    (operators/profile.py::ab_test_proportions): units are (user, day)
+    pairs — conversion = any purchase event that day — split into
+    control/treatment by the deterministic user_id parity (the hash
+    split an experimentation platform assigns).  One mergeable unit
+    aggregation, one variant aggregation, two 1-row scalars crossed;
+    counts exact, every double expression one fixed association the
+    oracle mirrors."""
+    from ..operators.profile import ab_test_proportions
+
+    e = load_table(spark, sf_dir, "events")
+    units = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return ab_test_proportions(units, "variant", "converted")
