@@ -198,6 +198,7 @@ HEADLINE = [
     "dq_k_anonymity",
     "dq_ks_drift",
     "events_ab_test",
+    "pipeline_mmr_rerank",
 ]
 
 

@@ -54,6 +54,9 @@ BNLJ_OK = {
     "ann_ndcg_report",          # composes pq_topk (broadcast codebook/
                                 # LUT) + brute_force_topk (broadcast
                                 # query side); report is equi-join + agg
+    "pipeline_mmr_rerank",      # candidate stage is brute_force_topk
+                                # (broadcast query side); greedy rounds
+                                # join bounded per-query shortlist frames
     "dedup_recall_report",      # bounded-input contract: the exhaustive
                                 # truth pass's crossJoin side is
                                 # structurally capped (doc_id < 500) in

@@ -360,3 +360,44 @@ def test_ab_test_known_value(spark):
     )
     d = ab_test_proportions(allconv, "variant", "converted").collect()[0]
     assert d["z_score"] is None and d["significant"] is None
+
+
+def test_mmr_rerank_skips_redundant_candidate(spark):
+    """With a planted near-duplicate of the top candidate, pure top-k
+    keeps both at ranks 1-2; MMR must demote the duplicate in favor of
+    a diverse (less relevant but non-redundant) candidate."""
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    # query 100 at origin direction [1, 0, 0, 0]; candidates:
+    #  1: [1, .01, 0, 0]   best match
+    #  2: [1, .011, 0, 0]  near-duplicate of 1 (sim ~1 with it)
+    #  3: [.8, .6, 0, 0]   diverse, lower relevance
+    #  4: [.7, 0, .7, 0]   diverse, lower still
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [1.0, 0.011, 0.0, 0.0]),
+        (3, [0.8, 0.6, 0.0, 0.0]),
+        (4, [0.7, 0.0, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 100)
+    corpus = df.filter(F.col("vec_id") != 100)
+
+    plain = brute_force_topk(corpus, q, k=2)
+    assert [r["neighbor_id"] for r in plain.orderBy("rank").collect()] == [1, 2]
+
+    mmr = mmr_rerank(corpus, q, k_final=3, shortlist=4, lam=0.5,
+                     one_minus_lam=0.5)
+    got = [r["neighbor_id"] for r in mmr.orderBy("rank").collect()]
+    # step 1: relevance wins (1); step 2: the near-duplicate 2 scores
+    # ~0.5*(rel - sim_to_1) ~ 0 while the orthogonal-ish 4 scores
+    # positive, so 4 jumps the queue; step 3: 2 (tiny negative) beats 3
+    # (whose max-sim to 1 exceeds its relevance by more)
+    assert got == [1, 4, 2]
+    sel = mmr.collect()
+    assert {r["rank"] for r in sel} == {1, 2, 3}
+    assert all(r["relevance"] is not None for r in sel)

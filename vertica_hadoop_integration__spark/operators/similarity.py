@@ -1642,3 +1642,151 @@ def diversity_report(
         (s2 / n).alias("mean_sq_norm"),
         mean_pair.alias("mean_pairwise_sq_dist"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_final: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    one_minus_lam: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank — the diversity-aware final
+    stage of a RAG retrieval pipeline: from each query's ``shortlist``
+    exact-cosine candidates, greedily select ``k_final`` maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected`` so
+    near-duplicate passages don't crowd out coverage (Carbonell &
+    Goldstein, SIGIR'98).
+
+    ``one_minus_lam`` is passed as its OWN literal (deriving ``1 - lam``
+    lands one ulp off ``0.3`` — the pagerank teleport lesson).  Step 1
+    selects by pure relevance (its mmr score is ``lam * rel``).
+
+    Scale shape: candidate generation is ``brute_force_topk`` (broadcast
+    query side, one corpus scan — swap in the IVF probe at 100 TB, same
+    contract); everything after operates on BOUNDED frames — per query
+    ``shortlist`` candidate rows and ``shortlist^2`` pairwise-sim rows —
+    so the ``k_final`` greedy rounds are joins between small persisted
+    frames keyed by query_id, never corpus scans.  All similarity
+    doubles use the brute_force kernel convention (dot / (na * nb)),
+    the greedy max is order-free, and ties break by candidate id — the
+    entire selection replays in SQL as chained CTEs.
+
+    Output: (query_id, neighbor_id, relevance, mmr_score, rank)."""
+    cands = brute_force_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos_sim").alias("relevance"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    cands_v = cands.join(vecs, on="neighbor_id").persist()
+    a = cands_v.select(
+        "query_id",
+        F.col("neighbor_id").alias("_ca"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = cands_v.select(
+        "query_id",
+        F.col("neighbor_id").alias("_cb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sims = (
+        a.join(b, on="query_id")
+        .filter(F.col("_ca") != F.col("_cb"))
+        .select(
+            "query_id",
+            "_ca",
+            "_cb",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("_s"),
+        )
+        .persist()
+    )
+    base = cands_v.select("query_id", "neighbor_id", "relevance")
+    w = Window.partitionBy("query_id")
+    pick1 = (
+        base.withColumn(
+            "_rn",
+            F.row_number().over(
+                w.orderBy(F.desc("relevance"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "relevance",
+            (F.lit(lam) * F.col("relevance")).alias("mmr_score"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+    )
+    selected = pick1
+    for step in range(2, k_final + 1):
+        remaining = base.join(
+            selected.select("query_id", "neighbor_id"),
+            on=["query_id", "neighbor_id"],
+            how="left_anti",
+        )
+        ms = (
+            sims.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("_cb")
+                ),
+                on=["query_id", "_cb"],
+            )
+            .groupBy("query_id", "_ca")
+            .agg(F.max("_s").alias("_maxsim"))
+        )
+        scored = remaining.join(
+            ms,
+            on=(remaining.query_id == ms.query_id)
+            & (remaining.neighbor_id == ms._ca),
+        ).select(
+            remaining.query_id,
+            "neighbor_id",
+            "relevance",
+            (
+                F.lit(lam) * F.col("relevance")
+                - F.lit(one_minus_lam) * F.col("_maxsim")
+            ).alias("mmr_score"),
+        )
+        pick = (
+            scored.withColumn(
+                "_rn",
+                F.row_number().over(
+                    w.orderBy(F.desc("mmr_score"), F.asc("neighbor_id"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "relevance",
+                "mmr_score",
+                F.lit(step).cast("int").alias("rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+        # lazy lineage truncation per round (the connected-components /
+        # bpe_encode pattern): each step references the previous
+        # selection THREE times (anti-join, max-sim join, union), so
+        # without truncation the uncached selection subtree re-executes
+        # 3^k times inside the final action — measured minutes at sf0.1
+        # for k=5.  eager=False keeps it one job chain at action time;
+        # the frame is k_final rows per query, so checkpoint cost is nil.
+        if step < k_final:
+            selected = selected.localCheckpoint(eager=False)
+    return selected

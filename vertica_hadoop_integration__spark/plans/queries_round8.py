@@ -573,3 +573,78 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_test_proportions(units, "variant", "converted")
+
+
+# -- MMR diversity rerank (RAG final stage; selection fully SQL-replayed) -----
+def _mmr_oracle(k_final: int = 5, shortlist: int = 20) -> str:
+    """Chained-CTE replay of the greedy MMR selection: sel1 picks by
+    relevance; each later step recomputes every remaining candidate's
+    max-sim to the selected set and picks argmax(0.7*rel - 0.3*maxsim),
+    ties by candidate id — exactly the operator's loop."""
+    steps = []
+    union_sel = "SELECT query_id, cand_id FROM sel1"
+    for i in range(2, k_final + 1):
+        steps.append(f"""
+    s{i - 1} AS ({union_sel}),
+    m{i} AS (
+        SELECT cd.query_id, cd.cand_id, cd.rel,
+               0.7 * cd.rel - 0.3 * max(s._s) AS mmr
+        FROM cands cd
+        JOIN sims s ON s.query_id = cd.query_id AND s.ca = cd.cand_id
+        JOIN s{i - 1} sel ON sel.query_id = s.query_id
+                         AND sel.cand_id = s.cb
+        WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} e
+                          WHERE e.query_id = cd.query_id
+                            AND e.cand_id = cd.cand_id)
+        GROUP BY cd.query_id, cd.cand_id, cd.rel),
+    sel{i} AS (
+        SELECT query_id, cand_id, rel, mmr, {i} AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY mmr DESC, cand_id) AS rn FROM m{i})
+        WHERE rn = 1)""")
+        union_sel += f" UNION ALL SELECT query_id, cand_id FROM sel{i}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT query_id, cand_id AS neighbor_id, rel AS relevance, "
+        f"mmr AS mmr_score, CAST(rank AS INT) AS rank FROM sel{i}"
+        for i in range(1, k_final + 1)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8),
+    scored AS (SELECT q.query_id, c.vec_id AS cand_id,
+                      list_cosine_similarity(q.qv, c.v) AS rel
+               FROM q JOIN c ON c.vec_id <> q.query_id),
+    cands AS (SELECT query_id, cand_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, cand_id) AS rn FROM scored)
+              WHERE rn <= {shortlist}),
+    sims AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                    list_cosine_similarity(va.v, vb.v) AS _s
+             FROM cands a
+             JOIN cands b ON a.query_id = b.query_id
+                         AND a.cand_id <> b.cand_id
+             JOIN c va ON va.vec_id = a.cand_id
+             JOIN c vb ON vb.vec_id = b.cand_id),
+    sel1 AS (SELECT query_id, cand_id, rel, 0.7 * rel AS mmr, 1 AS rank
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, cand_id) AS rn FROM cands)
+             WHERE rn = 1),{",".join(steps)}
+    {finals}
+    """
+
+
+@register("pipeline_mmr_rerank", oracle=_mmr_oracle())
+def pipeline_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank
+    (operators/similarity.py::mmr_rerank): each query's 20 exact-cosine
+    candidates greedily reduced to 5 that balance relevance against
+    redundancy (0.7*rel - 0.3*max-sim-to-selected, SIGIR'98) — the RAG
+    final stage that stops near-duplicate passages crowding the prompt.
+    Candidate generation broadcasts the query side over ONE corpus
+    scan; the greedy rounds touch only bounded per-query candidate and
+    pairwise-sim frames.  Every selection step replays in SQL."""
+    from ..operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return mmr_rerank(e, q, k_final=5, shortlist=20)
