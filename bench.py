@@ -199,6 +199,8 @@ HEADLINE = [
     "dq_ks_drift",
     "events_ab_test",
     "pipeline_mmr_rerank",
+    "dq_dp_release",
+    "dq_benford",
 ]
 
 

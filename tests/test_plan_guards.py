@@ -110,6 +110,7 @@ SCALAR_BROADCAST_OK = {
     "dq_ks_drift",                  # 1-row percentile-cuts + split-total
                                     # scalars (binned KS, same shape as PSI)
     "events_ab_test",               # two 1-row variant-count scalars crossed
+    "dq_benford",                   # 1-row positive-value total scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -401,3 +401,64 @@ def test_mmr_rerank_skips_redundant_candidate(spark):
     sel = mmr.collect()
     assert {r["rank"] for r in sel} == {1, 2, 3}
     assert all(r["relevance"] is not None for r in sel)
+
+
+def test_dp_histogram_deterministic_and_calibrated(spark):
+    """Same seed => identical release; different seed => different
+    noise; mean |noise| over many groups ~ 1/epsilon (Laplace b)."""
+    from vertica_hadoop_integration__spark.operators.profile import (
+        dp_histogram,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 200).cast("string").alias("g")
+    )
+    r1 = {r["g"]: r["noisy_count"] for r in dp_histogram(df, "g", seed=8).collect()}
+    r2 = {r["g"]: r["noisy_count"] for r in dp_histogram(df, "g", seed=8).collect()}
+    r3 = {r["g"]: r["noisy_count"] for r in dp_histogram(df, "g", seed=9).collect()}
+    assert r1 == r2
+    assert r1 != r3
+    errs = [r["abs_error"] for r in dp_histogram(df, "g", epsilon=1.0).collect()]
+    mean_err = sum(errs) / len(errs)
+    assert 0.5 < mean_err < 2.0  # E|Laplace(1)| = 1, 200 draws
+    # epsilon scales the noise inversely
+    errs_tight = [
+        r["abs_error"] for r in dp_histogram(df, "g", epsilon=10.0).collect()
+    ]
+    assert sum(errs_tight) / len(errs_tight) < mean_err / 5
+
+
+def test_benford_digit_extraction_and_separation(spark):
+    from vertica_hadoop_integration__spark.operators.profile import (
+        benford_report,
+    )
+
+    planted = spark.createDataFrame(
+        [(123.4,), (0.0567,), (9999.0,), (1.0,), (-50.0,), (0.0,)], ["v"]
+    )
+    rows = benford_report(planted, "v").collect()
+    got = {r["digit"]: r["n"] for r in rows}
+    # negatives and zero excluded; digits 1 (123.4, 1.0), 5 (0.0567), 9
+    assert got == {1: 2, 5: 1, 9: 1}
+
+    # log-uniform sample conforms (small chi2); uniform digits don't
+    import math
+
+    conforming = spark.range(0, 9000).select(
+        F.pow(F.lit(10.0), F.col("id").cast("double") / 3000.0).alias("v")
+    )
+    chi_conf = (
+        benford_report(conforming, "v")
+        .agg(F.sum("chi2_term").alias("c"))
+        .collect()[0]["c"]
+    )
+    uniform = spark.range(0, 9000).select(
+        ((F.col("id") % 9) + 1).cast("double").alias("v")
+    )
+    chi_unif = (
+        benford_report(uniform, "v")
+        .agg(F.sum("chi2_term").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert chi_conf < 20.0          # ~8-dof null: 15.5 at alpha .05
+    assert chi_unif > 100.0 * chi_conf

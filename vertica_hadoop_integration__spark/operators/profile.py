@@ -623,3 +623,94 @@ def ab_test_proportions(
             "significant"
         ),
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: int = 8,
+) -> DataFrame:
+    """Laplace-mechanism histogram release: per-group counts with
+    Laplace(sensitivity/epsilon) noise — the standard way to publish
+    aggregate statistics about a sensitive table (the release view is
+    (group, noisy_count); this REPORT form keeps the true count and
+    absolute error alongside for calibration, the same convention as
+    the sketch accuracy reports).  Sensitivity is 1 under the
+    one-row-per-unit contract (each unit contributes one row to one
+    group — pre-aggregate to units first, as with ab_test_proportions).
+
+    The Laplace draw inverts a uniform derived from a seeded md5 of the
+    group key: u = (h + 0.5) / 2^60 in (0,1), noise =
+    -(1/eps) * sign(u - 1/2) * ln(1 - 2*|u - 1/2|).  Seeded determinism
+    makes the mechanism testable and SQL-replayable; a PRODUCTION
+    release must draw the seed secretly per release (a public seed
+    de-randomizes the mechanism and voids the epsilon guarantee) — the
+    noise SHAPE, dataflow, and accuracy are what this operator pins.
+
+    Scale shape: one mergeable count aggregation; the noise expression
+    is map-side arithmetic on the group-cardinality-sized result."""
+    b = 1.0 / epsilon
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    from ..functions.text_fns import md5_hash60
+
+    u = (
+        md5_hash60(F.col(group_col).cast("string"), seed=seed).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1152921504606846976.0)
+    noise = (
+        F.lit(-b)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return counts.select(
+        group_col,
+        F.col("true_count").cast("bigint").alias("true_count"),
+        (F.col("true_count").cast("double") + noise).alias("noisy_count"),
+        F.abs(noise).alias("abs_error"),
+    )
+
+
+def benford_report(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """First-digit Benford's-law conformance report — the classic
+    anomaly screen for naturally-occurring amount columns (fabricated
+    or gamed values rarely follow log-uniform digit frequencies).  For
+    every leading digit d in 1..9: observed count and frequency over
+    the positive values, the Benford expectation ln(1+1/d)/ln(10), and
+    the Pearson chi-square term n*(p_obs-p_exp)^2/p_exp — sum of the
+    column is the test statistic (8 degrees of freedom).
+
+    The leading digit is pure double arithmetic — floor(v / 10^
+    floor(log10(v))) — so no string formatting is involved and the
+    whole report replays in SQL.  One mergeable aggregation keyed by
+    the 9-value digit; the total rides as a 1-row broadcast scalar."""
+    pos = df.filter(F.col(col) > 0).select(F.col(col).cast("double").alias("v"))
+    digit = F.floor(
+        F.col("v") / F.pow(F.lit(10.0), F.floor(F.log10(F.col("v"))))
+    ).cast("int")
+    counts = pos.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pos.agg(F.count(F.lit(1)).alias("_t"))
+    obs = F.col("n").cast("double") / F.col("_t").cast("double")
+    exp = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            obs.alias("observed_p"),
+            exp.alias("expected_p"),
+            (
+                F.col("_t").cast("double")
+                * ((obs - exp) * (obs - exp) / exp)
+            ).alias("chi2_term"),
+        )
+    )

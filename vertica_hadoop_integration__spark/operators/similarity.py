@@ -1653,6 +1653,7 @@ def mmr_rerank(
     one_minus_lam: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank — the diversity-aware final
     stage of a RAG retrieval pipeline: from each query's ``shortlist``
@@ -1670,15 +1671,21 @@ def mmr_rerank(
     contract); everything after operates on BOUNDED frames — per query
     ``shortlist`` candidate rows and ``shortlist^2`` pairwise-sim rows —
     so the ``k_final`` greedy rounds are joins between small persisted
-    frames keyed by query_id, never corpus scans.  All similarity
+    frames keyed by query_id, never corpus scans.  ``candidates``
+    injects a precomputed (query_id, neighbor_id, cos_sim) shortlist —
+    pass ``ivf_topk(...)`` output to keep candidate generation
+    sublinear at corpus scale (the greedy rounds are
+    corpus-size-independent either way).  All similarity
     doubles use the brute_force kernel convention (dot / (na * nb)),
     the greedy max is order-free, and ties break by candidate id — the
     entire selection replays in SQL as chained CTEs.
 
     Output: (query_id, neighbor_id, relevance, mmr_score, rank)."""
-    cands = brute_force_topk(
-        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
-    ).select(
+    if candidates is None:
+        candidates = brute_force_topk(
+            corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+        )
+    cands = candidates.select(
         "query_id",
         "neighbor_id",
         F.col("cos_sim").alias("relevance"),

@@ -648,3 +648,79 @@ def pipeline_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return mmr_rerank(e, q, k_final=5, shortlist=20)
+
+
+# -- Laplace-mechanism DP histogram release (calibration report) ---------------
+@register(
+    "dq_dp_release",
+    oracle="""
+    WITH counts AS (SELECT event_type, count(*) AS true_count
+                    FROM events GROUP BY 1),
+    n AS (SELECT *,
+            (CAST(CAST(('0x' || substr(md5('8:' || CAST(event_type AS VARCHAR)),
+                                       1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+                / 1152921504606846976.0 AS u
+          FROM counts)
+    SELECT event_type,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(true_count AS DOUBLE)
+             + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+               AS noisy_count,
+           abs((-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))
+               AS abs_error
+    FROM n
+    """,
+)
+def dq_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release
+    (operators/profile.py::dp_histogram): per-event-type counts with
+    Laplace(1/epsilon) noise, epsilon=1 — the aggregate-publication
+    mechanism for sensitive tables, in report form (true count and
+    absolute error ride along for calibration; the release view is
+    (group, noisy_count)).  Seeded md5-uniform inverse-CDF draw makes
+    the mechanism deterministic for testing and fully SQL-replayed;
+    production must keep the seed secret (documented in the operator).
+    One mergeable aggregation; noise is map-side arithmetic on the
+    group-cardinality result."""
+    from ..operators.profile import dp_histogram
+
+    e = load_table(spark, sf_dir, "events")
+    return dp_histogram(e, "event_type", epsilon=1.0, seed=8)
+
+
+# -- Benford first-digit conformance ------------------------------------------
+@register(
+    "dq_benford",
+    oracle="""
+    WITH pos AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+                 WHERE o_totalprice > 0),
+    d AS (SELECT CAST(floor(v / pow(10.0, floor(log10(v)))) AS INT) AS digit
+          FROM pos),
+    counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM pos)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS observed_p,
+           ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected_p,
+           CAST(t AS DOUBLE) * (
+             (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+              - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+             * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+             / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+           ) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance over order totals
+    (operators/profile.py::benford_report): leading digit by pure
+    double arithmetic (floor(v / 10^floor(log10 v)) — no string
+    formatting), observed vs log-uniform expected frequency, Pearson
+    chi-square terms (sum = the 8-dof test statistic) — the classic
+    fabricated-amounts screen.  One mergeable 9-key aggregation + a
+    1-row total scalar."""
+    from ..operators.profile import benford_report
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_report(o, "o_totalprice")
