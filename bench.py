@@ -201,6 +201,7 @@ HEADLINE = [
     "pipeline_mmr_rerank",
     "dq_dp_release",
     "dq_benford",
+    "graph_label_propagation",
 ]
 
 

@@ -462,3 +462,36 @@ def test_benford_digit_extraction_and_separation(spark):
     )
     assert chi_conf < 20.0          # ~8-dof null: 15.5 at alpha .05
     assert chi_unif > 100.0 * chi_conf
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components
+    merges them into one component; LPA keeps two communities (the
+    bridge weight cannot outvote three intra-clique neighbors)."""
+    from vertica_hadoop_integration__spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+
+    cc = {r["component"] for r in connected_components(df).collect()}
+    assert cc == {1}
+
+    lpa = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert len({lpa[n] for n in (1, 2, 3)}) == 1
+    assert len({lpa[n] for n in (11, 12, 13)}) == 1
+    assert lpa[1] != lpa[11]
+    # determinism: a second run is identical
+    again = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert again == lpa

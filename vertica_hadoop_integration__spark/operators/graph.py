@@ -474,3 +474,78 @@ def cooccurrence_pagerank(
         .limit(top_k)
         .select(F.col("node").alias("l_partkey"), "pagerank")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    weight: str | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007) —
+    community detection, the third member of the graph family next to
+    connected components (identity) and PageRank (importance): every
+    node repeatedly adopts the label carrying the largest summed edge
+    weight among its neighbors, ties by smallest label.  Communities
+    split where CC would merge — dense cliques keep their own labels
+    across a thin bridge.
+
+    Deterministic by construction: synchronous updates (no visit-order
+    dependence), integer/exact weight sums, (weight DESC, label ASC)
+    tie-break — every iteration replays in SQL, the pagerank oracle
+    pattern.  Fixed ``iters`` rather than convergence detection: LPA can
+    oscillate on bipartite structures, and the downstream contract is
+    "deterministic labels after T sweeps", not a fixpoint claim.
+
+    Plan shape per iteration: one edges-sized join + one (node,
+    label)-keyed aggregation + a partitioned top-1 window; the label
+    frontier is node-sized and lineage-truncated per round, so the plan
+    stays flat at any depth."""
+    w_expr = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        w_expr.alias("w"),
+    )
+    sym = (
+        e.unionByName(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window as _W
+
+    for _ in range(iters):
+        cnt = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(sym.u, "label")
+            .agg(F.sum("w").alias("ws"))
+        )
+        pick = (
+            cnt.withColumn(
+                "_rn",
+                F.row_number().over(
+                    _W.partitionBy("u").orderBy(
+                        F.desc("ws"), F.asc("label")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), F.col("label").alias("_nl"))
+        )
+        labels = (
+            nodes.join(pick, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("_nl"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -724,3 +724,65 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return benford_report(o, "o_totalprice")
+
+
+# -- label-propagation communities (iteration-replay oracle) -------------------
+def _lpa_oracle(iters: int = 3) -> str:
+    body = """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    pairs AS (SELECT a.p AS u, b.p AS v FROM li a
+              JOIN li b ON a.o = b.o AND a.p <> b.p),
+    e AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM pairs
+          GROUP BY 1, 2),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM n)"""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (SELECT e.u, l.label, SUM(e.w) AS ws
+             FROM e JOIN {prev} l ON l.node = e.v GROUP BY 1, 2),
+    p{i} AS (SELECT u, label FROM (
+               SELECT *, row_number() OVER (PARTITION BY u
+                   ORDER BY ws DESC, label) AS rn FROM c{i})
+             WHERE rn = 1),
+    l{i} AS (SELECT n.node, COALESCE(p{i}.label, n.node) AS label
+             FROM n LEFT JOIN p{i} ON p{i}.u = n.node)"""
+        prev = f"l{i}"
+    return body + f"""
+    SELECT node AS l_partkey, CAST(label AS BIGINT) AS community
+    FROM {prev}
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous label-propagation communities
+    (operators/graph.py::label_propagation) over the part co-order
+    graph (orderkey % 3 slice) — the community-detection member of the
+    graph family (components = identity, pagerank = importance,
+    triangles = cohesion, LPA = modularity-ish grouping).  Every sweep
+    adopts the neighbor label with the largest exact summed co-order
+    weight, ties by smallest label; three sweeps replayed one-for-one
+    in the oracle (the pagerank pattern).  Pair expansion is the
+    bounded collect_list double-explode; per-sweep plans stay flat via
+    lineage truncation."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("p"), "ps")
+        .select("p", F.explode("ps").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+    )
+    edges = pairs.groupBy("p", "q").agg(F.count(F.lit(1)).alias("w"))
+    out = label_propagation(edges, src="p", dst="q", weight="w", iters=3)
+    return out.select(
+        F.col("node").alias("l_partkey"),
+        F.col("community").cast("bigint").alias("community"),
+    )
