@@ -396,7 +396,10 @@ def _containment_stage(
         .select(F.col(id_col), "sh", F.size("sh").cast("bigint").alias("n"))
         .persist()
     )
-    staged = sets.select(F.col(id_col), F.explode("sh").alias("_h"))
+    # n rides along: staged is a map-only explode of the cached sets, so
+    # carrying the set size costs nothing and saves _containment_core a
+    # whole join-back (one fewer exchange + AQE stage job)
+    staged = sets.select(F.col(id_col), F.explode("sh").alias("_h"), "n")
     return staged, sets
 
 
@@ -408,7 +411,9 @@ def _containment_core(
 ) -> DataFrame:
     """Prefix-filter + positional-filter candidate generation + exact
     containment verify over a (staged, sets) pair (see
-    containment_pairs_portable)."""
+    containment_pairs_portable).  ``staged`` carries the per-doc set
+    size ``n`` (free — it is a map-only explode of the sets frame), so
+    no join-back to ``sets`` is needed before the prefix cut."""
     freq = staged.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         staged.join(freq, on="_h")
@@ -418,7 +423,6 @@ def _containment_core(
                 Window.partitionBy(id_col).orderBy(F.col("_df"), F.col("_h"))
             ),
         )
-        .join(sets.select(id_col, "n"), on=id_col)
         .persist()  # ONE ranking pass feeds both the prefix and index sides
     )
     prefix = ranked.filter(
@@ -549,7 +553,9 @@ def containment_dedup_clustered(
         # frame is ever semi-joined or cached (the three-round
         # 6.5-7.1s plateau came from re-deriving these per consumer)
         rep_sets = sets.join(reps, on=id_col, how="left_semi").persist()
-        rep_staged = rep_sets.select(F.col(id_col), F.explode("sh").alias("_h"))
+        rep_staged = rep_sets.select(
+            F.col(id_col), F.explode("sh").alias("_h"), "n"
+        )
         rep_pairs = _containment_core(
             rep_staged, rep_sets, id_col, min_containment
         )
