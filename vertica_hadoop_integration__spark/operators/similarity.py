@@ -1756,10 +1756,13 @@ def mmr_rerank(
             )
             .groupBy("query_id", "_ca")
             .agg(F.max("_s").alias("_maxsim"))
+            .select(
+                F.col("query_id").alias("_mq"), "_ca", "_maxsim"
+            )  # renamed to keep the join predicate attribute-unambiguous
         )
         scored = remaining.join(
             ms,
-            on=(remaining.query_id == ms.query_id)
+            on=(remaining.query_id == ms._mq)
             & (remaining.neighbor_id == ms._ca),
         ).select(
             remaining.query_id,
