@@ -202,6 +202,7 @@ HEADLINE = [
     "dq_dp_release",
     "dq_benford",
     "graph_label_propagation",
+    "ann_sq8_rerank_topk",
 ]
 
 

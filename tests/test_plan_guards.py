@@ -29,6 +29,8 @@ BNLJ_OK = {
     "ann_ivf_pq_topk",          # broadcast centroid table (probe selection)
     "ann_pq_rerank_topk",       # PQ stage broadcasts codebook/LUT; rerank
                                 # stage broadcasts the tiny shortlist
+    "ann_sq8_rerank_topk",      # broadcast quantized query side vs corpus
+                                # scan; rerank broadcasts the query floats
     "dedup_embedding_cosine_exact_smalln",  # bounded-input contract: the
                                 # crossJoin build side is structurally
                                 # capped (vec_id < 1000) in the plan

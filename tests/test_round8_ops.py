@@ -495,3 +495,29 @@ def test_label_propagation_splits_bridged_cliques(spark):
         for r in label_propagation(df, iters=3).collect()
     }
     assert again == lpa
+
+
+def test_sq8_rerank_recall_and_exact_stage2(spark, sf_dir):
+    """SQ8 at 64 dims loses little: recall@5 vs exact brute force must
+    be high, and stage-2 scores must equal the exact normalize-then-dot
+    cosine for the pairs it returns (bitwise)."""
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        brute_force_topk,
+        sq8_rerank_topk,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    got = sq8_rerank_topk(e, q, k=5, shortlist=20).collect()
+    want = brute_force_topk(e, q, k=5).collect()
+    g = {(r["query_id"], r["neighbor_id"]) for r in got}
+    w = {(r["query_id"], r["neighbor_id"]) for r in want}
+    recall = len(g & w) / len(w)
+    assert recall >= 0.8, f"SQ8 recall@5 {recall}"
+    # stage-2 exactness: for pairs both paths return, cosine values agree
+    # to float noise of the two conventions (dot/(na*nb) vs unit-dot)
+    gm = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in got}
+    wm = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in want}
+    for key in g & w:
+        assert abs(gm[key] - wm[key]) < 1e-12

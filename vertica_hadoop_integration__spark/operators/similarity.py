@@ -1800,3 +1800,99 @@ def mmr_rerank(
         if step < k_final:
             selected = selected.localCheckpoint(eager=False)
     return selected
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) two-stage ANN — the FAISS SQfp8/refine
+    serving shape and the int8 sibling of ann_pq_rerank_topk: corpus and
+    queries are unit-normalized (cosine becomes dot), symmetric-absmax
+    int8-quantized (4x smaller index — at 100 TB the difference between
+    an in-memory index and a spilling one), stage 1 ranks by the EXACT
+    integer code dot product rescaled by the two per-vector step sizes,
+    stage 2 reranks only each query's ``shortlist`` survivors with the
+    exact float dot.
+
+    Exactness contract: the int8 codes use floor(x*scale + 0.5) (engine-
+    portable rounding, quantize_int8); the stage-1 integer dot is a sum
+    of int products — order-free and bit-exact in ANY engine — so the
+    shortlist is deterministic, and the stage-2 floats follow the
+    normalize-then-dot convention the decontaminate oracle already
+    pins.  The whole pipeline (normalize, quantize, integer ADC,
+    shortlist, rerank) replays in SQL.
+
+    Plan shape: quantization is map-side in each scan; stage 1
+    broadcasts the (tiny) quantized query side over ONE corpus scan
+    with partial top-k pruning; stage 2 touches float vectors for
+    n_queries x shortlist rows only."""
+    n = corpus.select(
+        F.col(id_col).alias("neighbor_id"), normalize(F.col(vec_col)).alias("_u")
+    )
+    from ..functions.vector_fns import quantize_int8, quantize_scale
+
+    cz = n.select(
+        "neighbor_id",
+        quantize_int8(F.col("_u")).alias("_c8"),
+        quantize_scale(F.col("_u")).alias("_csc"),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"), normalize(F.col(vec_col)).alias("_qu")
+    )
+    qz = qn.select(
+        "query_id",
+        quantize_int8(F.col("_qu")).alias("_q8"),
+        quantize_scale(F.col("_qu")).alias("_qsc"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("_q8"), F.col("_c8"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        spread(cz)
+        .crossJoin(F.broadcast(qz))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (idot.cast("double") * (F.col("_qsc") * F.col("_csc"))).alias(
+                "_approx"
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("_approx"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        short.join(n, on="neighbor_id")
+        .join(F.broadcast(qn), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("_qu"), F.col("_u")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -786,3 +786,60 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"),
         F.col("community").cast("bigint").alias("community"),
     )
+
+
+# -- SQ8 two-stage ANN (int8 ADC shortlist + exact rerank) ---------------------
+@register(
+    "ann_sq8_rerank_topk",
+    oracle="""
+    WITH n AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[])))
+                          AS u
+               FROM embeddings),
+    z AS (SELECT vec_id, u,
+                 list_max(list_transform(u, x -> abs(x))) AS am
+          FROM n),
+    q8 AS (SELECT vec_id, u,
+                  list_transform(u, x -> CAST(COALESCE(
+                      floor(x * (127.0 / nullif(am, 0)) + 0.5), 0) AS INT))
+                      AS c8,
+                  nullif(am, 0) / 127.0 AS sc
+           FROM z),
+    qs AS (SELECT vec_id AS query_id, u AS qu, c8 AS qc8, sc AS qsc
+           FROM q8 WHERE vec_id < 8),
+    cs AS (SELECT vec_id AS neighbor_id, u AS cu, c8 AS cc8, sc AS csc
+           FROM q8),
+    s1 AS (SELECT qs.query_id, cs.neighbor_id,
+                  list_dot_product(qc8::DOUBLE[], cc8::DOUBLE[])
+                      * (qsc * csc) AS approx
+           FROM qs JOIN cs ON cs.neighbor_id <> qs.query_id),
+    short AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, neighbor_id) AS rn FROM s1)
+              WHERE rn <= 20),
+    ex AS (SELECT s.query_id, s.neighbor_id,
+                  list_dot_product(qs.qu, cs.cu) AS cos_sim
+           FROM short s
+           JOIN qs ON qs.query_id = s.query_id
+           JOIN cs ON cs.neighbor_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM ex)
+    WHERE rnk <= 5
+    """,
+)
+def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized two-stage ANN
+    (operators/similarity.py::sq8_rerank_topk): unit-normalize, int8
+    symmetric-absmax quantize (4x smaller index), shortlist by the
+    EXACT integer code dot rescaled by the two step sizes — order-free
+    and engine-portable by construction — then exact-dot rerank of the
+    20 survivors per query.  The int8 sibling of ann_pq_rerank_topk;
+    every stage replays in SQL."""
+    from ..operators.similarity import sq8_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return sq8_rerank_topk(e, q, k=5, shortlist=20)
