@@ -73,6 +73,21 @@ def test_stream_drift_matches_batch_twin_and_restart_is_stable(
     assert alarms[min(alarms)] is False
     assert min(psis) < 0.01 and max(psis) > 0.2
 
+    # KS rides the same bin counts: the drifted batch's sup-CDF gap is
+    # large and alarmed, the stable batch's is tiny; each equals the
+    # batch twin (operators/profile.py::ks_drift) at the same cut count
+    from vertica_hadoop_integration__spark.operators.profile import ks_drift
+
+    ks_by_alarm = {r["ks_alarm"]: r["ks"] for r in rows}
+    assert ks_by_alarm[True] > 0.5      # 80/100 shift
+    assert ks_by_alarm[False] < 0.05
+    streamed_ks = sorted(r["ks"] for r in rows)
+    for slice_df in (stable, drifted):
+        (want,) = ks_drift(ref, slice_df, "v", num_bins=10).collect()
+        assert any(
+            abs(k - want["ks_stat"]) < 1e-12 for k in streamed_ks
+        ), (want["ks_stat"], streamed_ks)
+
     # restart on the same checkpoint: no new files -> identical serving rows
     before = sorted(map(tuple, rows))
     stream = (

@@ -84,6 +84,33 @@ def psi_from_counts(model: dict, cur_counts: dict[int, int], cur_total: int) -> 
     return psi
 
 
+def ks_from_counts(
+    model: dict, cur_counts: dict[int, int]
+) -> float | None:
+    """Binned two-sample KS statistic of a batch's bin counts against
+    the frozen reference model (operators/profile.py::ks_drift is the
+    batch twin, evaluated at the same reference-quantile cuts): the max
+    absolute cumulative-fraction gap over the value bins.  The NULL bin
+    (-1) is excluded — KS is defined over values; NULL-rate drift is
+    PSI's job via its dedicated bin.  Returns None when either side has
+    no non-null rows.  Fixed iteration order + order-free max =>
+    rerun-identical and equal to the batch twin bit for bit."""
+    nb = model["num_bins"]
+    ref_nonnull = model["total"] - model["counts"][0]
+    cur_nonnull = sum(v for b, v in cur_counts.items() if b >= 0)
+    if ref_nonnull == 0 or cur_nonnull == 0:
+        return None
+    cr = cc = 0
+    ks = 0.0
+    for i, b in enumerate(range(0, nb)):
+        cr += model["counts"][i + 1]
+        cc += cur_counts.get(b, 0)
+        d = abs(cr / ref_nonnull - cc / cur_nonnull)
+        if d > ks:
+            ks = d
+    return ks
+
+
 def stream_drift_monitor(
     values,
     reference: DataFrame,
@@ -98,8 +125,13 @@ def stream_drift_monitor(
 ):
     """Start the drift-monitoring stream; returns the StreamingQuery.
     The serving table at ``out_dir`` holds one committed row per batch
-    (batch_id, n_rows, psi, alarm); a replayed batch id is skipped
-    wholesale (ledger guard), so restarts never duplicate rows."""
+    (batch_id, n_rows, psi, alarm, ks, ks_alarm) — PSI for density
+    shifts and NULL surges, binned KS (ks_from_counts; large-sample
+    critical value 1.358*sqrt((n1+n2)/(n1*n2))) for location/scale
+    shifts that spread thinly over many bins, both from the SAME
+    per-batch bin counts (no extra distributed work).  A replayed batch
+    id is skipped wholesale (ledger guard), so restarts never duplicate
+    rows."""
     model = freeze_reference(reference, col, num_bins)
     bin_expr = _bin_expr(model["cuts"], col)
 
@@ -119,9 +151,25 @@ def stream_drift_monitor(
         cur = {int(r["bin"]): int(r["n"]) for r in rows}
         n = sum(cur.values())
         psi = psi_from_counts(model, cur, n)
+        ks = ks_from_counts(model, cur)
+        ks_alarm = None
+        if ks is not None:
+            n1 = model["total"] - model["counts"][0]
+            n2 = sum(v for b, v in cur.items() if b >= 0)
+            ks_alarm = bool(ks > 1.358 * math.sqrt((n1 + n2) / (n1 * n2)))
         out = spark.createDataFrame(
-            [(int(batch_id), n, float(psi), bool(psi > alarm_threshold))],
-            "batch_id long, n_rows long, psi double, alarm boolean",
+            [
+                (
+                    int(batch_id),
+                    n,
+                    float(psi),
+                    bool(psi > alarm_threshold),
+                    None if ks is None else float(ks),
+                    ks_alarm,
+                )
+            ],
+            "batch_id long, n_rows long, psi double, alarm boolean, "
+            "ks double, ks_alarm boolean",
         )
         write_atomic(
             out, os.path.join(out_dir, f"batch={key}"), output_format="parquet"
