@@ -203,6 +203,7 @@ HEADLINE = [
     "dq_benford",
     "graph_label_propagation",
     "ann_sq8_rerank_topk",
+    "corpus_neyman_sample",
 ]
 
 

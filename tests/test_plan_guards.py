@@ -113,6 +113,7 @@ SCALAR_BROADCAST_OK = {
                                     # scalars (binned KS, same shape as PSI)
     "events_ab_test",               # two 1-row variant-count scalars crossed
     "dq_benford",                   # 1-row positive-value total scalar
+    "corpus_neyman_sample",         # 1-row allocation-weight total scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -521,3 +521,44 @@ def test_sq8_rerank_recall_and_exact_stage2(spark, sf_dir):
     wm = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in want}
     for key in g & w:
         assert abs(gm[key] - wm[key]) < 1e-12
+
+
+def test_neyman_sample_allocates_by_variance(spark):
+    """A large constant stratum gets ZERO allocation; the budget goes
+    to the high-variance strata proportional to N_h * S_h; per-stratum
+    counts match the closed form; reruns are identical."""
+    import math as _m
+
+    from vertica_hadoop_integration__spark.operators.corpus import (
+        neyman_sample,
+    )
+
+    rows = (
+        [(i, "wild", float(i * 13 % 1000)) for i in range(100)]
+        + [(1000 + i, "flat", 5.0) for i in range(1000)]
+        + [(5000 + i, "mid", float(i % 50)) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = neyman_sample(df, "source", "v", budget=60).collect()
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    assert "flat" not in got  # zero variance -> zero allocation
+
+    # closed form on driver
+    import statistics
+
+    def nh_sh(vals):
+        return len(vals) * statistics.stdev(vals)
+
+    wild = [i * 13 % 1000 for i in range(100)]
+    mid = [i % 50 for i in range(200)]
+    tot = nh_sh(wild) + nh_sh(mid)
+    want_wild = min(100, _m.floor(60 * nh_sh(wild) / tot + 0.5))
+    want_mid = min(200, _m.floor(60 * nh_sh(mid) / tot + 0.5))
+    assert got == {"wild": want_wild, "mid": want_mid}
+
+    again = {}
+    for r in neyman_sample(df, "source", "v", budget=60).collect():
+        again[r["source"]] = again.get(r["source"], 0) + 1
+    assert again == got

@@ -1318,3 +1318,92 @@ def quantile_normalize(
         F.col("_pct").alias("pct"),
         normalized.alias("normalized"),
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Neyman-allocation stratified sampling: the fixed ``budget`` is
+    split across strata proportional to N_h * S_h (stratum size times
+    stratum standard deviation) — the classical variance-optimal
+    allocation for estimating the mean of ``value_col`` (Neyman 1934).
+    Against proportional allocation (stratified_sample), high-variance
+    strata get oversampled and near-constant strata contribute almost
+    nothing — the right sampler when strata differ wildly in spread
+    (e.g. a curated feed vs a crawl dump).
+
+    Deterministic end to end: exact DECIMAL moments per stratum (order-
+    free), one fixed double association for the std and the allocation
+    (floor(x + 0.5) portable rounding, capped at the stratum size),
+    md5-rank selection within each stratum — rerun-identical, fully
+    SQL-replayable.  Zero-variance or singleton strata get allocation 0
+    by construction (S_h = 0); fall back to stratified_sample if every
+    stratum must be represented.
+
+    Scale shape: one mergeable moment aggregation (strata-cardinality
+    output), a 1-row total scalar, a broadcast allocation join, and one
+    partitioned rank per stratum — no global windows, no fact-row
+    shuffles beyond the stratum key."""
+    from pyspark.sql import Window as _W
+
+    dec = "decimal(38,6)"
+    d = df.withColumn("_x", F.col(value_col).cast("double"))
+    m = d.groupBy(F.col(strata_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_ss"),
+    )
+    n_d = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    ss = F.col("_ss").cast("double")
+    sd = F.when(
+        F.col("_n") > 1,
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (ss - (sx * sx) / n_d) / (n_d - F.lit(1.0)),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    w = m.select("_g", "_n", (n_d * sd).alias("_w"))
+    tot = w.agg(
+        F.sum(F.col("_w").cast("decimal(38,12)")).cast("double").alias("_t")
+    )
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "_g",
+            F.when(
+                F.col("_t") > 0.0,
+                F.least(
+                    F.col("_n"),
+                    F.floor(
+                        (F.lit(float(budget)) * F.col("_w")) / F.col("_t")
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_alloc"),
+        )
+    )
+    ranked = d.withColumn(
+        "_rn",
+        F.row_number().over(
+            _W.partitionBy(strata_col).orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(alloc),
+            on=ranked[strata_col] == alloc["_g"],
+        )
+        .filter(F.col("_rn") <= F.col("_alloc"))
+        .drop("_g", "_alloc", "_rn", "_x")
+    )

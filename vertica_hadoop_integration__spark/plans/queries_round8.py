@@ -843,3 +843,55 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return sq8_rerank_topk(e, q, k=5, shortlist=20)
+
+
+# -- Neyman-allocation stratified sampling -------------------------------------
+@register(
+    "corpus_neyman_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      CAST(n_chars AS DOUBLE) AS x FROM documents),
+    m AS (SELECT source, count(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+                 SUM(CAST(x * x AS DECIMAL(38,6))) AS ss
+          FROM d GROUP BY 1),
+    s AS (SELECT source, n,
+                 CASE WHEN n > 1 THEN sqrt(greatest(0.0,
+                     (CAST(ss AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)))
+                 ELSE 0.0 END AS sd
+          FROM m),
+    w AS (SELECT source, n, CAST(n AS DOUBLE) * sd AS wgt FROM s),
+    t AS (SELECT CAST(SUM(CAST(wgt AS DECIMAL(38,12))) AS DOUBLE) AS tot
+          FROM w),
+    a AS (SELECT w.source,
+                 CASE WHEN t.tot > 0.0 THEN
+                   least(w.n, CAST(floor((500.0 * w.wgt) / t.tot + 0.5)
+                              AS BIGINT))
+                 ELSE 0 END AS alloc
+          FROM w CROSS JOIN t),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM d)
+    SELECT r.doc_id, r.source, r.n_chars
+    FROM r JOIN a ON a.source = r.source WHERE r.rn <= a.alloc
+    """,
+)
+def corpus_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling
+    (operators/corpus.py::neyman_sample): a 500-doc budget allocated
+    across sources proportional to N_h * S_h of the length column
+    (Neyman 1934) — high-variance feeds oversampled, near-constant
+    feeds nearly skipped — then md5-rank selection inside each
+    stratum.  Exact DECIMAL moments, one fixed double association,
+    portable floor(+0.5) rounding: allocation AND selection fully
+    SQL-replayed."""
+    from ..operators.corpus import neyman_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return neyman_sample(d, "source", "n_chars", budget=500)
