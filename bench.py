@@ -204,6 +204,7 @@ HEADLINE = [
     "graph_label_propagation",
     "ann_sq8_rerank_topk",
     "corpus_neyman_sample",
+    "pipeline_mmr_rerank_ivf",
 ]
 
 

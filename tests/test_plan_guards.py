@@ -59,6 +59,9 @@ BNLJ_OK = {
     "pipeline_mmr_rerank",      # candidate stage is brute_force_topk
                                 # (broadcast query side); greedy rounds
                                 # join bounded per-query shortlist frames
+    "pipeline_mmr_rerank_ivf",  # candidate stage is the IVF probe
+                                # (broadcast centroid table); greedy
+                                # rounds identical to the row above
     "dedup_recall_report",      # bounded-input contract: the exhaustive
                                 # truth pass's crossJoin side is
                                 # structurally capped (doc_id < 500) in

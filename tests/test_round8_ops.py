@@ -562,3 +562,31 @@ def test_neyman_sample_allocates_by_variance(spark):
     for r in neyman_sample(df, "source", "v", budget=60).collect():
         again[r["source"]] = again.get(r["source"], 0) + 1
     assert again == got
+
+
+def test_mmr_ivf_candidates_match_brute_force_at_full_probe(spark, sf_dir):
+    """With nprobe covering every centroid the IVF candidate set equals
+    brute force, so the MMR selections must be identical — pinning that
+    the candidates= seam changes WHERE candidates come from, never how
+    the greedy selection treats them."""
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        ivf_topk,
+        mmr_rerank,
+    )
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    n_cents = e.filter(F.col("vec_id") % 50 == 0).count()
+    cands = ivf_topk(e, q, k=10, every_nth=50, nprobe=n_cents)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in mmr_rerank(
+            e, q, k_final=3, shortlist=10, candidates=cands
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in mmr_rerank(e, q, k_final=3, shortlist=10).collect()
+    }
+    assert got == want
