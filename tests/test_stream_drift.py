@@ -176,6 +176,11 @@ def test_stream_drift_by_group_localizes_and_flags_unknown_segment(
     assert rows["B"]["alarm"] is False and rows["B"]["psi"] < 0.01
     assert rows["NEWFEED"]["psi"] is None and rows["NEWFEED"]["alarm"] is True
     assert rows["NEWFEED"]["n_rows"] == 50
+    # KS rides along per segment: the shifted segment's sup-CDF gap is
+    # large and alarmed, the stable one tiny, the unknown feed NULL+alarm
+    assert rows["A"]["ks_alarm"] is True and rows["A"]["ks"] > 0.5
+    assert rows["B"]["ks_alarm"] is False and rows["B"]["ks"] < 0.05
+    assert rows["NEWFEED"]["ks"] is None and rows["NEWFEED"]["ks_alarm"] is True
 
     # per-segment batch-twin parity: streamed PSI == sum(psi_term) of the
     # batch operator for the segments the reference knows

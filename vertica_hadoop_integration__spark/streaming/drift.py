@@ -258,7 +258,9 @@ def stream_drift_monitor_by_group(
     """Per-segment streaming PSI: the grouped twin of
     stream_drift_monitor (and of the batch
     distribution_drift_by_group) — every micro-batch appends one
-    (batch_id, group, n_rows, psi, alarm) row PER SEGMENT, so drift
+    (batch_id, group, n_rows, psi, alarm, ks, ks_alarm) row PER
+    SEGMENT (KS from the same bin counts, as in the ungrouped
+    monitor), so drift
     confined to a single source alarms even when the global PSI
     dilutes it.  Segments absent from the frozen reference are
     surfaced with a NULL psi and alarm=true (an unknown feed IS an
@@ -311,17 +313,33 @@ def stream_drift_monitor_by_group(
             n = sum(cur.values())
             if g in models:
                 psi = psi_from_counts(models[g], cur, n)
+                ks = ks_from_counts(models[g], cur)
+                ks_alarm = None
+                if ks is not None:
+                    n1 = models[g]["total"] - models[g]["counts"][0]
+                    n2 = sum(v for b, v in cur.items() if b >= 0)
+                    ks_alarm = bool(
+                        ks > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+                    )
                 out_rows.append(
-                    (int(batch_id), g, n, float(psi), bool(psi > alarm_threshold))
+                    (
+                        int(batch_id),
+                        g,
+                        n,
+                        float(psi),
+                        bool(psi > alarm_threshold),
+                        None if ks is None else float(ks),
+                        ks_alarm,
+                    )
                 )
             else:
                 # segment unseen in the reference: no cuts to bin
                 # against — surface it as an alarm, never drop it
-                out_rows.append((int(batch_id), g, n, None, True))
+                out_rows.append((int(batch_id), g, n, None, True, None, True))
         out = spark.createDataFrame(
             out_rows,
             f"batch_id long, {group_col} string, n_rows long, "
-            "psi double, alarm boolean",
+            "psi double, alarm boolean, ks double, ks_alarm boolean",
         )
         write_atomic(
             out, os.path.join(out_dir, f"batch={key}"), output_format="parquet"
