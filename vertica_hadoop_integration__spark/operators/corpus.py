@@ -1347,7 +1347,16 @@ def neyman_sample(
     Scale shape: one mergeable moment aggregation (strata-cardinality
     output), a 1-row total scalar, a broadcast allocation join, and one
     partitioned rank per stratum — no global windows, no fact-row
-    shuffles beyond the stratum key."""
+    shuffles beyond the stratum key.
+
+    Contract notes (r08 ADVICE): ``budget`` is a TARGET, not an exact
+    output size — each stratum's allocation rounds independently with
+    ``floor(x + 0.5)`` (and caps at the stratum size), so the summed
+    sample can land within ±(#strata / 2) of the budget; callers that
+    need an exact count should trim/backfill the returned frame by the
+    same md5 rank.  Rows with a NULL stratum key carry no allocation
+    (the equality join drops them) — filter or impute the key upstream
+    if NULL-keyed rows must be sampleable."""
     from pyspark.sql import Window as _W
 
     dec = "decimal(38,6)"

@@ -57,6 +57,12 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    # drop self-loops: they never affect connectivity (a node whose only
+    # edge is a self-loop becomes an "isolated node" handled at the call
+    # site), and because they appear ONCE in the symmetrized frame they
+    # made the 2x-count small-graph gate slightly inconsistent with its
+    # documented distinct-undirected-edge bound (r08 ADVICE)
+    e = e.filter(F.col("u") != F.col("v"))
     # symmetrize once; messages then flow both directions via one join.
     # localCheckpoint on purpose: it TRUNCATES lineage, so each
     # iteration's plan is tiny no matter how expensive the edge

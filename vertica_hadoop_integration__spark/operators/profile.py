@@ -442,7 +442,18 @@ def ks_drift(
     CDFs via a window over the BOUNDED bin spine (num_bins rows — never
     fact rows), and a final max-abs-diff aggregate.  Counts are exact
     integers; each CDF value is one integer/integer double division, so
-    the whole report replays bit-for-bit in SQL."""
+    the whole report replays bit-for-bit in SQL.
+
+    Degenerate splits (r08 ADVICE): if either split is EMPTY or
+    all-NULL, the quantile cuts and/or a CDF denominator are NULL and
+    the row comes back with NULL ks_stat/threshold/alarm — deliberately
+    distinct from ``alarm = false`` so a monitoring consumer that gates
+    on the boolean sees "statistic undefined", not "no drift".  Treat a
+    NULL alarm as a data-availability page (the n_ref/n_cur/n_null_*
+    counts in the same row say which split vanished).  The streaming
+    twin ``streaming.drift.ks_from_counts`` returns Python ``None`` for
+    the same condition — one contract, two spellings (SQL NULL vs
+    driver-side None)."""
     fracs = [i / num_bins for i in range(1, num_bins)]
     cuts = ref.agg(
         F.percentile(F.col(col), F.array(*[F.lit(f) for f in fracs])).alias(

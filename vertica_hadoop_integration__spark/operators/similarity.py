@@ -1681,6 +1681,15 @@ def mmr_rerank(
     entire selection replays in SQL as chained CTEs.
 
     Output: (query_id, neighbor_id, relevance, mmr_score, rank)."""
+    # the two weights are independent literals BY DESIGN (see above) —
+    # but mismatched ones (lam=0.5 with a stale one_minus_lam=0.3) would
+    # silently score the wrong objective, so their sum is validated
+    if abs(lam + one_minus_lam - 1.0) > 1e-9:
+        raise ValueError(
+            f"lam ({lam}) + one_minus_lam ({one_minus_lam}) must equal 1.0; "
+            "pass both explicitly (one_minus_lam is a separate literal only "
+            "so the oracle can mirror the exact double)"
+        )
     if candidates is None:
         candidates = brute_force_topk(
             corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
@@ -1799,6 +1808,14 @@ def mmr_rerank(
         # the frame is k_final rows per query, so checkpoint cost is nil.
         if step < k_final:
             selected = selected.localCheckpoint(eager=False)
+    # eagerly materialize the (tiny: k_final rows per query) selection,
+    # then release the persisted shortlist/pairwise-sim frames — without
+    # this, repeated calls in a long-lived session (bench loops, serving)
+    # accumulate pinned cache entries the caller never sees (r08 ADVICE;
+    # the containment_dedup_clustered pattern)
+    selected = selected.localCheckpoint(eager=True)
+    cands_v.unpersist()
+    sims.unpersist()
     return selected
 
 

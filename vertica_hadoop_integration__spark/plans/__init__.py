@@ -26,7 +26,7 @@ indirection is now deleted and the head is natural registration order:
 
 from . import (  # noqa: F401  (imported for registration side effects)
     queries_reference,
-    queries_round8,
+    queries_round9,
     queries_llm,
     queries_temporal,
     queries_events,
@@ -42,23 +42,19 @@ from .registry import ORACLES, QUERIES
 # certifies the new oracle (judge-verified locally; r07 verdict item 1).
 # Drop entries once their driver-green row lands.
 _HEAD_PROMOTE = [
-    "multimodal_phash_dedup",
-    "multimodal_audio_dedup",
+    # r08's only driver FAIL (hash_match false, rows+schema green; local
+    # gate PASS): checksum cell retyped to BIGINT bit_xor this round and
+    # the four jsonl_probe_* diagnostics (queries_round9.py) isolate the
+    # cell the driver hasher rejected.  Stays promoted until a
+    # driver-green row lands; probes removed the same round.
     "jsonl_ingest_roundtrip",
-    # r08: NULL values moved to a dedicated -1 bin (ADVICE fix), plan +
-    # oracle changed together — re-certify under the driver.
-    "dq_distribution_drift",
-    # r08: rows-only -> oracle-checked (near_dedup='portable' swap, full
-    # pipeline replay) — first driver rows with the new oracles.
-    "pipeline_clean_corpus",
-    "pipeline_clean_corpus_clustered",
 ]
 
 
 def _reorder() -> None:
     order = list(QUERIES)
     ref = [n for n in order if QUERIES[n].__module__.endswith("queries_reference")]
-    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round8")]
+    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round9")]
     head = ref + new + [n for n in _HEAD_PROMOTE if n in QUERIES]
     seen = set(head)
     full = head + [n for n in order if n not in seen]

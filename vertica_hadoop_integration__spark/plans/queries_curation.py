@@ -1764,3 +1764,102 @@ def corpus_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFram
 
     e = load_table(spark, sf_dir, "embeddings")
     return cluster_balanced_sample(e, per_cluster=10, every_nth=50)
+
+
+# ------------------------------------------------------------------
+# Graduated from queries_round8.py (driver-green in CORRECTNESS_r08;
+# see plans/__init__.py head rotation).
+
+# -- cross-source quantile normalization (score calibration) ------------------
+def _quantile_normalize_oracle(grid_points: int = 100) -> str:
+    fracs = ", ".join(
+        repr(i / grid_points) for i in range(grid_points + 1)
+    )
+    gp = float(grid_points)
+    return f"""
+    WITH grid AS (
+        SELECT quantile_cont(CAST(n_chars AS DOUBLE), [{fracs}]) AS g
+        FROM documents),
+    st AS (
+        SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS value,
+               percent_rank() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS pct
+        FROM documents)
+    SELECT doc_id, source, value, pct,
+           CASE WHEN pct >= 1.0 THEN g[{grid_points + 1}]
+                ELSE g[CAST(floor(pct * {gp!r}) AS INT) + 1]
+                     + (g[CAST(floor(pct * {gp!r}) AS INT) + 2]
+                        - g[CAST(floor(pct * {gp!r}) AS INT) + 1])
+                       * (pct * {gp!r} - floor(pct * {gp!r}))
+           END AS normalized
+    FROM st CROSS JOIN grid
+    """
+
+
+@register("corpus_quantile_normalize", oracle=_quantile_normalize_oracle())
+def corpus_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration
+    (operators/corpus.py::quantile_normalize): each doc's n_chars maps
+    to its within-source percentile (grouped window, deterministic
+    (value, id) tie-break) and then onto the GLOBAL length distribution
+    by linear interpolation over a broadcast 101-knot exact-quantile
+    grid — after which one corpus-wide cut treats every feed fairly.
+    percentile == quantile_cont bit-for-bit and the interpolation keeps
+    one fixed association, so the full mapping replays in SQL."""
+    from ..operators.corpus import quantile_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(d, "n_chars", "source")
+
+
+# -- Neyman-allocation stratified sampling -------------------------------------
+@register(
+    "corpus_neyman_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      CAST(n_chars AS DOUBLE) AS x FROM documents),
+    m AS (SELECT source, count(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+                 SUM(CAST(x * x AS DECIMAL(38,6))) AS ss
+          FROM d GROUP BY 1),
+    s AS (SELECT source, n,
+                 CASE WHEN n > 1 THEN sqrt(greatest(0.0,
+                     (CAST(ss AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)))
+                 ELSE 0.0 END AS sd
+          FROM m),
+    w AS (SELECT source, n, CAST(n AS DOUBLE) * sd AS wgt FROM s),
+    t AS (SELECT CAST(SUM(CAST(wgt AS DECIMAL(38,12))) AS DOUBLE) AS tot
+          FROM w),
+    a AS (SELECT w.source,
+                 CASE WHEN t.tot > 0.0 THEN
+                   least(w.n, CAST(floor((500.0 * w.wgt) / t.tot + 0.5)
+                              AS BIGINT))
+                 ELSE 0 END AS alloc
+          FROM w CROSS JOIN t),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM d)
+    SELECT r.doc_id, r.source, r.n_chars
+    FROM r JOIN a ON a.source = r.source WHERE r.rn <= a.alloc
+    """,
+)
+def corpus_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling
+    (operators/corpus.py::neyman_sample): a 500-doc budget allocated
+    across sources proportional to N_h * S_h of the length column
+    (Neyman 1934) — high-variance feeds oversampled, near-constant
+    feeds nearly skipped — then md5-rank selection inside each
+    stratum.  Exact DECIMAL moments, one fixed double association,
+    portable floor(+0.5) rounding: allocation AND selection fully
+    SQL-replayed."""
+    from ..operators.corpus import neyman_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return neyman_sample(d, "source", "n_chars", budget=500)

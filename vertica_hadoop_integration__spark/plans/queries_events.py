@@ -337,3 +337,78 @@ def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("user_id_a"), F.asc("user_id_b"))
         .limit(20)
     )
+
+
+# ------------------------------------------------------------------
+# Graduated from queries_round8.py (driver-green in CORRECTNESS_r08;
+# see plans/__init__.py head rotation).
+
+# -- two-proportion A/B z-test -------------------------------------------------
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS conv
+               FROM events WHERE user_id IS NOT NULL
+               GROUP BY 1, 2, 3),
+    agg AS (SELECT v, count(*) AS n, SUM(conv) AS c FROM u GROUP BY 1),
+    a AS (SELECT n AS n_control, c AS conv_control FROM agg WHERE v = 'A'),
+    b AS (SELECT n AS n_treatment, c AS conv_treatment FROM agg
+          WHERE v = 'B'),
+    j AS (SELECT * FROM a CROSS JOIN b),
+    t AS (SELECT *,
+            CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS pa,
+            CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS pb,
+            CAST((conv_control + conv_treatment) AS DOUBLE)
+                / CAST((n_control + n_treatment) AS DOUBLE) AS pp
+          FROM j)
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(conv_control AS BIGINT) AS conv_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           CAST(conv_treatment AS BIGINT) AS conv_treatment,
+           pa AS rate_control,
+           pb AS rate_treatment,
+           pb - pa AS lift,
+           CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+             (pb - pa) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_control AS DOUBLE)
+                    + 1.0 / CAST(n_treatment AS DOUBLE)))
+           END AS z_score,
+           CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+             abs((pb - pa) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n_control AS DOUBLE)
+                    + 1.0 / CAST(n_treatment AS DOUBLE)))) > 1.96
+           END AS significant
+    FROM t
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion z-test
+    (operators/profile.py::ab_test_proportions): units are (user, day)
+    pairs — conversion = any purchase event that day — split into
+    control/treatment by the deterministic user_id parity (the hash
+    split an experimentation platform assigns).  One mergeable unit
+    aggregation, one variant aggregation, two 1-row scalars crossed;
+    counts exact, every double expression one fixed association the
+    oracle mirrors."""
+    from ..operators.profile import ab_test_proportions
+
+    e = load_table(spark, sf_dir, "events")
+    units = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return ab_test_proportions(units, "variant", "converted")

@@ -1849,3 +1849,316 @@ def ann_topk_paged_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.filter(
         (F.col("rank") >= 6) & (F.col("rank") <= 10)
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+# ------------------------------------------------------------------
+# Graduated from queries_round8.py (driver-green in CORRECTNESS_r08;
+# see plans/__init__.py head rotation).
+
+# -- per-label embedding diversity (one-pass all-pairs identity) -------------
+# sum_{i,j}||xi-xj||^2 = 2n*sum||x||^2 - 2*||sum x||^2: the exact mean
+# pairwise squared distance per label WITHOUT forming pairs — quadratic
+# statistic, linear one-aggregation plan (map-side-combined; group state
+# is 2*dim DECIMAL sums).  The collapsing-diversity / injected-duplication
+# monitor for training corpora.
+def _diversity_oracle(dim: int = 64) -> str:
+    ss = ",\n           ".join(
+        f"SUM(CAST(v[{d + 1}] * v[{d + 1}] AS DECIMAL(38,12))) AS ss_{d}"
+        for d in range(dim)
+    )
+    s1 = ",\n           ".join(
+        f"SUM(CAST(v[{d + 1}] AS DECIMAL(38,12))) AS s1_{d}"
+        for d in range(dim)
+    )
+    s2 = " + ".join(f"CAST(ss_{d} AS DOUBLE)" for d in range(dim))
+    musq = " + ".join(
+        f"CAST(s1_{d} AS DOUBLE) * CAST(s1_{d} AS DOUBLE)" for d in range(dim)
+    )
+    return f"""
+    WITH c AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT label, count(*) AS n,
+           {ss},
+           {s1}
+          FROM c GROUP BY 1),
+    t AS (SELECT label, n, {s2} AS s2d,
+                 {musq} AS musq
+          FROM m)
+    SELECT label, CAST(n AS BIGINT) AS n_vectors,
+           s2d / CAST(n AS DOUBLE) AS mean_sq_norm,
+           CASE WHEN n > 1 THEN
+             (2.0 * CAST(n AS DOUBLE) * s2d - 2.0 * musq)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           END AS mean_pairwise_sq_dist
+    FROM t
+    """
+
+
+@register("embedding_diversity_report", oracle=_diversity_oracle())
+def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean pairwise squared L2 distance via the
+    sum-of-squares identity (operators/similarity.py::diversity_report)
+    — exact all-pairs statistic from ONE aggregation pass, DECIMAL
+    order-free, no pair materialization at any scale."""
+    from ..operators.similarity import diversity_report
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return diversity_report(e)
+
+
+# -- filtered vector search (prefilter ANN; oracle-replayed) ------------------
+@register(
+    "ann_ivf_filtered_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM q, cent)
+        WHERE rn <= 3),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p
+        JOIN assign a USING (centroid_id)
+        JOIN c lab ON lab.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id AND lab.label = 3),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_cosine_similarity(qc.v, nc.v) AS cos_sim
+        FROM cand
+        JOIN c qc ON qc.vec_id = cand.query_id
+        JOIN c nc ON nc.vec_id = cand.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-database "ANN + metadata
+    filter" workload): top-5 cosine neighbors WITH label = 3, through
+    the IVF index (operators/similarity.py::ivf_filtered_topk).
+    PREFILTER semantics — the predicate semi-joins the stored
+    assignment before scoring, so the k results are the true top-k
+    among matching rows in the probed clusters (top-k-then-filter
+    would under-return at selective filters).  Centroids stay built
+    over the full corpus, matching one-index-many-filters serving."""
+    from ..operators.similarity import ivf_filtered_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_filtered_topk(
+        e, q, F.col("label") == 3, k=5, every_nth=50, nprobe=3
+    )
+
+
+# -- MMR diversity rerank (RAG final stage; selection fully SQL-replayed) -----
+def _mmr_oracle(
+    k_final: int = 5, shortlist: int = 20, candidate_ctes: str | None = None
+) -> str:
+    """Chained-CTE replay of the greedy MMR selection: sel1 picks by
+    relevance; each later step recomputes every remaining candidate's
+    max-sim to the selected set and picks argmax(0.7*rel - 0.3*maxsim),
+    ties by candidate id — exactly the operator's loop.
+    ``candidate_ctes`` swaps the candidate-generation block — it must
+    define ``cands(query_id, cand_id, rel)`` given ``c(vec_id, v)`` and
+    ``q(query_id, qv)``; default is the brute-force top-``shortlist``."""
+    steps = []
+    union_sel = "SELECT query_id, cand_id FROM sel1"
+    for i in range(2, k_final + 1):
+        steps.append(f"""
+    s{i - 1} AS ({union_sel}),
+    m{i} AS (
+        SELECT cd.query_id, cd.cand_id, cd.rel,
+               0.7 * cd.rel - 0.3 * max(s._s) AS mmr
+        FROM cands cd
+        JOIN sims s ON s.query_id = cd.query_id AND s.ca = cd.cand_id
+        JOIN s{i - 1} sel ON sel.query_id = s.query_id
+                         AND sel.cand_id = s.cb
+        WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} e
+                          WHERE e.query_id = cd.query_id
+                            AND e.cand_id = cd.cand_id)
+        GROUP BY cd.query_id, cd.cand_id, cd.rel),
+    sel{i} AS (
+        SELECT query_id, cand_id, rel, mmr, {i} AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY mmr DESC, cand_id) AS rn FROM m{i})
+        WHERE rn = 1)""")
+        union_sel += f" UNION ALL SELECT query_id, cand_id FROM sel{i}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT query_id, cand_id AS neighbor_id, rel AS relevance, "
+        f"mmr AS mmr_score, CAST(rank AS INT) AS rank FROM sel{i}"
+        for i in range(1, k_final + 1)
+    )
+    if candidate_ctes is None:
+        candidate_ctes = f"""
+    scored AS (SELECT q.query_id, c.vec_id AS cand_id,
+                      list_cosine_similarity(q.qv, c.v) AS rel
+               FROM q JOIN c ON c.vec_id <> q.query_id),
+    cands AS (SELECT query_id, cand_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, cand_id) AS rn FROM scored)
+              WHERE rn <= {shortlist})"""
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8),
+    {candidate_ctes},
+    sims AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                    list_cosine_similarity(va.v, vb.v) AS _s
+             FROM cands a
+             JOIN cands b ON a.query_id = b.query_id
+                         AND a.cand_id <> b.cand_id
+             JOIN c va ON va.vec_id = a.cand_id
+             JOIN c vb ON vb.vec_id = b.cand_id),
+    sel1 AS (SELECT query_id, cand_id, rel, 0.7 * rel AS mmr, 1 AS rank
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, cand_id) AS rn FROM cands)
+             WHERE rn = 1),{",".join(steps)}
+    {finals}
+    """
+
+
+@register("pipeline_mmr_rerank", oracle=_mmr_oracle())
+def pipeline_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank
+    (operators/similarity.py::mmr_rerank): each query's 20 exact-cosine
+    candidates greedily reduced to 5 that balance relevance against
+    redundancy (0.7*rel - 0.3*max-sim-to-selected, SIGIR'98) — the RAG
+    final stage that stops near-duplicate passages crowding the prompt.
+    Candidate generation broadcasts the query side over ONE corpus
+    scan; the greedy rounds touch only bounded per-query candidate and
+    pairwise-sim frames.  Every selection step replays in SQL."""
+    from ..operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return mmr_rerank(e, q, k_final=5, shortlist=20)
+
+
+# -- SQ8 two-stage ANN (int8 ADC shortlist + exact rerank) ---------------------
+@register(
+    "ann_sq8_rerank_topk",
+    oracle="""
+    WITH n AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                         embedding::DOUBLE[])))
+                          AS u
+               FROM embeddings),
+    z AS (SELECT vec_id, u,
+                 list_max(list_transform(u, x -> abs(x))) AS am
+          FROM n),
+    q8 AS (SELECT vec_id, u,
+                  list_transform(u, x -> CAST(COALESCE(
+                      floor(x * (127.0 / nullif(am, 0)) + 0.5), 0) AS INT))
+                      AS c8,
+                  nullif(am, 0) / 127.0 AS sc
+           FROM z),
+    qs AS (SELECT vec_id AS query_id, u AS qu, c8 AS qc8, sc AS qsc
+           FROM q8 WHERE vec_id < 8),
+    cs AS (SELECT vec_id AS neighbor_id, u AS cu, c8 AS cc8, sc AS csc
+           FROM q8),
+    s1 AS (SELECT qs.query_id, cs.neighbor_id,
+                  list_dot_product(qc8::DOUBLE[], cc8::DOUBLE[])
+                      * (qsc * csc) AS approx
+           FROM qs JOIN cs ON cs.neighbor_id <> qs.query_id),
+    short AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, neighbor_id) AS rn FROM s1)
+              WHERE rn <= 20),
+    ex AS (SELECT s.query_id, s.neighbor_id,
+                  list_dot_product(qs.qu, cs.cu) AS cos_sim
+           FROM short s
+           JOIN qs ON qs.query_id = s.query_id
+           JOIN cs ON cs.neighbor_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM ex)
+    WHERE rnk <= 5
+    """,
+)
+def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized two-stage ANN
+    (operators/similarity.py::sq8_rerank_topk): unit-normalize, int8
+    symmetric-absmax quantize (4x smaller index), shortlist by the
+    EXACT integer code dot rescaled by the two step sizes — order-free
+    and engine-portable by construction — then exact-dot rerank of the
+    20 survivors per query.  The int8 sibling of ann_pq_rerank_topk;
+    every stage replays in SQL."""
+    from ..operators.similarity import sq8_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return sq8_rerank_topk(e, q, k=5, shortlist=20)
+
+
+_MMR_IVF_CANDS = """
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c
+             WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM c, cent)
+        WHERE rn = 1),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM q, cent)
+        WHERE rn <= 3),
+    candpool AS (
+        SELECT p.query_id, a.vec_id AS cand_id
+        FROM probes p
+        JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id),
+    relscored AS (
+        SELECT cp.query_id, cp.cand_id,
+               list_cosine_similarity(qc.v, nc.v) AS rel
+        FROM candpool cp
+        JOIN c qc ON qc.vec_id = cp.query_id
+        JOIN c nc ON nc.vec_id = cp.cand_id),
+    cands AS (SELECT query_id, cand_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, cand_id) AS rn FROM relscored)
+              WHERE rn <= 20)"""
+
+
+@register(
+    "pipeline_mmr_rerank_ivf",
+    oracle=_mmr_oracle(candidate_ctes=_MMR_IVF_CANDS),
+)
+def pipeline_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale MMR serving path: candidates come from the IVF
+    probe (operators/similarity.py::ivf_topk — nprobe/num_centroids of
+    the corpus scanned instead of all of it; measured 1.6x per 10x
+    corpus vs the brute-force leg's 5x) injected via mmr_rerank's
+    candidates= seam; the greedy diversity selection is identical.
+    IVF assignment, probe, shortlist, AND every selection step replay
+    in one oracle (the assignment/probe CTEs are the proven
+    ann_ivf_filtered_topk block)."""
+    from ..operators.similarity import ivf_topk, mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cands = ivf_topk(e, q, k=20, every_nth=50, nprobe=3)
+    return mmr_rerank(e, q, k_final=5, shortlist=20, candidates=cands)
