@@ -531,6 +531,11 @@ def containment_dedup_clustered(
     _, sets = _containment_stage(df, text_col, id_col, shingle_n)
     grp = rep_sets = None
     try:
+        # _sig is a map-only projection of the CACHED sets frame, so the
+        # grouped min below is the only extra exchange; the join back
+        # re-uses that exchange's partitioning under AQE (r08 verdict's
+        # last lever: one persisted frame + one materialization job
+        # fewer than the previous window-over-_sig formulation).
         sig = sets.select(
             F.col(id_col),
             F.md5(
@@ -542,9 +547,8 @@ def containment_dedup_clustered(
                 )
             ).alias("_sig"),
         )
-        grp = sig.select(
-            id_col,
-            F.min(id_col).over(Window.partitionBy("_sig")).alias("_rep"),
+        grp = sig.join(
+            sig.groupBy("_sig").agg(F.min(id_col).alias("_rep")), on="_sig"
         ).persist()
         reps = grp.filter(F.col(id_col) == F.col("_rep")).select(id_col)
         # ONE persisted representative frame: rep_sets is a doc-count-

@@ -671,18 +671,36 @@ def _pq_codes_and_lut(
     id_col: str,
     vec_col: str,
     dim: int = 64,
+    encode_ids: DataFrame | None = None,
 ):
     """Shared exact-DECIMAL PQ staging: (codes, lut) frames for the ADC
-    scorers (pq_topk, ivf_pq_topk). See pq_topk for the contract."""
+    scorers (pq_topk, ivf_pq_topk). See pq_topk for the contract.
+
+    ``encode_ids`` (a 1-column id frame) restricts WHICH vectors get
+    encoded — the codebook still derives from the FULL corpus (same
+    every-nth id rule, so codes are bit-identical for every encoded
+    vector).  ivf_pq_topk passes its candidate ids: ADC only ever reads
+    codes for vectors inside probed buckets, so encoding the other
+    ~(1 - nprobe/num_centroids) of the corpus was pure waste in the
+    inline-index composition (at scale the codes are a precomputed
+    stored table and the probe reads only its buckets — this keeps the
+    inline build's cost shaped the same way)."""
     sub = dim // m
     dec = "decimal(30,15)"
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     cbl = _pq_cbl(corpus, n_codes, every_nth, id_col, vec_col)
+    if encode_ids is not None:
+        c = c.join(encode_ids.select(F.col(id_col)), on=id_col, how="left_semi")
     # spread: the dim-explode + broadcast LUT join is CPU-bound map
-    # work and a small parquet corpus scans as one partition
-    xl = spread(c).select(F.col(id_col), F.posexplode("v").alias("d", "xv"))
+    # work and a small parquet corpus scans as one partition.  When the
+    # encode set was already cut by the semi-join, the join output is
+    # distributed across the shuffle partitions — a further repartition
+    # would be a pure extra stage.
+    xl = (c if encode_ids is not None else spread(c)).select(
+        F.col(id_col), F.posexplode("v").alias("d", "xv")
+    )
     ed = (
         xl.join(F.broadcast(cbl), on="d")
         .select(
@@ -790,9 +808,16 @@ def ivf_pq_topk(
         probes.join(assigned, on="centroid_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col))
-    )
+    ).persist()
+    # encode ONLY candidate vectors (~nprobe/num_centroids of the
+    # corpus): ADC never reads a code outside the probed buckets, so the
+    # full-corpus encode the previous revision paid was (num_centroids /
+    # nprobe)x wasted Arrow/agg work; cand is persisted because both the
+    # encode semi-join and the ADC join consume it.
     codes, lut = _pq_codes_and_lut(
-        corpus, queries, m, n_codes, every_nth_pq, id_col, vec_col, dim=dim
+        corpus, queries, m, n_codes, every_nth_pq, id_col, vec_col, dim=dim,
+        # no .distinct(): left_semi dedups the probe side for free
+        encode_ids=cand.select(F.col(id_col)),
     )
     adc = (
         cand.join(codes, on=id_col)
