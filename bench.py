@@ -205,6 +205,14 @@ HEADLINE = [
     "ann_sq8_rerank_topk",
     "corpus_neyman_sample",
     "pipeline_mmr_rerank_ivf",
+    # round-9 additions: behavioral transition matrix, last-touch
+    # attribution, temperature-scaled source mixture, embedding centroid
+    # drift, k-core peel
+    "events_markov_transitions",
+    "events_attribution_last_touch",
+    "corpus_temperature_mixture",
+    "embedding_centroid_drift",
+    "graph_kcore",
 ]
 
 

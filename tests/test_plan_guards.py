@@ -74,6 +74,8 @@ BNLJ_OK = {
 # the broadcast payload is a single row. Each entry names its scalar.
 SCALAR_BROADCAST_OK = {
     "corpus_mixture_report",        # corpus token total
+    "corpus_temperature_mixture",   # corpus token total + weight
+                                    # normalizer (two 1-row scalars)
     "corpus_vocab_stats",           # top-k token sum
     "events_gap_fill_locf",         # global [min, max] bucket bounds
     "events_gap_fill_interpolate",  # global [min, max] bucket bounds

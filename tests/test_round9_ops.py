@@ -1,0 +1,235 @@
+"""Round-9 operator semantics: Markov transitions, last-touch
+attribution, temperature mixture, centroid drift, k-core — each pinned
+on hand-built fixtures where the right answer is computable by eye, plus
+the invariants the oracle comparison cannot see (NULL handling, limit
+behavior, degenerate inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """(event_id, ts, user_id, event_type, value) rows."""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, s), u, t, float(v))
+            for i, (s, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+class TestMarkovTransitions:
+    def test_counts_and_probabilities(self, spark):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            markov_transitions,
+        )
+
+        # user 1: a->b->a->b ; user 2: a->b  => a->b x3, b->a x1
+        e = _events(
+            spark,
+            [(0, 1, "a", 0), (1, 1, "b", 0), (2, 1, "a", 0), (3, 1, "b", 0),
+             (0, 2, "a", 0), (1, 2, "b", 0)],
+        )
+        out = {
+            (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+            for r in markov_transitions(e).collect()
+        }
+        assert out[("a", "b")] == (3, 1.0)
+        assert out[("b", "a")][0] == 1
+        assert out[("b", "a")][1] == pytest.approx(1.0)
+
+    def test_rows_never_cross_users(self, spark):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            markov_transitions,
+        )
+
+        # one event per user -> no pairs at all
+        e = _events(spark, [(0, 1, "a", 0), (1, 2, "b", 0), (2, 3, "c", 0)])
+        assert markov_transitions(e).count() == 0
+
+    def test_probabilities_sum_to_one_per_from(self, spark, sf_dir):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            markov_transitions,
+        )
+        from vertica_hadoop_integration__spark.sources import load_table
+
+        e = load_table(spark, sf_dir, "events")
+        sums = (
+            markov_transitions(e)
+            .groupBy("from_type")
+            .agg(F.sum("p_transition").alias("s"))
+            .collect()
+        )
+        assert sums and all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+class TestAttributionLastTouch:
+    def test_last_touch_wins_and_window_gates(self, spark):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            attribution_last_touch,
+        )
+
+        # user 1: view@1, click@2, purchase@3 -> credited to click (last)
+        # user 2: purchase@5 with no preceding touch -> organic (NULL)
+        e = _events(
+            spark,
+            [(1, 1, "view", 0), (2, 1, "click", 0), (3, 1, "purchase", 9),
+             (5, 2, "purchase", 4)],
+        )
+        out = {r.attributed_type: r for r in attribution_last_touch(e).collect()}
+        assert out["click"].n_conversions == 1
+        assert out["click"].total_value == pytest.approx(9.0)
+        assert out[None].n_conversions == 1
+        assert out[None].total_value == pytest.approx(4.0)
+
+    def test_stale_touch_outside_window_is_organic(self, spark):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            attribution_last_touch,
+        )
+
+        e = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1), 1, "click", 0.0),
+                (2, dt.datetime(2024, 1, 20), 1, "purchase", 7.0),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        rows = attribution_last_touch(e, window_days=7).collect()
+        assert len(rows) == 1 and rows[0].attributed_type is None
+
+    def test_purchases_never_attribute_to_purchases(self, spark):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            attribution_last_touch,
+        )
+
+        e = _events(
+            spark, [(1, 1, "purchase", 1), (2, 1, "purchase", 2)]
+        )
+        rows = attribution_last_touch(e).collect()
+        assert len(rows) == 1 and rows[0].attributed_type is None
+        assert rows[0].n_conversions == 2
+
+
+class TestTemperatureMixture:
+    def test_weights_normalize_and_flatten(self, spark):
+        from vertica_hadoop_integration__spark.operators.corpus import (
+            temperature_mixture,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "w w w w w w w w w", "big"), (2, "w", "small")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r for r in temperature_mixture(d, temperature=0.5).collect()}
+        assert out["big"].n_tokens == 9 and out["small"].n_tokens == 1
+        assert out["big"].weight + out["small"].weight == pytest.approx(1.0)
+        # T<1 flattens: small source's weight exceeds its raw share
+        assert out["small"].weight > out["small"].p_raw
+        assert out["big"].weight < out["big"].p_raw
+
+    def test_temperature_one_keeps_natural_shares(self, spark):
+        from vertica_hadoop_integration__spark.operators.corpus import (
+            temperature_mixture,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b c", "x"), (2, "d e f g h i", "y")],
+            "doc_id long, text string, source string",
+        )
+        for r in temperature_mixture(d, temperature=1.0).collect():
+            assert r.weight == pytest.approx(r.p_raw, abs=1e-12)
+
+    def test_effective_epochs_identity(self, spark):
+        from vertica_hadoop_integration__spark.operators.corpus import (
+            temperature_mixture,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b", "x"), (2, "c d e f", "y")],
+            "doc_id long, text string, source string",
+        )
+        for r in temperature_mixture(d, token_budget=100).collect():
+            assert r.effective_epochs == pytest.approx(
+                r.weight * 100 / r.n_tokens
+            )
+
+
+class TestCentroidDrift:
+    def test_identical_snapshots_have_zero_drift(self, spark):
+        from vertica_hadoop_integration__spark.operators.similarity import (
+            centroid_drift,
+        )
+
+        e = spark.createDataFrame(
+            [(i, [float(i % 3 + d) for d in range(4)], i % 2) for i in range(12)],
+            "vec_id long, embedding array<double>, label long",
+        )
+        out = centroid_drift(e, e, dim=4).collect()
+        for r in out:
+            assert r.centroid_cos == pytest.approx(1.0, abs=1e-12)
+            assert r.shift_sq == pytest.approx(0.0, abs=1e-18)
+            assert r.n_a == r.n_b
+
+    def test_orthogonal_centroids(self, spark):
+        from vertica_hadoop_integration__spark.operators.similarity import (
+            centroid_drift,
+        )
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label long"
+        )
+        b = spark.createDataFrame(
+            [(2, [0.0, 1.0], 0)], "vec_id long, embedding array<double>, label long"
+        )
+        r = centroid_drift(a, b, dim=2).collect()[0]
+        assert r.centroid_cos == pytest.approx(0.0)
+        assert r.shift_sq == pytest.approx(2.0)
+
+    def test_one_sided_label_reports_null(self, spark):
+        from vertica_hadoop_integration__spark.operators.similarity import (
+            centroid_drift,
+        )
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0], 7)], "vec_id long, embedding array<double>, label long"
+        )
+        b = spark.createDataFrame(
+            [(2, [0.0, 1.0], 8)], "vec_id long, embedding array<double>, label long"
+        )
+        out = {r.label: r for r in centroid_drift(a, b, dim=2).collect()}
+        assert out[7].n_b == 0 and out[7].centroid_cos is None
+        assert out[8].n_a == 0 and out[8].shift_sq is None
+
+
+class TestKcore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "u long, v long")
+
+    def test_triangle_survives_pendant_peeled(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import kcore
+
+        # triangle 1-2-3 plus pendant 4 hanging off 1
+        e = self._edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+        out = {r.node: r.degree for r in kcore(e, k=2, rounds=2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_chain_fully_peels(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import kcore
+
+        # a path graph has no 2-core; enough rounds peel everything
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4)])
+        assert kcore(e, k=2, rounds=3).count() == 0
+
+    def test_rounds_cap_matches_partial_peel(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import kcore
+
+        # 5-chain: round 1 drops ends {1,5}; round 2 drops {2,4};
+        # round 3 drops 3 — with rounds=1 the middle still stands
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        out = {r.node for r in kcore(e, k=2, rounds=1).collect()}
+        assert out == {2, 3, 4}

@@ -1,0 +1,111 @@
+"""Round-9 scaling evidence (r08 verdict item 8): the ANN serving
+stack's corpus-scale paths at 1x / 10x / 100x vectors —
+
+* ``ivf_pq_topk`` — the composed production index (IVF probe cut +
+  candidate-only PQ encode since r09), and
+* ``mmr_rerank(candidates=ivf_topk(...))`` — the RAG final stage fed by
+  the IVF probe (pipeline_mmr_rerank_ivf's shape),
+
+to prove the stored-assignment probe stays sublinear while the query
+set stays fixed (the serving shape: corpus grows, concurrent queries
+don't).  Replica semantics match the r06-r08 harnesses: vectors
+replicate with id offsets (offset 1M), centroid / codebook picks stay
+id-deterministic so the index grows with the corpus.
+
+Usage: python tools/bench_r9_ops_scale.py [--with-100x]
+Writes reports/scale_new_ops_round9.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.1"
+OFF = 1_000_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+        mmr_rerank,
+    )
+    from vertica_hadoop_integration__spark.session import get_session
+
+    spark = get_session("r9-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df, id_col, rep):
+        out = [df]
+        for r in range(1, rep):
+            out.append(df.withColumn(id_col, F.col(id_col) + F.lit(r * OFF)))
+        u = out[0]
+        for d in out[1:]:
+            u = u.unionByName(d)
+        return u
+
+    def run(fn, trials=3):
+        ts = []
+        for _ in range(trials):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+        return {"best": min(ts), "trials": ts}
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    def ivf_pq(corpus):
+        q = emb.filter(F.col("vec_id") < 5)
+        return ivf_pq_topk(corpus, q, k=5, every_nth_ivf=50, nprobe=3).count()
+
+    def mmr_ivf(corpus):
+        cands = ivf_topk(corpus, queries, k=20, every_nth=50, nprobe=3)
+        return mmr_rerank(
+            corpus, queries, k_final=5, shortlist=20, candidates=cands
+        ).count()
+
+    reps = [1, 10] + ([100] if "--with-100x" in sys.argv else [])
+    out: dict = {"sf": 0.1, "offset": OFF, "ann_serving": {}}
+    for name, fn in (("ann_ivf_pq_topk", ivf_pq), ("mmr_rerank_ivf", mmr_ivf)):
+        rows = {}
+        base = None
+        for rep in reps:
+            corpus = emb if rep == 1 else replicate(emb, "vec_id", rep)
+            # checkpoint the replicated corpus once so the measured time
+            # is the OPERATOR at rep-x rows, not the union fan-in
+            if rep > 1:
+                corpus = corpus.localCheckpoint()
+            r = run(fn=lambda c=corpus: fn(c))
+            if base is None:
+                base = r["best"]
+            r["ratio_vs_1x"] = round(r["best"] / base, 2)
+            rows[f"{rep}x"] = r
+            print(f"{name} {rep}x: {r}", flush=True)
+        out["ann_serving"][name] = rows
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reports",
+        "scale_new_ops_round9.json",
+    )
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = json.load(fh)
+    existing.update(out)
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

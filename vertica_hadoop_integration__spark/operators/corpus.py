@@ -1416,3 +1416,69 @@ def neyman_sample(
         .filter(F.col("_rn") <= F.col("_alloc"))
         .drop("_g", "_alloc", "_rn", "_x")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.7,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture over corpus sources — the
+    published multi-source LM data recipe (e.g. multilingual/multi-
+    domain pretraining): raw source shares p_i = tokens_i / total are
+    flattened to ``w_i = p_i^T / sum_j p_j^T`` (T < 1 upweights small
+    sources, T = 1 keeps natural proportions), and each source's
+    ``effective_epochs = w_i * budget / tokens_i`` says how many times
+    the source would repeat under the target budget — the overfitting
+    early-warning (epochs >> 1 on a small source).
+
+    Exactness: per-source token counts are exact integer sums; each
+    p^T runs as ``exp(T * ln(p))`` with the result truncated to
+    DECIMAL(30,15) BEFORE the normalizing sum (the unigram-logprob
+    pattern: the truncation absorbs any engine libm ulp while the
+    order-free DECIMAL sum keeps the normalizer exact), and every
+    published ratio is one double division.
+
+    Scale shape: one map-side token count + source-cardinality groupBy,
+    a 1-row total, and a broadcast of the (tiny) source table — the
+    fact scan happens once, nothing shuffles but source keys."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).cast("long").alias("_n"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    scored = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_t")).alias("p_raw"),
+        F.exp(
+            F.lit(temperature)
+            * F.log(F.col("n_tokens").cast("double") / F.col("_t"))
+        )
+        .cast("decimal(30,15)")
+        .alias("_w"),
+    )
+    wtot = scored.agg(F.sum("_w").alias("_wt"))
+    return scored.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        (F.col("_w").cast("double") / F.col("_wt").cast("double")).alias(
+            "weight"
+        ),
+        (
+            (F.col("_w").cast("double") / F.col("_wt").cast("double"))
+            * F.lit(float(token_budget))
+            / F.col("n_tokens").cast("double")
+        ).alias("effective_epochs"),
+    )

@@ -555,3 +555,51 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core peel, ``rounds`` synchronous iterations: repeatedly drop
+    nodes of degree < ``k`` (dropping a node lowers its neighbors'
+    degrees, so the peel cascades).  The dense-core extractor for
+    duplicate/co-occurrence graphs: a dedup pair graph's k-core is its
+    template-spam heart; the low-core fringe is incidental similarity.
+    Full convergence needs O(peel depth) rounds — callers pick
+    ``rounds`` the way pagerank picks iters, and each round replays
+    exactly in SQL (the LPA/pagerank iteration-replay pattern).
+
+    Returns (node, degree) for nodes surviving ``rounds`` peels, with
+    their degree INSIDE the surviving subgraph.
+
+    Scale shape: per round one degree aggregation (node-cardinality
+    output) + two semi-joins of the edge list against the survivor set
+    — every shuffle is on a node key, nothing quadratic; lineage is
+    checkpoint-truncated per round so round r's plan does not re-derive
+    rounds 1..r-1."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    alive = sym.localCheckpoint()
+    for r in range(rounds):
+        keep = (
+            alive.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("u")
+        )
+        alive = alive.join(keep, on="u", how="left_semi").join(
+            keep.select(F.col("u").alias("v")), on="v", how="left_semi"
+        )
+        if r < rounds - 1:
+            alive = alive.localCheckpoint(eager=False)
+    return alive.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

@@ -1938,3 +1938,63 @@ def sq8_rerank_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (model
+    refresh A vs B, or week-over-week corpus halves): for each label,
+    the cosine similarity between the A and B centroids and the squared
+    L2 shift — the monitor that catches an embedding-space rotation or
+    a class whose meaning moved before it poisons ANN serving or
+    semantic dedup thresholds.
+
+    Exactness contract (the diversity_report pattern): per-dimension
+    sums accumulate as DECIMAL(38,12) of single double terms (order-
+    free); every downstream combination is closed-form double
+    arithmetic in one fixed left-to-right association the oracle
+    mirrors term-for-term.  Labels present in only one snapshot report
+    NULL drift (outer join keeps them visible).
+
+    Output: (label, n_a, n_b, centroid_cos, shift_sq).
+
+    Scale shape: ONE aggregation pass per snapshot with label-
+    cardinality output (2 x dim DECIMAL state per label), then a
+    label-keyed join of two tiny frames — never a vector pair, never a
+    fact-row shuffle beyond the label key."""
+    dec = "decimal(38,12)"
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col)
+        aggs = [F.count(F.lit(1)).alias(f"n_{tag}")] + [
+            F.sum(F.element_at(v, d + 1).cast("double").cast(dec)).alias(
+                f"_s{tag}_{d}"
+            )
+            for d in range(dim)
+        ]
+        return df.groupBy(F.col(label_col).alias("label")).agg(*aggs)
+    j = _sums(emb_a, "a").join(_sums(emb_b, "b"), on="label", how="full")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    dot = norm_a = norm_b = shift = None
+    for d in range(dim):
+        ca = F.col(f"_sa_{d}").cast("double") / na
+        cb = F.col(f"_sb_{d}").cast("double") / nb
+        t_dot, t_a, t_b = ca * cb, ca * ca, cb * cb
+        t_sh = (ca - cb) * (ca - cb)
+        dot = t_dot if dot is None else dot + t_dot
+        norm_a = t_a if norm_a is None else norm_a + t_a
+        norm_b = t_b if norm_b is None else norm_b + t_b
+        shift = t_sh if shift is None else shift + t_sh
+    return j.select(
+        "label",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        (dot / (F.sqrt(norm_a) * F.sqrt(norm_b))).alias("centroid_cos"),
+        shift.alias("shift_sq"),
+    )

@@ -791,3 +791,107 @@ def change_point_scan(
             "score",
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every consecutive (event, next event) pair within a
+    user's timeline, count transitions and estimate
+    ``p(to | from) = n(from, to) / n(from, *)`` — the behavioral model
+    behind next-action prediction, session simulation, and anomaly
+    scoring (a user path with low chain probability is an outlier).
+
+    Deterministic: ordering is (ts, id) so simultaneous events break
+    ties stably; counts are exact integers and the probability is one
+    int/int double division — the whole matrix replays in SQL.
+
+    Scale shape: ONE window pass partitioned by user (the shuffle is on
+    the user key, same as sessionization), then a groupBy on the
+    (from, to) pair whose output is bounded by |event types|^2 — never
+    fact-sized.  No global windows, no driver loops."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    user's most recent PRECEDING non-conversion event within
+    ``window_days`` — the standard marketing/causal-credit report
+    (which touchpoint type drives purchases?).  Conversions with no
+    qualifying touch report as ``attributed_type = NULL`` (organic).
+
+    Output: (attributed_type, n_conversions, total_value) with the
+    value sum run in DECIMAL (order-free) and cast to DOUBLE once.
+
+    Scale shape: ONE window pass partitioned by user ordered by time
+    (``last(..., ignorenulls)`` over rows-unbounded-preceding carries
+    the latest touch forward — no self-join of conversions against
+    event history), then a types-cardinality groupBy.  The same shape
+    sessionization uses; at 100 TB the only shuffle is the user key."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col(type_col) != conversion_type,
+            F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        events.withColumn("_touch", touch)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.when(
+                F.col("_touch").isNotNull()
+                & (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col("_touch.t"))
+                    <= window_days * 86400 * 1_000_000
+                ),
+                F.col("_touch.y"),
+            ).alias("attributed_type"),
+            F.col(value_col),
+        )
+    )
+    return conv.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum(F.col(value_col).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -48,6 +48,11 @@ _HEAD_PROMOTE = [
     # cell the driver hasher rejected.  Stays promoted until a
     # driver-green row lands; probes removed the same round.
     "jsonl_ingest_roundtrip",
+    # r09: rows-only -> oracle-checked (counts-and-error-band audit
+    # form, r08 verdict item 7) — first driver rows with the new
+    # oracles.
+    "sketch_hll_rollup",
+    "sketch_hll_distinct",
 ]
 
 

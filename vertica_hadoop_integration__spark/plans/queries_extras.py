@@ -537,10 +537,38 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, changes, key_cols=["c_custkey"])
 
 
-@register("sketch_hll_distinct")
+@register(
+    "sketch_hll_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_band
+    FROM orders GROUP BY 1
+    """,
+)
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct customers per order status (operators/sketches.py
+    ::hll_distinct, Spark's approx_count_distinct at rsd=0.02), audited
+    in counts-and-error-band form since r09 (same pattern as
+    sketch_hll_rollup): exact count (SQL-replayable) + ``within_band``
+    = |estimate - exact| <= ceil(4 * rsd * exact) + 1, oracle asserts
+    TRUE.  The estimator's own value is pytest-bounded
+    (tests/test_sketches.py); the production query serves the estimate
+    alone — this registered form is the auditable twin."""
     o = load_table(spark, sf_dir, "orders")
-    return K.hll_distinct(o, "o_custkey", ("o_orderstatus",), rsd=0.02)
+    est = K.hll_distinct(o, "o_custkey", ("o_orderstatus",), rsd=0.02)
+    est_col = [c for c in est.columns if c != "o_orderstatus"][0]
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(est, on="o_orderstatus").select(
+        "o_orderstatus",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col(est_col) - F.col("n_exact"))
+            <= F.ceil(F.lit(4 * 0.02) * F.col("n_exact")) + F.lit(1)
+        ).alias("within_band"),
+    )
 
 
 @register("sketch_approx_quantiles")
@@ -3283,17 +3311,53 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_topk(e, q, k=5, pca_k=16, oversample=4)
 
 
-@register("sketch_hll_rollup")
+@register(
+    "sketch_hll_rollup",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_band
+    FROM events GROUP BY 1, 2
+    """,
+)
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL rollup (operators/sketches.py::hll_partial_rollup):
     distinct users per (event_type, day) computed by UNIONING per-hour
     Datasketches partials — one raw scan, every coarser window a cheap
     sketch merge; the continuous-aggregate answer to COUNT(DISTINCT)
-    not being re-aggregable. Rows-only by design (the estimator is not
-    SQL-replayable); accuracy vs exact and partial-union consistency
-    are pytest-bounded (tests/test_sketches.py)."""
+    not being re-aggregable.
+
+    Oracle-checked since r09 in counts-and-error-band form (the
+    r08 verdict's prescription; sketch_hll_portable's register algebra
+    replays in SQL, the Datasketches estimator does not): the output
+    carries the EXACT per-(type, day) distinct count (SQL-replayable)
+    plus ``within_band`` = |estimate - exact| <= ceil(4sigma * exact)+1
+    with sigma = 1.04/sqrt(2^lg_k) (Flajolet et al. 2007's published
+    standard error; +1 absorbs integer rounding at tiny groups where
+    the sketch is exact anyway).  The oracle asserts TRUE, so a sketch
+    regression that drifts outside its guaranteed band breaks the value
+    hash.  The estimate itself stays out of the output by design — an
+    external engine cannot replay it.  The exact count is affordable
+    here BECAUSE this is the audit form; the production rollup serves
+    the estimates alone (hll_partial_rollup's contract), with
+    union-consistency pytest-pinned (tests/test_sketches.py)."""
     e = load_table(spark, sf_dir, "events")
-    return K.hll_partial_rollup(e, "user_id", "ts", ("event_type",), lg_k=12)
+    est = K.hll_partial_rollup(
+        e, "user_id", "ts", ("event_type",), lg_k=12
+    ).withColumnRenamed("distinct_users", "_est")
+    exact = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    sigma4 = 4.0 * 1.04 / (2.0 ** 12) ** 0.5
+    return exact.join(est, on=["event_type", "day"]).select(
+        "event_type",
+        "day",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= F.ceil(F.lit(sigma4) * F.col("n_exact")) + F.lit(1)
+        ).alias("within_band"),
+    )
 
 
 # -- quality-aware canonical selection over duplicate clusters --------------

@@ -105,3 +105,219 @@ def jsonl_probe_checksum_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("text_checksum")
     )
+
+
+# -- first-order Markov transition matrix over user event streams -----------
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+        FROM events),
+    c AS (SELECT from_type, to_type,
+                 CAST(count(*) AS BIGINT) AS n_transitions
+          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                      AS DOUBLE) AS p_transition
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix (operators/temporal.py::
+    markov_transitions): p(next event type | current) per consecutive
+    pair within each user's (ts, event_id)-ordered stream.  One
+    user-keyed window pass + a |types|^2-bounded aggregate; counts
+    exact, probability one int/int division — fully SQL-replayed."""
+    from ..operators.temporal import markov_transitions
+
+    e = load_table(spark, sf_dir, "events")
+    return markov_transitions(e)
+
+
+# -- last-touch conversion attribution ---------------------------------------
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value, ts, user_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN
+                   struct_pack(t := ts, y := event_type) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS _touch
+        FROM events),
+    conv AS (
+        SELECT CASE WHEN _touch IS NOT NULL
+                    AND epoch_us(ts) - epoch_us(_touch.t)
+                        <= CAST(7 AS BIGINT) * 86400 * 1000000
+                    THEN _touch.y END AS attributed_type,
+               value
+        FROM s WHERE event_type = 'purchase')
+    SELECT attributed_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM conv GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report (operators/temporal.py::
+    attribution_last_touch): every purchase credited to the user's most
+    recent preceding non-purchase event within 7 days (NULL = organic),
+    aggregated to (touchpoint type, conversions, DECIMAL-exact value).
+    One user-keyed window carries the latest touch forward — no
+    conversion-vs-history self-join — then a types-bounded groupBy."""
+    from ..operators.temporal import attribution_last_touch
+
+    e = load_table(spark, sf_dir, "events")
+    return attribution_last_touch(e, window_days=7)
+
+
+# -- temperature-scaled source mixture ---------------------------------------
+@register(
+    "corpus_temperature_mixture",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM t),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total AS p_raw,
+               CAST(exp(0.7 * ln(CAST(n_tokens AS DOUBLE) / total))
+                    AS DECIMAL(30,15)) AS w
+        FROM t CROSS JOIN tot),
+    wt AS (SELECT sum(w) AS wtot FROM s)
+    SELECT source, n_docs, n_tokens, p_raw,
+           CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) AS weight,
+           (CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) * 1000000.0
+               / CAST(n_tokens AS DOUBLE) AS effective_epochs
+    FROM s CROSS JOIN wt
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multi-source sampling mixture (operators/
+    corpus.py::temperature_mixture, T=0.7, budget=1M tokens): the
+    published LM data recipe that upweights small sources, with
+    effective-epochs overfitting early-warning.  p^T runs as
+    exp(T*ln(p)) truncated to DECIMAL(30,15) before the order-free
+    normalizing sum (the unigram-logprob libm-ulp pattern), so every
+    published ratio replays exactly."""
+    from ..operators.corpus import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(d, temperature=0.7, token_budget=1_000_000)
+
+
+# -- per-label centroid drift between embedding snapshots ---------------------
+def _centroid_drift_oracle(dim: int = 64) -> str:
+    """Mirror centroid_drift's fixed left-to-right double association
+    term-for-term (the diversity_report oracle pattern): per-dim
+    DECIMAL(38,12) sums per split, then chained double arithmetic."""
+    def _sums(tag: str, parity: int) -> str:
+        cols = ",\n               ".join(
+            f"SUM(CAST(v[{d + 1}] AS DECIMAL(38,12))) AS s{tag}_{d}"
+            for d in range(dim)
+        )
+        return (
+            f"SELECT label, count(*) AS n_{tag},\n               {cols}\n"
+            f"        FROM x WHERE vec_id % 2 = {parity} GROUP BY 1"
+        )
+
+    ca = [f"(CAST(sa_{d} AS DOUBLE) / na)" for d in range(dim)]
+    cb = [f"(CAST(sb_{d} AS DOUBLE) / nb)" for d in range(dim)]
+    def _chain(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    dot = _chain([f"({a} * {b})" for a, b in zip(ca, cb)])
+    norm_a = _chain([f"({a} * {a})" for a in ca])
+    norm_b = _chain([f"({b} * {b})" for b in cb])
+    shift = _chain([f"(({a} - {b}) * ({a} - {b}))" for a, b in zip(ca, cb)])
+    return f"""
+    WITH x AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    a AS ({_sums("a", 0)}),
+    b AS ({_sums("b", 1)}),
+    j AS (SELECT COALESCE(a.label, b.label) AS label,
+                 CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, *
+          FROM a FULL JOIN b ON a.label = b.label)
+    SELECT label,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           {dot} / (sqrt({norm_a}) * sqrt({norm_b})) AS centroid_cos,
+           {shift} AS shift_sq
+    FROM j
+    """
+
+
+@register("embedding_centroid_drift", oracle=_centroid_drift_oracle())
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two snapshot halves (vec_id
+    parity split — operators/similarity.py::centroid_drift): centroid
+    cosine + squared L2 shift per label, the embedding-space rotation /
+    class-meaning-moved monitor.  One aggregation pass per snapshot
+    (label-cardinality output, 2 x dim DECIMAL state), label-keyed join
+    of tiny frames; every double combination is one fixed association
+    the oracle mirrors term-for-term."""
+    from ..operators.similarity import centroid_drift
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+# -- k-core of the part co-order graph ----------------------------------------
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    body = """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+           JOIN li b ON a.o = b.o AND a.p <> b.p)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        body += f""",
+    k{r} AS (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}),
+    e{r} AS (SELECT e.u, e.v FROM {prev} e
+             JOIN k{r} a ON a.u = e.u JOIN k{r} b ON b.u = e.v)"""
+        prev = f"e{r}"
+    return body + f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY 1
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel (k=3, 3 rounds — operators/graph.py::kcore) over the
+    part co-order graph (the LPA fixture): iteratively drop nodes of
+    degree < k, report survivors with their in-subgraph degree — the
+    dense-core extractor that separates a dedup/co-occurrence graph's
+    template-spam heart from incidental fringe.  Per round one
+    node-cardinality degree aggregate + two semi-joins, lineage
+    checkpoint-truncated; every round replays in the oracle (the
+    pagerank/LPA iteration-replay pattern)."""
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("p"), "ps")
+        .select("p", F.explode("ps").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+    )
+    return kcore(pairs, k=3, rounds=3, src="p", dst="q")
