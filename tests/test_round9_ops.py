@@ -233,3 +233,34 @@ class TestKcore:
         e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
         out = {r.node for r in kcore(e, k=2, rounds=1).collect()}
         assert out == {2, 3, 4}
+
+
+class TestCohortLtv:
+    def test_curve_accumulates_and_cohorts_split(self, spark):
+        from vertica_hadoop_integration__spark.operators.temporal import (
+            cohort_ltv,
+        )
+
+        # user 1 first-active week of Jan 1 (Mon), spends 1.0 then 2.0 a
+        # week later; user 2 joins the second week, spends 10.0
+        e = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1), 1, "purchase", 1.0),
+                (2, dt.datetime(2024, 1, 8), 1, "purchase", 2.0),
+                (3, dt.datetime(2024, 1, 9), 2, "purchase", 10.0),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        rows = {
+            (str(r.cohort_week), r.age_weeks): r
+            for r in cohort_ltv(e).collect()
+        }
+        c1w0 = rows[("2024-01-01", 0)]
+        c1w1 = rows[("2024-01-01", 1)]
+        c2w0 = rows[("2024-01-08", 0)]
+        assert c1w0.cum_value == pytest.approx(1.0)
+        assert c1w1.cum_value == pytest.approx(3.0)  # cumulative
+        assert c1w1.ltv_per_user == pytest.approx(3.0)  # cohort_size 1
+        assert c2w0.cum_value == pytest.approx(10.0)
+        assert c1w0.cohort_size == 1 and c2w0.cohort_size == 1
+        assert c1w1.n_active == 1

@@ -51,15 +51,6 @@ def main() -> None:
             u = u.unionByName(d)
         return u
 
-    def run(fn, trials=3):
-        ts = []
-        for _ in range(trials):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn()
-            ts.append(round(time.time() - t0, 3))
-        return {"best": min(ts), "trials": ts}
-
     emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 8)
 
@@ -74,23 +65,44 @@ def main() -> None:
         ).count()
 
     reps = [1, 10] + ([100] if "--with-100x" in sys.argv else [])
+    # checkpoint each replicated corpus once so the measured time is the
+    # OPERATOR at rep-x rows, not the union fan-in
+    corpora = {
+        rep: (emb if rep == 1 else replicate(emb, "vec_id", rep).localCheckpoint())
+        for rep in reps
+    }
+    # INTERLEAVED trials (the r08 harness lesson, ROADMAP r09 item 4):
+    # sequential per-scale blocks let one host burst land entirely on one
+    # scale and fake the ratio; round-robin across (op, scale) spreads
+    # any burst over every cell, so min-of-trials compares like to like.
+    ops = (("ann_ivf_pq_topk", ivf_pq), ("mmr_rerank_ivf", mmr_ivf))
+    trials: dict[tuple[str, int], list[float]] = {
+        (name, rep): [] for name, _ in ops for rep in reps
+    }
+    for _ in range(3):
+        for name, fn in ops:
+            for rep in reps:
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(corpora[rep])
+                trials[(name, rep)].append(round(time.time() - t0, 3))
     out: dict = {"sf": 0.1, "offset": OFF, "ann_serving": {}}
-    for name, fn in (("ann_ivf_pq_topk", ivf_pq), ("mmr_rerank_ivf", mmr_ivf)):
+    for name, _ in ops:
         rows = {}
         base = None
         for rep in reps:
-            corpus = emb if rep == 1 else replicate(emb, "vec_id", rep)
-            # checkpoint the replicated corpus once so the measured time
-            # is the OPERATOR at rep-x rows, not the union fan-in
-            if rep > 1:
-                corpus = corpus.localCheckpoint()
-            r = run(fn=lambda c=corpus: fn(c))
+            ts = trials[(name, rep)]
+            r = {"best": min(ts), "trials": ts}
             if base is None:
                 base = r["best"]
             r["ratio_vs_1x"] = round(r["best"] / base, 2)
             rows[f"{rep}x"] = r
             print(f"{name} {rep}x: {r}", flush=True)
         out["ann_serving"][name] = rows
+    out["methodology"] = (
+        "round-robin interleaved trials across every (op, scale) cell; "
+        "replicated corpora localCheckpointed once before timing"
+    )
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

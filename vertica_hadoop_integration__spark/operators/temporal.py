@@ -895,3 +895,74 @@ def attribution_last_touch(
         .cast("double")
         .alias("total_value"),
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users are cohorted by the WEEK of
+    their FIRST event; each cohort's cumulative per-user value is
+    tracked by cohort age in weeks — the revenue-side twin of
+    retention_cohorts (retention counts who came back, LTV sums what
+    they were worth).  Week granularity matches retention_cohorts (and
+    the fixture's one-month event span); the month variant is the same
+    shape with a month spine.
+
+    Output per (cohort_week, age_weeks): n_active (distinct users
+    active at that age), cohort_size, cum_value (cumulative DECIMAL-
+    exact value through that age, cast to DOUBLE once), ltv_per_user
+    (cum_value / cohort_size).
+
+    Exactness: value sums accumulate as DECIMAL(38,6) (order-free);
+    week arithmetic is integer (day-diff of week-truncated dates / 7);
+    the running total is a window over the BOUNDED (cohort, age) spine
+    — cohorts x weeks, never event rows — so the only fact-row shuffle
+    is the user-keyed first-event aggregation plus the join back (the
+    sessionization shape)."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    firsts = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(wk).alias("_cohort")
+    )
+    cohort_sizes = firsts.groupBy(F.col("_cohort").alias("cohort_week")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    age = (
+        F.datediff(F.to_date(wk), F.to_date(F.col("_cohort"))) / 7
+    ).cast("int")
+    per_age = (
+        events.join(firsts, on=events[user_col] == firsts["_u"])
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            age.alias("age_weeks"),
+            F.col(user_col).alias("_user"),
+            F.col(value_col),
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.countDistinct("_user").alias("n_active"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("_v"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_age.withColumn("_cum", F.sum("_v").over(w))
+        .join(F.broadcast(cohort_sizes), on="cohort_week")
+        .select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            "age_weeks",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("_cum").cast("double").alias("cum_value"),
+            (
+                F.col("_cum").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("ltv_per_user"),
+        )
+    )

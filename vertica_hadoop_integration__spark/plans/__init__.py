@@ -53,6 +53,8 @@ _HEAD_PROMOTE = [
     # oracles.
     "sketch_hll_rollup",
     "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_approx_quantiles",
 ]
 
 

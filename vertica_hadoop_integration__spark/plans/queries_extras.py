@@ -571,11 +571,66 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_approx_quantiles")
+@register(
+    "sketch_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag, p.prob,
+           CAST(count(l_extendedprice) AS BIGINT) AS n_rows,
+           TRUE AS within_rank_band
+    FROM lineitem
+    CROSS JOIN (SELECT unnest([CAST(0.25 AS DOUBLE), 0.5, 0.75, 0.95]) AS prob) p
+    GROUP BY 1, 2
+    """,
+)
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles per return flag
+    (operators/sketches.py::approx_quantiles, accuracy=10000), audited
+    in rank-error-band form since r09: for each (group, p) the returned
+    quantile value q must have a rank within the GK guarantee —
+    [count(v < q) + 1, count(v <= q)] intersecting
+    [pN - N/accuracy - 1, pN + N/accuracy + 1] — published as
+    ``within_rank_band`` next to the exact row count.  The oracle
+    asserts TRUE per (group, p), so ANY legal GK output passes while a
+    broken summary merge fails the hash — the audit is insensitive to
+    the (legitimately) partition-order-dependent choice among valid
+    answers, which is exactly why the raw quantile values themselves
+    cannot be oracled.  The rank counts are one broadcast join of the
+    tiny quantile table against the fact scan + a map-side aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return K.approx_quantiles(
-        li, "l_extendedprice", ("l_returnflag",), probabilities=(0.25, 0.5, 0.75, 0.95)
+    probs = (0.25, 0.5, 0.75, 0.95)
+    qa = K.approx_quantiles(
+        li, "l_extendedprice", ("l_returnflag",), probabilities=probs
+    )
+    qrows = None
+    for prob in probs:
+        one = qa.select(
+            "l_returnflag",
+            F.lit(prob).alias("prob"),
+            F.col(f"q_{str(prob).replace('.', '_')}").alias("_q"),
+        )
+        qrows = one if qrows is None else qrows.unionByName(one)
+    v = F.col("l_extendedprice")
+    agg = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(qrows), on="l_returnflag")
+        .groupBy("l_returnflag", "prob")
+        .agg(
+            F.count(v).alias("n_rows"),
+            F.sum(F.when(v <= F.col("_q"), 1).otherwise(0)).alias("_le"),
+            F.sum(F.when(v < F.col("_q"), 1).otherwise(0)).alias("_lt"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    target = F.col("prob") * n
+    eps = n / F.lit(10000.0) + F.lit(1.0)
+    ok = (F.col("_le").cast("double") >= target - eps) & (
+        F.col("_lt").cast("double") + F.lit(1.0) <= target + eps
+    )
+    return agg.select(
+        "l_returnflag",
+        "prob",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        ok.alias("within_rank_band"),
     )
 
 

@@ -321,3 +321,45 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") != F.col("q"))
     )
     return kcore(pairs, k=3, rounds=3, src="p", dst="q")
+
+
+# -- cohort lifetime-value curves ---------------------------------------------
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY 1),
+    cs AS (SELECT cohort AS cohort_week, CAST(count(*) AS BIGINT)
+               AS cohort_size FROM f GROUP BY 1),
+    pa AS (
+        SELECT f.cohort AS cohort_week,
+               CAST(date_diff('day', CAST(f.cohort AS DATE),
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS INT) AS age_weeks,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+               sum(CAST(e.value AS DECIMAL(38,6))) AS v
+        FROM events e JOIN f ON f.u = e.user_id
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT cohort_week, age_weeks, n_active,
+               sum(v) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM pa)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, age_weeks,
+           n_active, cohort_size,
+           CAST(c AS DOUBLE) AS cum_value,
+           CAST(c AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS ltv_per_user
+    FROM cum JOIN cs USING (cohort_week)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (operators/temporal.py::cohort_ltv): users
+    cohorted by first-event week; cumulative DECIMAL-exact per-user
+    value by cohort age in weeks — the revenue-side twin of
+    events_retention_cohorts.  Running totals window over the bounded
+    (cohort, age) spine only; the single fact shuffle is the user key."""
+    from ..operators.temporal import cohort_ltv
+
+    e = load_table(spark, sf_dir, "events")
+    return cohort_ltv(e)

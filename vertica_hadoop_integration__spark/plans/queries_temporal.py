@@ -113,10 +113,39 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- sketches (rows-only; error bounds asserted in tests/test_sketches.py) -
-@register("sketch_kmv_distinct")
+@register(
+    "sketch_kmv_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_band
+    FROM orders GROUP BY 1
+    """,
+)
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct customers per order status (operators/sketches.py::
+    kmv_distinct, k=64), audited in counts-and-error-band form since
+    r09 (the sketch_hll_rollup pattern): exact count (SQL-replayable) +
+    ``within_band`` = |estimate - exact| <= ceil(4/sqrt(k-2) * exact)+1
+    — KMV's published relative error is ~1/sqrt(k-2), and the sketch is
+    EXACT below k distinct values.  The oracle asserts TRUE, so an
+    estimator break outside its guarantee fails the value hash; the
+    portable twin (kmv_distinct_portable) already SQL-replays the
+    bottom-k algebra itself."""
     o = load_table(spark, sf_dir, "orders")
-    return K.kmv_distinct(o, "o_custkey", ("o_orderstatus",), k=64)
+    est = K.kmv_distinct(o, "o_custkey", ("o_orderstatus",), k=64)
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    band = 4.0 / (64 - 2) ** 0.5
+    return exact.join(est, on="o_orderstatus").select(
+        "o_orderstatus",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            <= F.ceil(F.lit(band) * F.col("n_exact")) + F.lit(1)
+        ).alias("within_band"),
+    )
 
 
 # sketch_hll_distinct / sketch_approx_quantiles moved to queries_extras.py
