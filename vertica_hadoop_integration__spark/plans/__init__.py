@@ -55,6 +55,7 @@ _HEAD_PROMOTE = [
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_approx_quantiles",
+    "ann_cosine_topk_arrow",
 ]
 
 

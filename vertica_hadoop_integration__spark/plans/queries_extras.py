@@ -27,17 +27,58 @@ from .queries_temporal import _BANDS, _BANDS_SQL
 from .registry import register
 
 
-@register("ann_cosine_topk_arrow")
+@register(
+    "ann_cosine_topk_arrow",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS ids_match, TRUE AS cos_within_band
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ann_cosine_topk through the Arrow/pandas-UDF scoring kernel.
-    rows-only: numpy's pairwise summation isn't bitwise-identical to the
-    sequential fold; pair-set equality vs the exact path is
-    pytest-asserted."""
+    """ann_cosine_topk through the Arrow/pandas-UDF scoring kernel,
+    audited in equivalence form since r09 (the error-band-audit family):
+    numpy's pairwise summation is not bitwise-identical to the JVM
+    sequential fold, so the raw cosines cannot be oracled — instead the
+    registered row publishes, per query, ``ids_match`` (the Arrow leg's
+    top-k id SET equals the exact JVM leg's) and ``cos_within_band``
+    (every common pair's |cos_arrow - cos_jvm| <= 1e-9, ~1e6 x the
+    float-association ulp).  The oracle asserts TRUE/TRUE per query, so
+    a kernel regression (wrong dot, transposed batch, stale norm)
+    breaks the value hash while legitimate summation-order freedom
+    passes.  The JVM leg itself is oracle-replayed as ann_cosine_topk;
+    kernel-level pair equality also stays pytest-pinned."""
     from ..functions.vector_fns import cosine_arrow
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return S.brute_force_topk(e, q, k=5, scorer=cosine_arrow)
+    arrow = S.brute_force_topk(e, q, k=5, scorer=cosine_arrow)
+    jvm = S.brute_force_topk(e, q, k=5)
+    ids = (
+        arrow.groupBy("query_id")
+        .agg(F.sort_array(F.collect_set("neighbor_id")).alias("_ia"))
+        .join(
+            jvm.groupBy("query_id").agg(
+                F.sort_array(F.collect_set("neighbor_id")).alias("_ij")
+            ),
+            on="query_id",
+        )
+    )
+    dev = (
+        arrow.select("query_id", "neighbor_id", F.col("cos_sim").alias("_ca"))
+        .join(
+            jvm.select(
+                "query_id", "neighbor_id", F.col("cos_sim").alias("_cj")
+            ),
+            on=["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.max(F.abs(F.col("_ca") - F.col("_cj"))).alias("_dev"))
+    )
+    return ids.join(dev, on="query_id").select(
+        "query_id",
+        (F.col("_ia") == F.col("_ij")).alias("ids_match"),
+        (F.col("_dev") <= F.lit(1e-9)).alias("cos_within_band"),
+    )
 
 
 @register(
