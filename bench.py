@@ -208,11 +208,12 @@ HEADLINE = [
     # round-9 additions: behavioral transition matrix, last-touch
     # attribution, temperature-scaled source mixture, embedding centroid
     # drift, k-core peel
-    "events_markov_transitions",
+    "events_transition_matrix",
     "events_attribution_last_touch",
     "corpus_temperature_mixture",
     "embedding_centroid_drift",
     "graph_kcore",
+    "events_cohort_ltv",
 ]
 
 

@@ -56,6 +56,9 @@ _HEAD_PROMOTE = [
     "sketch_kmv_distinct",
     "sketch_approx_quantiles",
     "ann_cosine_topk_arrow",
+    # r09: upgraded in place from transition counts to the normalized
+    # chain (p_transition column added; plan + oracle changed together).
+    "events_transition_matrix",
 ]
 
 

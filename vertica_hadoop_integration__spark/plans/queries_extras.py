@@ -968,33 +968,37 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_transition_matrix",
     oracle="""
     WITH s AS (
-        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        SELECT event_type AS from_type,
                lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS next_type
-        FROM events)
-    SELECT event_type, next_type, count(*) AS n_transitions
-    FROM s WHERE next_type IS NOT NULL
-    GROUP BY 1, 2
+                   ORDER BY ts, event_id) AS to_type
+        FROM events),
+    c AS (SELECT from_type, to_type,
+                 CAST(count(*) AS BIGINT) AS n_transitions
+          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                      AS DOUBLE) AS p_transition
+    FROM c
     """,
 )
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov transition counts over per-user event sequences (lead()
-    within user, ordered by ts with event_id tiebreak — deterministic
-    on duplicate timestamps). One user-keyed exchange feeds both the
-    sequence window and nothing else; the count re-aggregates onto the
-    tiny (type, type) key space."""
-    from pyspark.sql import Window
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/temporal.py::markov_transitions; lead() within
+    user, ordered by ts with event_id tiebreak — deterministic on
+    duplicate timestamps).  r09: upgraded in place from transition
+    COUNTS to the full estimated chain — ``p(to | from)`` rides along
+    as one exact int/int double division per row (a transition matrix
+    without probabilities was half the product; the row-conditional
+    normalization is what next-action prediction and path-anomaly
+    scoring actually consume).  One user-keyed exchange feeds the
+    sequence window; counts re-aggregate onto the tiny (type, type)
+    key space and the normalizing window runs over that bounded matrix
+    only — never fact rows."""
+    from ..operators.temporal import markov_transitions
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.select(
-            "event_type", F.lead("event_type").over(w).alias("next_type")
-        )
-        .filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n_transitions"))
-    )
+    return markov_transitions(e)
 
 
 @register(

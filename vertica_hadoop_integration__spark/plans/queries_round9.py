@@ -107,37 +107,6 @@ def jsonl_probe_checksum_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- first-order Markov transition matrix over user event streams -----------
-@register(
-    "events_markov_transitions",
-    oracle="""
-    WITH s AS (
-        SELECT event_type AS from_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS to_type
-        FROM events),
-    c AS (SELECT from_type, to_type,
-                 CAST(count(*) AS BIGINT) AS n_transitions
-          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
-    SELECT from_type, to_type, n_transitions,
-           CAST(n_transitions AS DOUBLE)
-               / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
-                      AS DOUBLE) AS p_transition
-    FROM c
-    """,
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order behavioral transition matrix (operators/temporal.py::
-    markov_transitions): p(next event type | current) per consecutive
-    pair within each user's (ts, event_id)-ordered stream.  One
-    user-keyed window pass + a |types|^2-bounded aggregate; counts
-    exact, probability one int/int division — fully SQL-replayed."""
-    from ..operators.temporal import markov_transitions
-
-    e = load_table(spark, sf_dir, "events")
-    return markov_transitions(e)
-
-
 # -- last-touch conversion attribution ---------------------------------------
 @register(
     "events_attribution_last_touch",
