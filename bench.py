@@ -214,6 +214,8 @@ HEADLINE = [
     "embedding_centroid_drift",
     "graph_kcore",
     "events_cohort_ltv",
+    "graph_link_prediction",
+    "stats_welch_ttest",
 ]
 
 

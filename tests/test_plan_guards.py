@@ -76,6 +76,8 @@ SCALAR_BROADCAST_OK = {
     "corpus_mixture_report",        # corpus token total
     "corpus_temperature_mixture",   # corpus token total + weight
                                     # normalizer (two 1-row scalars)
+    "stats_welch_ttest",            # the two group-moment rows (one per
+                                    # variant) crossed into the 1-row test
     "corpus_vocab_stats",           # top-k token sum
     "events_gap_fill_locf",         # global [min, max] bucket bounds
     "events_gap_fill_interpolate",  # global [min, max] bucket bounds

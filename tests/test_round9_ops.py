@@ -264,3 +264,78 @@ class TestCohortLtv:
         assert c2w0.cum_value == pytest.approx(10.0)
         assert c1w0.cohort_size == 1 and c2w0.cohort_size == 1
         assert c1w1.n_active == 1
+
+
+class TestLinkPrediction:
+    def test_square_predicts_diagonals(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import (
+            jaccard_link_prediction,
+        )
+
+        # 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each
+        # share BOTH neighbors -> jaccard 2/(2+2-2)=1.0; no linked pair
+        # may appear
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "u long, v long"
+        )
+        out = {(r.a, r.b): r for r in jaccard_link_prediction(e, top=10).collect()}
+        assert set(out) == {(1, 3), (2, 4)}
+        for r in out.values():
+            assert r.n_common == 2 and r.jaccard == pytest.approx(1.0)
+
+    def test_existing_edges_excluded_and_min_common_gates(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import (
+            jaccard_link_prediction,
+        )
+
+        # triangle + pendant: (1,2),(2,3),(1,3),(3,4); pair (1,4) and
+        # (2,4) share only node 3 -> below min_common=2; linked pairs
+        # are never candidates
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+        )
+        assert jaccard_link_prediction(e, top=10, min_common=2).count() == 0
+        out = {
+            (r.a, r.b)
+            for r in jaccard_link_prediction(e, top=10, min_common=1).collect()
+        }
+        assert (1, 2) not in out and (1, 4) in out and (2, 4) in out
+
+
+class TestWelchTtest:
+    def test_identical_groups_do_not_reject(self, spark):
+        from vertica_hadoop_integration__spark.operators.profile import (
+            welch_ttest,
+        )
+
+        rows = [("A", float(v)) for v in (1, 2, 3, 4, 5)] + [
+            ("B", float(v)) for v in (1, 2, 3, 4, 5)
+        ]
+        d = spark.createDataFrame(rows, "variant string, metric double")
+        r = welch_ttest(d, "variant", "metric").collect()[0]
+        assert r.t_stat == pytest.approx(0.0)
+        assert not r.reject_at_95
+        assert r.n_a == 5 and r.n_b == 5
+
+    def test_known_value_vs_scipy_formula(self, spark):
+        from vertica_hadoop_integration__spark.operators.profile import (
+            welch_ttest,
+        )
+
+        a = [1.0, 2.0, 3.0, 4.0]
+        b = [10.0, 12.0, 14.0, 16.0]
+        rows = [("A", v) for v in a] + [("B", v) for v in b]
+        d = spark.createDataFrame(rows, "variant string, metric double")
+        r = welch_ttest(d, "variant", "metric").collect()[0]
+        # closed-form reference (Welch 1947)
+        import statistics
+
+        va, vb = statistics.variance(a), statistics.variance(b)
+        sea, seb = va / len(a), vb / len(b)
+        t_ref = (statistics.mean(a) - statistics.mean(b)) / (sea + seb) ** 0.5
+        df_ref = (sea + seb) ** 2 / (
+            sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+        )
+        assert r.t_stat == pytest.approx(t_ref)
+        assert r.df_welch == pytest.approx(df_ref)
+        assert r.reject_at_95

@@ -725,3 +725,64 @@ def benford_report(
             ).alias("chi2_term"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str = "A",
+    group_b: str = "B",
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on a CONTINUOUS
+    metric — the companion to ab_test_proportions (that one tests
+    conversion rates; this one tests revenue-per-user, latency,
+    tokens-per-doc).  Returns ONE row: (n_a, n_b, mean_a, mean_b,
+    t_stat, df_welch, reject_at_95) with the Welch-Satterthwaite
+    degrees of freedom and a fixed 1.96 large-sample critical value
+    (the exact t quantile needs an incomplete-beta inverse; at the
+    corpus sizes this engine targets, df is in the thousands and the
+    normal approximation is the published practice).
+
+    Exactness: per-group count/sum/sum-of-squares accumulate as
+    DECIMAL(38,6) (order-free, one mergeable aggregation pass); every
+    downstream quantity is closed-form double arithmetic in one fixed
+    association the oracle mirrors."""
+    dec = "decimal(38,6)"
+    x = F.col(value_col).cast("double")
+    g = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast(dec)).alias("_s"),
+            F.sum((x * x).cast(dec)).alias("_ss"),
+        )
+    )
+    a = g.filter(F.col(group_col) == group_a).select(
+        F.col("_n").alias("na"), F.col("_s").alias("sa"), F.col("_ss").alias("ssa")
+    )
+    b = g.filter(F.col(group_col) == group_b).select(
+        F.col("_n").alias("nb"), F.col("_s").alias("sb"), F.col("_ss").alias("ssb")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("ssa").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("ssb").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dfw = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+        (F.abs(t) > F.lit(1.96)).alias("reject_at_95"),
+    )

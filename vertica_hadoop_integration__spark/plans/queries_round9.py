@@ -332,3 +332,122 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return cohort_ltv(e)
+
+
+# -- neighborhood-Jaccard link prediction --------------------------------------
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    pairs AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+              JOIN li b ON a.o = b.o AND a.p <> b.p),
+    deg AS (SELECT u, count(*) AS d FROM pairs GROUP BY 1),
+    wedge AS (SELECT x.v AS a, y.v AS b FROM pairs x
+              JOIN pairs y ON x.u = y.u WHERE x.v < y.v),
+    common AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+               FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2),
+    cand AS (SELECT c.a, c.b, c.n_common FROM common c
+             LEFT JOIN pairs p ON p.u = c.a AND p.v = c.b
+             WHERE p.u IS NULL),
+    scored AS (
+        SELECT cand.a, cand.b, cand.n_common,
+               CAST(cand.n_common AS DOUBLE)
+                   / CAST(da.d + db.d - cand.n_common AS DOUBLE) AS jaccard
+        FROM cand JOIN deg da ON da.u = cand.a
+                  JOIN deg db ON db.u = cand.b)
+    SELECT a, b, n_common, jaccard FROM scored
+    ORDER BY jaccard DESC, a, b LIMIT 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the part co-order
+    graph (operators/graph.py::jaccard_link_prediction; Liben-Nowell &
+    Kleinberg 2003): top-50 unlinked pairs by shared-neighbor Jaccard —
+    the missing-edge / entity-resolution suggestion list, completing
+    the graph family (components, pagerank, triangles, LPA, k-core,
+    link prediction).  Wedge-bounded candidate generation, edge-keyed
+    anti-join, mergeable top-k; integer counts + one double division,
+    fully SQL-replayed."""
+    from ..operators.graph import jaccard_link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("p"), "ps")
+        .select("p", F.explode("ps").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+    )
+    return jaccard_link_prediction(
+        pairs, top=50, min_common=2, src="p", dst="q"
+    )
+
+
+# -- Welch's t-test on a continuous per-user metric -----------------------------
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS metric
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    g AS (SELECT variant, count(*) AS n,
+                 sum(CAST(metric AS DECIMAL(38,6))) AS s,
+                 sum(CAST(metric * metric AS DECIMAL(38,6))) AS ss
+          FROM units GROUP BY 1),
+    ab AS (SELECT
+        (SELECT n FROM g WHERE variant = 'A') AS na_i,
+        (SELECT s FROM g WHERE variant = 'A') AS sa,
+        (SELECT ss FROM g WHERE variant = 'A') AS ssa,
+        (SELECT n FROM g WHERE variant = 'B') AS nb_i,
+        (SELECT s FROM g WHERE variant = 'B') AS sb,
+        (SELECT ss FROM g WHERE variant = 'B') AS ssb),
+    c AS (SELECT CAST(na_i AS DOUBLE) AS na, CAST(nb_i AS DOUBLE) AS nb,
+                 CAST(sa AS DOUBLE) / CAST(na_i AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(nb_i AS DOUBLE) AS mb,
+                 CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd,
+                 na_i, nb_i
+          FROM ab),
+    v AS (SELECT na, nb, ma, mb, na_i, nb_i,
+                 ((ssad - na * ma * ma) / (na - 1.0)) / na AS sea,
+                 ((ssbd - nb * mb * mb) / (nb - 1.0)) / nb AS seb
+          FROM c)
+    SELECT CAST(na_i AS BIGINT) AS n_a, CAST(nb_i AS BIGINT) AS n_b,
+           ma AS mean_a, mb AS mean_b,
+           (ma - mb) / sqrt(sea + seb) AS t_stat,
+           (sea + seb) * (sea + seb)
+               / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+               AS df_welch,
+           abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS reject_at_95
+    FROM v
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/profile.py::
+    welch_ttest) on revenue-per-user between the deterministic parity
+    split — the continuous-metric companion to events_ab_test's
+    proportions z-test.  Units are per-(user, variant) DECIMAL-exact
+    value sums; the test itself is one mergeable moment aggregation +
+    closed-form doubles the oracle mirrors association-for-
+    association."""
+    from ..operators.profile import welch_ttest
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    units = e.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("metric")
+    )
+    return welch_ttest(units, "variant", "metric")
