@@ -119,5 +119,77 @@ def main() -> None:
     print(json.dumps(out))
 
 
+
+
+def streaming_scale() -> None:
+    """Per-batch cost of stream_attribution at 1x vs 10x batch size —
+    the streaming-family scale row (the r08 pattern: per-batch wall
+    should stay ~flat per input row, i.e. ~10x rows -> ~<=10x wall with
+    bounded state artifacts).  Run: python tools/bench_r9_ops_scale.py
+    --streaming"""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.session import get_session
+    from vertica_hadoop_integration__spark.sources import load_table
+    from vertica_hadoop_integration__spark.streaming.attribution import (
+        stream_attribution,
+    )
+
+    spark = get_session("r9-stream-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_table(spark, SF, "events")
+    rows = {}
+    for rep in (1, 10):
+        src_df = ev
+        if rep > 1:
+            parts = [ev] + [
+                ev.withColumn("event_id", F.col("event_id") + F.lit(r * OFF))
+                for r in range(1, rep)
+            ]
+            u = parts[0]
+            for d in parts[1:]:
+                u = u.unionByName(d)
+            src_df = u
+        base = tempfile.mkdtemp(prefix=f"attr_scale_{rep}x_")
+        src = os.path.join(base, "src")
+        src_df.coalesce(4).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        t0 = time.time()
+        q = stream_attribution(
+            stream,
+            report_dir=os.path.join(base, "report"),
+            ledger_path=os.path.join(base, "led"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(600)
+        wall = round(time.time() - t0, 3)
+        rows[f"{rep}x"] = {"wall": wall}
+        print(f"stream_attribution {rep}x: {wall}s", flush=True)
+    rows["per_row_ratio_10x_vs_1x"] = round(
+        rows["10x"]["wall"] / (10 * rows["1x"]["wall"]), 3
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reports",
+        "scale_new_ops_round9.json",
+    )
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = json.load(fh)
+    existing["stream_attribution"] = rows
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1)
+    print(json.dumps({"stream_attribution": rows}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--streaming" in sys.argv:
+        streaming_scale()
+    else:
+        main()

@@ -1,0 +1,208 @@
+"""Streaming last-touch attribution: keep the conversion-credit report
+(operators/temporal.py::attribution_last_touch's output) continuously
+maintained as event micro-batches land — the marketing/causal serving
+table next to trending (ranked counts) and rollup (sums).
+
+Per batch, three bounded artifacts move:
+
+* **touch state** (``{report_dir}__touch``: user_id, t_ts, t_ty) — each
+  user's latest non-conversion event so far, the carry-in that lets a
+  conversion at the start of batch N credit a touch from batch N-1.
+  Bounded by distinct users ever seen (one timestamp + one string per
+  user), orders of magnitude smaller than history.
+* **per-batch report delta** (``{report_dir}/deltas/<batch_id>``) — the
+  batch's conversions attributed against (in-batch prior touch) merged
+  with (carried state touch), aggregated to (attributed_type,
+  n_conversions, DECIMAL value sum).  Deltas are keyed by batch id and
+  written atomically, so a replayed batch overwrites its own delta
+  instead of double-counting — exactly-once effective without
+  rewriting history.
+* **the serving report** (``{report_dir}/report``) — the summed deltas,
+  re-aggregated and atomically swapped each batch (types-cardinality
+  rows; recompute-from-deltas makes a crash replay self-healing).
+
+Ordering contract: attribution is exact for in-order arrival (a touch
+never lands in a LATER batch than a conversion it should credit —
+the contract micro-batch sources with time-ordered files satisfy).  A
+late cross-batch touch cannot retro-credit an already-attributed
+conversion; pipelines with heavy lateness should widen the batch
+window upstream (watermarked buffering) rather than rewrite credited
+conversions downstream.  Within a batch, order is fully restored by
+the (ts, event_id) window, and the carried state touch competes with
+the in-batch prior touch by timestamp, so a batch boundary never
+changes which touch wins for in-order data.
+
+Parity: the final report over any in-order batch split equals the
+batch operator over the union (tests/test_stream_attribution.py),
+including the NULL (organic) row; replayed batch ids are skipped via
+the ledger.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..ledger import Ledger
+from ..sources.writers import write_atomic
+
+
+def touch_dir_for(report_dir: str) -> str:
+    return report_dir.rstrip("/") + "__touch"
+
+
+def read_report(spark, report_dir: str) -> DataFrame:
+    """The serving report: (attributed_type, n_conversions, total_value)."""
+    return spark.read.parquet(report_dir.rstrip("/") + "/report")
+
+
+def stream_attribution(
+    events,
+    report_dir: str,
+    ledger_path: str,
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start the attribution-maintaining stream; returns the
+    StreamingQuery.  ``events`` is a streaming DataFrame with the batch
+    operator's columns."""
+    touch_dir = touch_dir_for(report_dir)
+    report_path = report_dir.rstrip("/") + "/report"
+    win_us = window_days * 86400 * 1_000_000
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = Ledger(spark, ledger_path)
+        key = f"attribution#{batch_id}"
+        ledger.enqueue_whole_table(key, "stream", 1)
+        if not ledger.pending_exists(key):
+            return  # replayed batch, already applied
+        try:
+            state = spark.read.parquet(touch_dir)
+        except AnalysisException:
+            state = None
+        # in-batch prior touch per row (the batch operator's window)
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        in_batch = F.last(
+            F.when(
+                F.col(type_col) != conversion_type,
+                F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")),
+            ),
+            ignorenulls=True,
+        ).over(w)
+        rows = batch_df.withColumn("_bt", in_batch)
+        if state is not None:
+            rows = rows.join(
+                state.select(
+                    F.col("user_id").alias(user_col),
+                    F.struct(
+                        F.col("t_ts").alias("t"), F.col("t_ty").alias("y")
+                    ).alias("_st"),
+                ),
+                on=user_col,
+                how="left",
+            )
+        else:
+            rows = rows.withColumn(
+                "_st",
+                F.lit(None).cast(
+                    "struct<t:timestamp,y:string>"
+                ),
+            )
+        # latest touch wins: in-batch beats carry-in on timestamp (ties
+        # go to the in-batch touch — it is never EARLIER for in-order
+        # arrival, and within the batch the window already ordered it)
+        best = F.when(
+            F.col("_bt").isNotNull()
+            & (F.col("_st").isNull() | (F.col("_bt.t") >= F.col("_st.t"))),
+            F.col("_bt"),
+        ).otherwise(F.col("_st"))
+        conv = rows.filter(F.col(type_col) == conversion_type).select(
+            F.when(
+                best.isNotNull()
+                & (
+                    F.unix_micros(F.col(ts_col)) - F.unix_micros(best["t"])
+                    <= win_us
+                ),
+                best["y"],
+            ).alias("attributed_type"),
+            F.col(value_col),
+        )
+        delta = conv.groupBy("attributed_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("_v"),
+        )
+        deltas_root = f"{report_dir.rstrip('/')}/deltas"
+        os.makedirs(deltas_root, exist_ok=True)
+        write_atomic(
+            delta, f"{deltas_root}/{batch_id}", output_format="parquet"
+        )
+        # refresh the serving report from ALL deltas (self-healing: a
+        # replay overwrites its delta, the re-sum converges).  Committed
+        # delta dirs are enumerated by EXACT name — a glob would also
+        # match a crashed write_atomic's ``<id>.inprogress-*`` /
+        # ``<id>.replaced-*`` staging leftovers and double-count.  The
+        # listing is driver-side but bounded by batch count, the same
+        # cardinality the ledger already tracks.
+        committed = sorted(
+            f"{deltas_root}/{d}"
+            for d in os.listdir(deltas_root)
+            if d.isdigit()
+        )
+        all_deltas = spark.read.parquet(*committed)
+        report = all_deltas.groupBy("attributed_type").agg(
+            F.sum("n_conversions").cast("bigint").alias("n_conversions"),
+            F.sum("_v").cast("double").alias("total_value"),
+        )
+        write_atomic(report, report_path, output_format="parquet")
+        # advance the touch state: per-user latest non-conversion touch
+        batch_touch = (
+            batch_df.filter(F.col(type_col) != conversion_type)
+            .groupBy(F.col(user_col).alias("user_id"))
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(ts_col).alias("t_ts"),
+                        F.col(type_col).alias("t_ty"),
+                    ),
+                    F.struct(F.col(ts_col), F.col(id_col)),
+                ).alias("_r")
+            )
+            .select("user_id", "_r.t_ts", "_r.t_ty")
+        )
+        if state is not None:
+            merged = (
+                state.unionByName(batch_touch)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("t_ts", "t_ty"), F.col("t_ts")
+                    ).alias("_r")
+                )
+                .select("user_id", "_r.t_ts", "_r.t_ty")
+            )
+        else:
+            merged = batch_touch
+        write_atomic(merged, touch_dir, output_format="parquet")
+        ledger.mark_complete(key, None)
+
+    writer = events.writeStream.foreachBatch(_sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
