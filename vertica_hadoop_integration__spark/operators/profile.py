@@ -747,7 +747,13 @@ def welch_ttest(
     Exactness: per-group count/sum/sum-of-squares accumulate as
     DECIMAL(38,6) (order-free, one mergeable aggregation pass); every
     downstream quantity is closed-form double arithmetic in one fixed
-    association the oracle mirrors."""
+    association the oracle mirrors.
+
+    Degenerate inputs: a singleton group (n=1) has undefined sample
+    variance — the division by (n-1) yields NULL/Infinity downstream
+    rather than a silent wrong answer; a group entirely absent from
+    ``group_col`` produces an EMPTY result frame (the cross join has
+    nothing to pair).  Gate upstream if either can occur."""
     dec = "decimal(38,6)"
     x = F.col(value_col).cast("double")
     g = (
