@@ -216,6 +216,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "graph_link_prediction",
     "stats_welch_ttest",
+    "dedup_minhash_probe_portable",
 ]
 
 

@@ -339,3 +339,62 @@ class TestWelchTtest:
         assert r.t_stat == pytest.approx(t_ref)
         assert r.df_welch == pytest.approx(df_ref)
         assert r.reject_at_95
+
+
+class TestMinhashProbePortable:
+    def test_planted_cross_boundary_duplicate_found(self, spark):
+        from vertica_hadoop_integration__spark.operators.dedup import (
+            minhash_probe_portable,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark woods tonight"
+        )
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different text about spark engines "
+                            "processing terabytes of shuffle data daily")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(10, base + " again"), (11, "unrelated third document about "
+                                         "cooking pasta with fresh basil "
+                                         "and ripe tomatoes")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.new_id, r.corpus_id): r.jaccard
+            for r in minhash_probe_portable(corpus, batch).collect()
+        }
+        assert (10, 1) in got and got[(10, 1)] > 0.8
+        assert all(k[0] != 11 for k in got)
+
+    def test_probe_pairs_match_xxhash_twin_sets(self, spark, sf_dir):
+        """Portable and xxhash probes use different hash families, so
+        banding may differ per pair — but on the fixture's exact-replica
+        batch docs (jaccard 1.0 collides in EVERY band under any
+        family), the found (new, corpus) sets must agree."""
+        from vertica_hadoop_integration__spark.operators.dedup import (
+            minhash_index,
+            minhash_probe,
+            minhash_probe_portable,
+        )
+        from vertica_hadoop_integration__spark.sources import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.filter(F.col("doc_id") % 5 != 0)
+        batch = d.filter(F.col("doc_id") % 5 == 0)
+        portable = {
+            (r.new_id, r.corpus_id)
+            for r in minhash_probe_portable(
+                corpus, batch, min_jaccard=0.99
+            ).collect()
+        }
+        bands_df, verify_df = minhash_index(corpus)
+        xx = {
+            (r.new_id, r.corpus_id)
+            for r in minhash_probe(
+                bands_df, verify_df, batch, min_jaccard=0.99
+            ).collect()
+        }
+        assert portable == xx

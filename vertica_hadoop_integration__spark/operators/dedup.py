@@ -1431,3 +1431,97 @@ def keep_best_per_cluster(
             (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
         )
     )
+
+
+def minhash_probe_portable(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The incremental-dedup probe (minhash_index/minhash_probe's
+    shape) through the portable md5-60 hash — the oracle-checked
+    representative of ingest-batch-vs-corpus dedup: build the corpus
+    side's signatures/bands once, probe them with a new batch, verify
+    candidates by exact shingle-set Jaccard.  Returns (new_id,
+    corpus_id, jaccard) at >= ``min_jaccard``.
+
+    Same portable conventions as minhash_dedup_portable (raw
+    signature-tuple bands, exact string-set verify) so the ENTIRE
+    index-build + probe replays in DuckDB SQL; the xxhash64 pipeline
+    (minhash_index + minhash_probe, registered as dedup_minhash_probe)
+    stays the production default — at 100 TB the corpus band/verify
+    tables are built ONCE and persisted bucketed, and each batch's
+    probe joins co-locate (the registered twin rebuilds them inline
+    because the oracle must see one self-contained query).
+
+    Plan shape: one text scan per side, signature aggregation on the
+    doc key, band equi-join (batch side tiny), id-keyed verify joins —
+    probe cost proportional to the BATCH, never the corpus."""
+    from ..functions.text_fns import md5_hash60
+
+    rpb = num_hashes // bands
+    xcols = [f"x{r}" for r in range(rpb)]
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        staged = _spread(df).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_n))
+            ).alias("_sh"),
+        )
+        aggs = [
+            F.min(md5_hash60(F.col("_sh"), seed=j)).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ] + [F.collect_set(F.col("_sh")).alias("sh")]
+        return staged.groupBy(id_col).agg(*aggs)
+
+    def _bands(sigs: DataFrame, tag: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(tag),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        *[
+                            F.col(f"mh_{b * rpb + r}").alias(xcols[r])
+                            for r in range(rpb)
+                        ],
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        ).select(tag, "band.band_idx", *[f"band.{x}" for x in xcols])
+
+    corpus_sigs = _sigs(corpus).persist()
+    batch_sigs = _sigs(new_docs).persist()
+    cands = (
+        _bands(batch_sigs, "new_id")
+        .join(_bands(corpus_sigs, "corpus_id"), on=["band_idx", *xcols])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    joined = (
+        cands.join(
+            batch_sigs.select(
+                F.col(id_col).alias("new_id"), F.col("sh").alias("sh_n")
+            ).hint("merge"),
+            on="new_id",
+        ).join(
+            corpus_sigs.select(
+                F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c")
+            ).hint("merge"),
+            on="corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
+    union = F.size(F.col("sh_n")) + F.size(F.col("sh_c")) - inter
+    return joined.select(
+        "new_id",
+        "corpus_id",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)

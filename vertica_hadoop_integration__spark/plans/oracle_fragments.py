@@ -163,3 +163,56 @@ def clean_corpus_kept_ctes(
                  PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS _rn
         FROM gated g) WHERE _rn = 1),
     {minhash_portable_cte(num_hashes, bands, src="kept")}"""
+
+
+def minhash_probe_portable_cte(
+    num_hashes: int = 8,
+    bands: int = 4,
+    corpus_src: str = "corpus",
+    batch_src: str = "batch",
+) -> str:
+    """The WITH-body of the minhash_probe_portable replay: the
+    single-source fragment's toks/sh/sig/bands chain duplicated per
+    side (corpus index + probe batch), candidate probe join, exact
+    shingle-set Jaccard verify.  Callers define ``corpus_src`` /
+    ``batch_src`` CTEs with (doc_id, text) first."""
+    rpb = num_hashes // bands
+
+    def _side(tag: str, src: str) -> str:
+        sig_cols = ",\n           ".join(
+            "list_min(list_transform(shs, s -> "
+            + _H60.format(x=f"'{j}:'||s")
+            + f")) AS mh{j}"
+            for j in range(num_hashes)
+        )
+        band_sel = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + ", ".join(f"mh{b * rpb + r} AS x{r}" for r in range(rpb))
+            + f" FROM sig_{tag}"
+            for b in range(bands)
+        )
+        return rf"""toks_{tag} AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM {src}),
+    sh_{tag} AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t)-2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shs
+      FROM toks_{tag}),
+    sig_{tag} AS (SELECT doc_id, shs, {sig_cols} FROM sh_{tag}),
+    bands_{tag} AS ({band_sel})"""
+
+    on = " AND ".join(f"n.x{r} = c.x{r}" for r in range(rpb))
+    return rf"""{_side("c", corpus_src)},
+    {_side("n", batch_src)},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands_n n JOIN bands_c c ON n.band = c.band AND {on}),
+    ver AS (
+      SELECT cand.new_id, cand.corpus_id,
+             CAST(len(list_intersect(sn.shs, sc.shs)) AS DOUBLE) /
+             CAST(len(sn.shs) + len(sc.shs)
+                  - len(list_intersect(sn.shs, sc.shs)) AS DOUBLE) AS jaccard
+      FROM cand JOIN sig_n sn ON sn.doc_id = cand.new_id
+                JOIN sig_c sc ON sc.doc_id = cand.corpus_id)"""

@@ -451,3 +451,38 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("metric")
     )
     return welch_ttest(units, "variant", "metric")
+
+
+# -- incremental dedup probe, portable (index + probe fully SQL-replayed) ----
+from .oracle_fragments import (  # noqa: E402
+    minhash_probe_portable_cte as _probe_cte,
+)
+
+
+@register(
+    "dedup_minhash_probe_portable",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_probe_cte()}
+    SELECT new_id, corpus_id, jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest-batch dedup through the portable md5-60 hash
+    (operators/dedup.py::minhash_probe_portable): corpus = doc_id % 5
+    != 0, probe batch = the rest; signatures, banding, probe join, and
+    exact-Jaccard verify ALL replay in the oracle — the production
+    minhash_index/minhash_probe pair (registered rows-only as
+    dedup_minhash_probe, xxhash64) gains its logic-verified twin, the
+    same relationship dedup_minhash_lsh has to dedup_minhash_portable."""
+    from ..operators.dedup import minhash_probe_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_probe_portable(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        num_hashes=8,
+        bands=4,
+        min_jaccard=0.5,
+    )
