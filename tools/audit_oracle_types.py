@@ -82,6 +82,19 @@ def main() -> int:
                 print(f"MISMATCH {name}.{col}: spark={stypes.get(col)}({sk}) "
                       f"duckdb={otypes.get(col)}({ok})")
                 n_mismatch += 1
+            # Banned class (r09 jsonl_probe_* isolation, reports/NOTES.md
+            # r10 entry): the driver's typed value hasher serializes a
+            # DuckDB HUGEINT / HUGEINT-derived DECIMAL(38,0) aggregate
+            # differently from Spark's BigDecimal even when values and
+            # kinds agree — BIGINT cells through the identical pipeline
+            # hash green.  Retype to BIGINT (bit_xor/mod) or a
+            # lower-precision DECIMAL CAST on both sides.
+            o_raw = (otypes.get(col) or "").upper().replace(" ", "")
+            if o_raw in ("HUGEINT", "INT128", "DECIMAL(38,0)"):
+                print(f"BANNED-TYPE {name}.{col}: duckdb={otypes[col]} "
+                      f"(HUGEINT-derived DECIMAL(38,0) class, see "
+                      f"reports/NOTES.md r10)")
+                n_mismatch += 1
     print(f"\n{n_mismatch} kind mismatches across {len(oracles)} oracles")
     return 1 if n_mismatch else 0
 

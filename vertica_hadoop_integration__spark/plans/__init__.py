@@ -26,7 +26,7 @@ indirection is now deleted and the head is natural registration order:
 
 from . import (  # noqa: F401  (imported for registration side effects)
     queries_reference,
-    queries_round9,
+    queries_round10,
     queries_llm,
     queries_temporal,
     queries_events,
@@ -41,31 +41,24 @@ from .registry import ORACLES, QUERIES
 # appearance get one promoted pass through the sample head so the driver
 # certifies the new oracle (judge-verified locally; r07 verdict item 1).
 # Drop entries once their driver-green row lands.
-_HEAD_PROMOTE = [
-    # r08's only driver FAIL (hash_match false, rows+schema green; local
-    # gate PASS): checksum cell retyped to BIGINT bit_xor this round and
-    # the four jsonl_probe_* diagnostics (queries_round9.py) isolate the
-    # cell the driver hasher rejected.  Stays promoted until a
-    # driver-green row lands; probes removed the same round.
-    "jsonl_ingest_roundtrip",
-    # r09: rows-only -> oracle-checked (counts-and-error-band audit
-    # form, r08 verdict item 7) — first driver rows with the new
-    # oracles.
-    "sketch_hll_rollup",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "sketch_approx_quantiles",
-    "ann_cosine_topk_arrow",
-    # r09: upgraded in place from transition counts to the normalized
-    # chain (p_transition column added; plan + oracle changed together).
-    "events_transition_matrix",
+_HEAD_PROMOTE: list[str] = [
+    # (r09 entries all landed driver-green — jsonl_ingest_roundtrip's
+    # BIGINT retype, the four sketch audit oracles, ann_cosine_topk_arrow
+    # and the normalized events_transition_matrix — and were dropped.)
+    # r10: rows-only -> oracle-checked upgrades; first driver rows with
+    # the new oracles.
+    "embedding_kmeans",
+    "ann_ivf_kmeans_topk",
+    # r10: hub-degree cap added to the wedge expansion (plan + oracle
+    # changed together; the oracle replays the cap).
+    "graph_link_prediction",
 ]
 
 
 def _reorder() -> None:
     order = list(QUERIES)
     ref = [n for n in order if QUERIES[n].__module__.endswith("queries_reference")]
-    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round9")]
+    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round10")]
     head = ref + new + [n for n in _HEAD_PROMOTE if n in QUERIES]
     seen = set(head)
     full = head + [n for n in order if n not in seen]

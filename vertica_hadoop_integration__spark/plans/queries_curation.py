@@ -1863,3 +1863,44 @@ def corpus_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return neyman_sample(d, "source", "n_chars", budget=500)
+
+
+# -- graduated from queries_round9 (driver-green in CORRECTNESS_r09) ------
+
+# -- temperature-scaled source mixture ---------------------------------------
+@register(
+    "corpus_temperature_mixture",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM t),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total AS p_raw,
+               CAST(exp(0.7 * ln(CAST(n_tokens AS DOUBLE) / total))
+                    AS DECIMAL(30,15)) AS w
+        FROM t CROSS JOIN tot),
+    wt AS (SELECT sum(w) AS wtot FROM s)
+    SELECT source, n_docs, n_tokens, p_raw,
+           CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE) AS weight,
+           (CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)) * 1000000.0
+               / CAST(n_tokens AS DOUBLE) AS effective_epochs
+    FROM s CROSS JOIN wt
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multi-source sampling mixture (operators/
+    corpus.py::temperature_mixture, T=0.7, budget=1M tokens): the
+    published LM data recipe that upweights small sources, with
+    effective-epochs overfitting early-warning.  p^T runs as
+    exp(T*ln(p)) truncated to DECIMAL(30,15) before the order-free
+    normalizing sum (the unigram-logprob libm-ulp pattern), so every
+    published ratio replays exactly."""
+    from ..operators.corpus import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(d, temperature=0.7, token_budget=1_000_000)

@@ -412,3 +412,149 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_test_proportions(units, "variant", "converted")
+
+
+# -- graduated from queries_round9 (driver-green in CORRECTNESS_r09) ------
+
+# -- last-touch conversion attribution ---------------------------------------
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value, ts, user_id,
+               last_value(CASE WHEN event_type <> 'purchase' THEN
+                   struct_pack(t := ts, y := event_type) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS _touch
+        FROM events),
+    conv AS (
+        SELECT CASE WHEN _touch IS NOT NULL
+                    AND epoch_us(ts) - epoch_us(_touch.t)
+                        <= CAST(7 AS BIGINT) * 86400 * 1000000
+                    THEN _touch.y END AS attributed_type,
+               value
+        FROM s WHERE event_type = 'purchase')
+    SELECT attributed_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM conv GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report (operators/temporal.py::
+    attribution_last_touch): every purchase credited to the user's most
+    recent preceding non-purchase event within 7 days (NULL = organic),
+    aggregated to (touchpoint type, conversions, DECIMAL-exact value).
+    One user-keyed window carries the latest touch forward — no
+    conversion-vs-history self-join — then a types-bounded groupBy."""
+    from ..operators.temporal import attribution_last_touch
+
+    e = load_table(spark, sf_dir, "events")
+    return attribution_last_touch(e, window_days=7)
+
+# -- cohort lifetime-value curves ---------------------------------------------
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY 1),
+    cs AS (SELECT cohort AS cohort_week, CAST(count(*) AS BIGINT)
+               AS cohort_size FROM f GROUP BY 1),
+    pa AS (
+        SELECT f.cohort AS cohort_week,
+               CAST(date_diff('day', CAST(f.cohort AS DATE),
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS INT) AS age_weeks,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+               sum(CAST(e.value AS DECIMAL(38,6))) AS v
+        FROM events e JOIN f ON f.u = e.user_id
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT cohort_week, age_weeks, n_active,
+               sum(v) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM pa)
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, age_weeks,
+           n_active, cohort_size,
+           CAST(c AS DOUBLE) AS cum_value,
+           CAST(c AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS ltv_per_user
+    FROM cum JOIN cs USING (cohort_week)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (operators/temporal.py::cohort_ltv): users
+    cohorted by first-event week; cumulative DECIMAL-exact per-user
+    value by cohort age in weeks — the revenue-side twin of
+    events_retention_cohorts.  Running totals window over the bounded
+    (cohort, age) spine only; the single fact shuffle is the user key."""
+    from ..operators.temporal import cohort_ltv
+
+    e = load_table(spark, sf_dir, "events")
+    return cohort_ltv(e)
+
+# -- Welch's t-test on a continuous per-user metric -----------------------------
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS metric
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    g AS (SELECT variant, count(*) AS n,
+                 sum(CAST(metric AS DECIMAL(38,6))) AS s,
+                 sum(CAST(metric * metric AS DECIMAL(38,6))) AS ss
+          FROM units GROUP BY 1),
+    ab AS (SELECT
+        (SELECT n FROM g WHERE variant = 'A') AS na_i,
+        (SELECT s FROM g WHERE variant = 'A') AS sa,
+        (SELECT ss FROM g WHERE variant = 'A') AS ssa,
+        (SELECT n FROM g WHERE variant = 'B') AS nb_i,
+        (SELECT s FROM g WHERE variant = 'B') AS sb,
+        (SELECT ss FROM g WHERE variant = 'B') AS ssb),
+    c AS (SELECT CAST(na_i AS DOUBLE) AS na, CAST(nb_i AS DOUBLE) AS nb,
+                 CAST(sa AS DOUBLE) / CAST(na_i AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(nb_i AS DOUBLE) AS mb,
+                 CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd,
+                 na_i, nb_i
+          FROM ab),
+    v AS (SELECT na, nb, ma, mb, na_i, nb_i,
+                 ((ssad - na * ma * ma) / (na - 1.0)) / na AS sea,
+                 ((ssbd - nb * mb * mb) / (nb - 1.0)) / nb AS seb
+          FROM c)
+    SELECT CAST(na_i AS BIGINT) AS n_a, CAST(nb_i AS BIGINT) AS n_b,
+           ma AS mean_a, mb AS mean_b,
+           (ma - mb) / sqrt(sea + seb) AS t_stat,
+           (sea + seb) * (sea + seb)
+               / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+               AS df_welch,
+           abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS reject_at_95
+    FROM v
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/profile.py::
+    welch_ttest) on revenue-per-user between the deterministic parity
+    split — the continuous-metric companion to events_ab_test's
+    proportions z-test.  Units are per-(user, variant) DECIMAL-exact
+    value sums; the test itself is one mergeable moment aggregation +
+    closed-form doubles the oracle mirrors association-for-
+    association."""
+    from ..operators.profile import welch_ttest
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    units = e.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("metric")
+    )
+    return welch_ttest(units, "variant", "metric")

@@ -4578,3 +4578,137 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"),
         F.col("community").cast("bigint").alias("community"),
     )
+
+
+# -- graduated from queries_round9 (driver-green in CORRECTNESS_r09) ------
+
+# -- k-core of the part co-order graph ----------------------------------------
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    body = """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+           JOIN li b ON a.o = b.o AND a.p <> b.p)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        body += f""",
+    k{r} AS (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k}),
+    e{r} AS (SELECT e.u, e.v FROM {prev} e
+             JOIN k{r} a ON a.u = e.u JOIN k{r} b ON b.u = e.v)"""
+        prev = f"e{r}"
+    return body + f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY 1
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel (k=3, 3 rounds — operators/graph.py::kcore) over the
+    part co-order graph (the LPA fixture): iteratively drop nodes of
+    degree < k, report survivors with their in-subgraph degree — the
+    dense-core extractor that separates a dedup/co-occurrence graph's
+    template-spam heart from incidental fringe.  Per round one
+    node-cardinality degree aggregate + two semi-joins, lineage
+    checkpoint-truncated; every round replays in the oracle (the
+    pagerank/LPA iteration-replay pattern)."""
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("p"), "ps")
+        .select("p", F.explode("ps").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+    )
+    return kcore(pairs, k=3, rounds=3, src="p", dst="q")
+
+# -- neighborhood-Jaccard link prediction --------------------------------------
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    pairs AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+              JOIN li b ON a.o = b.o AND a.p <> b.p),
+    deg AS (SELECT u, count(*) AS d FROM pairs GROUP BY 1),
+    wedge AS (SELECT x.v AS a, y.v AS b FROM pairs x
+              JOIN pairs y ON x.u = y.u WHERE x.v < y.v),
+    common AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+               FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2),
+    cand AS (SELECT c.a, c.b, c.n_common FROM common c
+             LEFT JOIN pairs p ON p.u = c.a AND p.v = c.b
+             WHERE p.u IS NULL),
+    scored AS (
+        SELECT cand.a, cand.b, cand.n_common,
+               CAST(cand.n_common AS DOUBLE)
+                   / CAST(da.d + db.d - cand.n_common AS DOUBLE) AS jaccard
+        FROM cand JOIN deg da ON da.u = cand.a
+                  JOIN deg db ON db.u = cand.b)
+    SELECT a, b, n_common, jaccard FROM scored
+    ORDER BY jaccard DESC, a, b LIMIT 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the part co-order
+    graph (operators/graph.py::jaccard_link_prediction; Liben-Nowell &
+    Kleinberg 2003): top-50 unlinked pairs by shared-neighbor Jaccard —
+    the missing-edge / entity-resolution suggestion list, completing
+    the graph family (components, pagerank, triangles, LPA, k-core,
+    link prediction).  Wedge-bounded candidate generation, edge-keyed
+    anti-join, mergeable top-k; integer counts + one double division,
+    fully SQL-replayed."""
+    from ..operators.graph import jaccard_link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("p"), "ps")
+        .select("p", F.explode("ps").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+    )
+    return jaccard_link_prediction(
+        pairs, top=50, min_common=2, src="p", dst="q"
+    )
+
+# -- incremental dedup probe, portable (index + probe fully SQL-replayed) ----
+from .oracle_fragments import (  # noqa: E402
+    minhash_probe_portable_cte as _probe_cte,
+)
+
+
+@register(
+    "dedup_minhash_probe_portable",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    {_probe_cte()}
+    SELECT new_id, corpus_id, jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest-batch dedup through the portable md5-60 hash
+    (operators/dedup.py::minhash_probe_portable): corpus = doc_id % 5
+    != 0, probe batch = the rest; signatures, banding, probe join, and
+    exact-Jaccard verify ALL replay in the oracle — the production
+    minhash_index/minhash_probe pair (registered rows-only as
+    dedup_minhash_probe, xxhash64) gains its logic-verified twin, the
+    same relationship dedup_minhash_lsh has to dedup_minhash_portable."""
+    from ..operators.dedup import minhash_probe_portable
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_probe_portable(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        num_hashes=8,
+        bands=4,
+        min_jaccard=0.5,
+    )

@@ -2162,3 +2162,67 @@ def pipeline_mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8)
     cands = ivf_topk(e, q, k=20, every_nth=50, nprobe=3)
     return mmr_rerank(e, q, k_final=5, shortlist=20, candidates=cands)
+
+
+# -- graduated from queries_round9 (driver-green in CORRECTNESS_r09) ------
+
+# -- per-label centroid drift between embedding snapshots ---------------------
+def _centroid_drift_oracle(dim: int = 64) -> str:
+    """Mirror centroid_drift's fixed left-to-right double association
+    term-for-term (the diversity_report oracle pattern): per-dim
+    DECIMAL(38,12) sums per split, then chained double arithmetic."""
+    def _sums(tag: str, parity: int) -> str:
+        cols = ",\n               ".join(
+            f"SUM(CAST(v[{d + 1}] AS DECIMAL(38,12))) AS s{tag}_{d}"
+            for d in range(dim)
+        )
+        return (
+            f"SELECT label, count(*) AS n_{tag},\n               {cols}\n"
+            f"        FROM x WHERE vec_id % 2 = {parity} GROUP BY 1"
+        )
+
+    ca = [f"(CAST(sa_{d} AS DOUBLE) / na)" for d in range(dim)]
+    cb = [f"(CAST(sb_{d} AS DOUBLE) / nb)" for d in range(dim)]
+    def _chain(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    dot = _chain([f"({a} * {b})" for a, b in zip(ca, cb)])
+    norm_a = _chain([f"({a} * {a})" for a in ca])
+    norm_b = _chain([f"({b} * {b})" for b in cb])
+    shift = _chain([f"(({a} - {b}) * ({a} - {b}))" for a, b in zip(ca, cb)])
+    return f"""
+    WITH x AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    a AS ({_sums("a", 0)}),
+    b AS ({_sums("b", 1)}),
+    j AS (SELECT COALESCE(a.label, b.label) AS label,
+                 CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, *
+          FROM a FULL JOIN b ON a.label = b.label)
+    SELECT label,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           {dot} / (sqrt({norm_a}) * sqrt({norm_b})) AS centroid_cos,
+           {shift} AS shift_sq
+    FROM j
+    """
+
+
+@register("embedding_centroid_drift", oracle=_centroid_drift_oracle())
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two snapshot halves (vec_id
+    parity split — operators/similarity.py::centroid_drift): centroid
+    cosine + squared L2 shift per label, the embedding-space rotation /
+    class-meaning-moved monitor.  One aggregation pass per snapshot
+    (label-cardinality output, 2 x dim DECIMAL state), label-keyed join
+    of tiny frames; every double combination is one fixed association
+    the oracle mirrors term-for-term."""
+    from ..operators.similarity import centroid_drift
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+    )
