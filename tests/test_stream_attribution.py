@@ -14,6 +14,7 @@ from vertica_hadoop_integration__spark.operators.temporal import (
 )
 from vertica_hadoop_integration__spark.sources import load_table
 from vertica_hadoop_integration__spark.streaming.attribution import (
+    make_attribution_sink,
     read_report,
     stream_attribution,
 )
@@ -117,3 +118,122 @@ class TestStreamAttribution:
         )
         got = _canon(read_report(spark, report))
         assert got == [("click", 1, 5.0)]
+
+    def test_crash_between_state_and_ledger_replays_clean(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r09 ADVICE (medium): a crash AFTER the touch-state write but
+        BEFORE the ledger mark must not poison the replay.  Scenario:
+        batch 0 carries a click; batch 1 has a purchase followed by a
+        LATER signup.  The crashed first attempt of batch 1 leaves its
+        own snapshot (containing the signup) on disk; with in-place
+        state the replay would credit the signup — a touch that
+        happened AFTER the conversion.  Snapshot-per-batch resolution
+        (strictly earlier id) + the (ts, id) precedence gate keep the
+        replay identical to the first attempt: credit goes to the
+        click."""
+        import datetime as dt
+
+        from vertica_hadoop_integration__spark.ledger import Ledger
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        b0 = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10), 7, "click", 0.0)], schema
+        )
+        b1 = spark.createDataFrame(
+            [
+                (2, dt.datetime(2024, 1, 2, 10), 7, "purchase", 5.0),
+                (3, dt.datetime(2024, 1, 2, 11), 7, "signup", 0.0),
+            ],
+            schema,
+        )
+        report = str(tmp_path / "report_crash")
+        sink = make_attribution_sink(report, str(tmp_path / "led_crash"))
+        sink(b0, 0)
+
+        # first attempt of batch 1: dies exactly at mark_complete —
+        # delta, report AND state snapshot 1 are already on disk
+        real_mark = Ledger.mark_complete
+
+        def _boom(self, key, val):
+            raise RuntimeError("simulated crash before ledger commit")
+
+        monkeypatch.setattr(Ledger, "mark_complete", _boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sink(b1, 1)
+        import os
+
+        assert os.path.isdir(f"{report}__touch/1"), (
+            "crash simulation must leave the orphan snapshot behind"
+        )
+        monkeypatch.setattr(Ledger, "mark_complete", real_mark)
+
+        # the replay (same batch id) must converge to the batch twin
+        sink(b1, 1)
+        got = _canon(read_report(spark, report))
+        expected = _canon(
+            attribution_last_touch(b0.unionByName(b1), window_days=7)
+        )
+        assert got == expected
+        assert got == [("click", 1, 5.0)], (
+            "replay credited a touch later than the conversion"
+        )
+
+    def test_equal_ts_tie_breaks_by_event_id_like_batch(
+        self, spark, tmp_path
+    ):
+        """Carried-vs-new touches with IDENTICAL timestamps resolve by
+        event_id, matching the batch operator's (ts, event_id) window
+        order — including when the carried touch has the HIGHER id
+        (r09 ADVICE: a ts-only merge was nondeterministic here)."""
+        import datetime as dt
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        t = dt.datetime(2024, 1, 1, 10)
+        # carried touch id 6 > in-batch touch id 5, same ts: the batch
+        # window orders click(5) before view(6), so view must win
+        b0 = spark.createDataFrame([(6, t, 7, "view", 0.0)], schema)
+        b1 = spark.createDataFrame(
+            [
+                (5, t, 7, "click", 0.0),
+                (9, dt.datetime(2024, 1, 2), 7, "purchase", 3.0),
+            ],
+            schema,
+        )
+        report = str(tmp_path / "report_tie")
+        sink = make_attribution_sink(report, str(tmp_path / "led_tie"))
+        sink(b0, 0)
+        sink(b1, 1)
+        got = _canon(read_report(spark, report))
+        expected = _canon(
+            attribution_last_touch(b0.unionByName(b1), window_days=7)
+        )
+        assert got == expected == [("view", 1, 3.0)]
+
+    def test_snapshots_pruned_to_constant_count(self, spark, tmp_path):
+        """Committed batches prune every strictly-older snapshot, so
+        live touch-state storage is O(1) snapshots regardless of how
+        many batches have run."""
+        import datetime as dt
+        import os
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        report = str(tmp_path / "report_prune")
+        sink = make_attribution_sink(report, str(tmp_path / "led_prune"))
+        for b in range(4):
+            df = spark.createDataFrame(
+                [(b + 1, dt.datetime(2024, 1, 1 + b), 7, "click", 0.0)],
+                schema,
+            )
+            sink(df, b)
+        snaps = [d for d in os.listdir(f"{report}__touch") if d.isdigit()]
+        assert snaps == ["3"], f"stale snapshots not pruned: {snaps}"

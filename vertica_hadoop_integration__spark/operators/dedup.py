@@ -1520,8 +1520,17 @@ def minhash_probe_portable(
     )
     inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
     union = F.size(F.col("sh_n")) + F.size(F.col("sh_c")) - inter
-    return joined.select(
+    out = joined.select(
         "new_id",
         "corpus_id",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
+    # eagerly materialize the verified-pair result (bounded by the
+    # batch's duplicate count) and release both persisted signature
+    # frames — the mmr_rerank pattern: a long-lived ingest session
+    # otherwise pins one corpus-sized signature cache per probe call
+    # (r09 ADVICE).
+    out = out.localCheckpoint(eager=True)
+    corpus_sigs.unpersist()
+    batch_sigs.unpersist()
+    return out

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,7 +31,15 @@ def connected_components(
 
     ``edges`` is an undirected pair list; isolated nodes absent from it
     simply form their own singleton components downstream (left join +
-    coalesce at the call site).
+    coalesce at the call site).  Self-loop edges (u == v) are dropped
+    before symmetrization — they never affect connectivity — so a node
+    whose ONLY edge is a self-loop is treated exactly like an isolated
+    node: it does NOT appear in the output and owes its singleton
+    component to the same call-site left join + coalesce.  (Behavior
+    change in r09: such nodes were previously emitted as their own
+    one-row components; callers passing raw pair lists that rely on
+    self-loop rows surviving should coalesce against their node
+    universe, which every in-repo caller already does.)
 
     Size-gated execution: the symmetrized-distinct edge list is counted
     first (a cached scan — it is checkpointed either way).  At or below
@@ -611,6 +619,7 @@ def jaccard_link_prediction(
     min_common: int = 2,
     src: str = "u",
     dst: str = "v",
+    max_degree: int | None = 64,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction: for node pairs that share
     at least ``min_common`` neighbors but are NOT already connected,
@@ -622,12 +631,31 @@ def jaccard_link_prediction(
     and union counts are integers and the score is one int/int double
     division; ties break by (score desc, a, b) so the top-k is total.
 
+    Hub cap (r09 verdict — the uncapped wedge expansion was the
+    round's one scale-killer): a wedge center of degree d fans out
+    d^2/2 candidate pairs, ALL landing on one join key — quadratic
+    volume and shuffle skew on exactly the graphs this operator is for
+    (dedup pair graphs with template-spam hearts).  ``max_degree``
+    bounds it: each center contributes wedges from at most
+    ``max_degree`` of its neighbors, chosen DETERMINISTICALLY by
+    md5(center:neighbor) rank so reruns and the SQL oracle replay the
+    identical sample.  Per-center fan-out is then <= max_degree^2/2
+    regardless of skew.  Recall trade-off: common-neighbor counts that
+    route through capped hubs are undercounted (never overcounted), so
+    hub-mediated pairs can drop below ``min_common`` or score lower —
+    acceptable for top-k ranking because a hub's Jaccard contribution
+    is near-zero anyway (the union term grows with d while the hub
+    adds 1 to the intersection).  Exact degrees (uncapped) stay in the
+    denominator.  Pass ``max_degree=None`` for the exact expansion on
+    graphs known to be hub-free.
+
     Scale shape: candidate pairs come from the WEDGE expansion (two
-    edges sharing an endpoint — the triangle_count fan-out, bounded by
-    sum of neighbor-degree squares, never |V|^2); the anti-join against
-    existing edges and the degree join are node/edge-keyed; the final
-    top-k is a mergeable orderBy+limit (TakeOrderedAndProject), not a
-    global window."""
+    edges sharing an endpoint — the triangle_count fan-out), bounded by
+    ``V * max_degree^2`` after the cap, never |V|^2; the cap itself is
+    one node-keyed window rank; the anti-join against existing edges
+    and the degree join are node/edge-keyed; the final top-k is a
+    mergeable orderBy+limit (TakeOrderedAndProject), not a global
+    window."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -636,9 +664,25 @@ def jaccard_link_prediction(
     ).distinct()
     sym = sym.localCheckpoint()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+    wedge_src = sym
+    if max_degree is not None:
+        wc = Window.partitionBy("u").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            )
+        )
+        wedge_src = (
+            sym.withColumn("_hr", F.row_number().over(wc))
+            .filter(F.col("_hr") <= max_degree)
+            .select("u", "v")
+        )
     # wedges: a -w- b with a < b gives each unordered candidate once
-    a = sym.select(F.col("v").alias("a"), F.col("u").alias("w"))
-    b = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    a = wedge_src.select(F.col("v").alias("a"), F.col("u").alias("w"))
+    b = wedge_src.select(F.col("u").alias("w"), F.col("v").alias("b"))
     common = (
         a.join(b, on="w")
         .filter(F.col("a") < F.col("b"))

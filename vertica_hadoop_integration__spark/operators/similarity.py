@@ -827,7 +827,7 @@ def ivf_pq_topk(
         .agg(F.sum("qdist").alias("_adc"))
     )
     wr = Window.partitionBy("query_id").orderBy("_adc", "neighbor_id")
-    return (
+    out = (
         adc.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select(
@@ -837,6 +837,13 @@ def ivf_pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+    # eagerly materialize the small result (n_queries * k rows) and
+    # release the persisted candidate set — the mmr_rerank pattern: a
+    # long-lived session otherwise accumulates one pinned cand frame
+    # per call (r09 ADVICE).
+    out = out.localCheckpoint(eager=True)
+    cand.unpersist()
+    return out
 
 
 def pq_encode_arrow(

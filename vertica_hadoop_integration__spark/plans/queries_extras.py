@@ -4636,8 +4636,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
               JOIN li b ON a.o = b.o AND a.p <> b.p),
     deg AS (SELECT u, count(*) AS d FROM pairs GROUP BY 1),
-    wedge AS (SELECT x.v AS a, y.v AS b FROM pairs x
-              JOIN pairs y ON x.u = y.u WHERE x.v < y.v),
+    capped AS (SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY u
+            ORDER BY md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)))
+            AS hr
+        FROM pairs) t WHERE hr <= 64),
+    wedge AS (SELECT x.v AS a, y.v AS b FROM capped x
+              JOIN capped y ON x.u = y.u WHERE x.v < y.v),
     common AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
                FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2),
     cand AS (SELECT c.a, c.b, c.n_common FROM common c
@@ -4659,9 +4664,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kleinberg 2003): top-50 unlinked pairs by shared-neighbor Jaccard —
     the missing-edge / entity-resolution suggestion list, completing
     the graph family (components, pagerank, triangles, LPA, k-core,
-    link prediction).  Wedge-bounded candidate generation, edge-keyed
-    anti-join, mergeable top-k; integer counts + one double division,
-    fully SQL-replayed."""
+    link prediction).  Hub-capped wedge expansion (max_degree=64,
+    deterministic md5-rank neighbor sample — r10; the oracle replays
+    the cap), edge-keyed anti-join, mergeable top-k; integer counts +
+    one double division, fully SQL-replayed."""
     from ..operators.graph import jaccard_link_prediction
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -4676,7 +4682,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") != F.col("q"))
     )
     return jaccard_link_prediction(
-        pairs, top=50, min_common=2, src="p", dst="q"
+        pairs, top=50, min_common=2, src="p", dst="q", max_degree=64
     )
 
 # -- incremental dedup probe, portable (index + probe fully SQL-replayed) ----
