@@ -241,16 +241,25 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     seed: int = 42,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of IVF centroids.
 
-    Init = every-Nth-by-id (deterministic); each iteration assigns
-    (map-only, the same JVM/Arrow kernel IVF probing uses) and recomputes
-    elementwise means via posexplode + groupBy(centroid, dim) — k*dim
-    partial aggregates, shuffled as (k*dim) rows total after map-side
-    combine. Run on a SAMPLE at 100 TB (``sample_fraction``): centroid
-    quality needs ~1000 points per centroid, not the full corpus; only
-    the final assignment pass touches everything. Empty clusters keep
+    Init = ``init`` (a (centroid_id, centroid_vec) frame, e.g.
+    pick_centroids' every-Nth-BY-ID set — fully deterministic and
+    SQL-replayable) or, when omitted, every-Nth-by-physical-order with
+    ids 1..k (deterministic given a fixed partitioning only).  Each
+    iteration assigns (map-only, the same JVM/Arrow kernel IVF probing
+    uses) and recomputes elementwise means via posexplode +
+    groupBy(centroid, dim) — k*dim partial aggregates, shuffled as
+    (k*dim) rows total after map-side combine.  Means accumulate in
+    DECIMAL(30,15) (r10): partial-aggregation-order-free, so every
+    iteration — not just the first — is bit-replayable in SQL (the
+    embedding_kmeans_step oracle form), which is what lets
+    ann_ivf_kmeans_topk's oracle replay the whole refinement loop.
+    Run on a SAMPLE at 100 TB (``sample_fraction``): centroid quality
+    needs ~1000 points per centroid, not the full corpus; only the
+    final assignment pass touches everything. Empty clusters keep
     their previous centroid. Returns (centroid_id, centroid_vec)."""
     # array<double> throughout: iterated means are double, and coalesce
     # with float init vectors would be a type mismatch
@@ -260,17 +269,23 @@ def kmeans_centroids(
     if sample_fraction:
         pts = pts.sample(fraction=sample_fraction, seed=seed)
     pts = pts.localCheckpoint()
-    n = pts.count()
-    every_nth = max(1, n // k)
-    cents = (
-        pts.withColumn("_rn", F.monotonically_increasing_id())
-        .filter(F.pmod(F.col("_rn"), F.lit(every_nth)) == 0)
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("_pid")).cast("long").alias("centroid_id"),
-            F.col("_v").alias("centroid_vec"),
+    if init is not None:
+        cents = init.select(
+            F.col("centroid_id").cast("long"),
+            F.col("centroid_vec").cast("array<double>"),
+        ).localCheckpoint()
+    else:
+        n = pts.count()
+        every_nth = max(1, n // k)
+        cents = (
+            pts.withColumn("_rn", F.monotonically_increasing_id())
+            .filter(F.pmod(F.col("_rn"), F.lit(every_nth)) == 0)
+            .limit(k)
+            .select(
+                F.row_number().over(Window.orderBy("_pid")).cast("long").alias("centroid_id"),
+                F.col("_v").alias("centroid_vec"),
+            )
         )
-    )
     import math
 
     for _ in range(iters):
@@ -288,7 +303,16 @@ def kmeans_centroids(
         means = (
             assigned.select("centroid_id", F.posexplode(F.col("_v")).alias("dim", "x"))
             .groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
+            # DECIMAL accumulator, then one double division: the sum is
+            # order-free so the refined centroid is identical across
+            # partitionings AND replays exactly in DuckDB as
+            # CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)/count(*)
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
             .select(
@@ -325,13 +349,16 @@ def build_ivf_index(
 
     ``kmeans_iters > 0`` refines the every-Nth seed centroids with
     Lloyd's iterations (optionally on a sample) before the final
-    assignment — better-balanced buckets, higher probe recall."""
+    assignment — better-balanced buckets, higher probe recall.  The
+    seed set is pick_centroids' every-Nth-BY-ID selection (the same
+    SQL-expressible set the unrefined index uses), so the refined
+    index is deterministic end-to-end and ann_ivf_kmeans_topk's oracle
+    replays init + every Lloyd step + probe (r10)."""
     if kmeans_iters > 0:
-        n = corpus.count()
-        k = max(1, n // every_nth)
         cents = kmeans_centroids(
-            corpus, k=k, iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
+            corpus, iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
             sample_fraction=kmeans_sample,
+            init=pick_centroids(corpus, every_nth, id_col, vec_col),
         ).localCheckpoint()
     else:
         cents = pick_centroids(corpus, every_nth, id_col, vec_col)

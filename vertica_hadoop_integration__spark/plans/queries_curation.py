@@ -381,22 +381,85 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(d)
 
 
-# -- embedding clustering (iterative k-means; rows-only) -------------------
-@register("embedding_kmeans")
+# -- embedding clustering (iterative k-means; audit oracle since r10) ------
+@register(
+    "embedding_kmeans",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST((SELECT count(*) FROM embeddings
+                 WHERE vec_id % (SELECT greatest(count(*) // 8, 1)
+                                 FROM embeddings) = 0) AS BIGINT) AS n_seeds,
+           TRUE AS all_assigned,
+           TRUE AS clusters_le_seeds,
+           TRUE AS refined_not_worse
+    FROM embeddings
+    """,
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-style clustering of the embedding corpus: Lloyd's k-means
     (operators/similarity.py::kmeans_centroids — map-only Arrow
-    assignment, k*dim-row mean shuffle per iteration) followed by a
-    final zero-shuffle assignment pass; returns per-cluster sizes.
-    Iterative + partition-order-seeded -> non-SQL-expressible, rows-only
-    (cluster-count and coverage invariants pytest-asserted)."""
+    assignment, k*dim-row DECIMAL mean shuffle per iteration) seeded
+    with the SQL-expressible id-modulo set, followed by a final
+    zero-shuffle assignment pass.
+
+    Audit-oracle form since r10 (previously rows-only — the r09
+    verdict's rows-only-shrink ask, the sketch_hll_distinct pattern):
+    the iterative loop's END state is certified by replayable counts
+    plus invariant booleans computed FOR REAL on the Spark side and
+    asserted literally by the oracle — (a) every vector is assigned to
+    exactly one cluster (sizes sum to n), (b) the refined clustering
+    uses no more clusters than it was seeded with, and (c) the refined
+    assignment's mean point-to-centroid cosine is no worse than the
+    SEED assignment's (the reason to run Lloyd's at all), with 1e-9
+    slack for fold order.  The per-step math is separately bit-exact
+    as embedding_kmeans_step; the per-cluster size breakdown stays
+    available from the operator directly."""
     from ..operators import similarity as SIM
+    from ..operators.similarity import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = SIM.kmeans_centroids(e, k=8, iters=3)
+    n = e.count()
+    seed = SIM.pick_centroids(e, max(1, n // 8))
+    cents = SIM.kmeans_centroids(e, iters=3, init=seed)
+
+    def _mean_cos(centroids) -> float:
+        a = SIM.assign_to_centroids(e, centroids)
+        return (
+            a.join(
+                F.broadcast(
+                    centroids.select(
+                        "centroid_id",
+                        F.col("centroid_vec").cast("array<double>").alias("_cv"),
+                    )
+                ),
+                on="centroid_id",
+            )
+            .agg(F.avg(cosine(F.col("embedding"), F.col("_cv"))).alias("m"))
+            .collect()[0]["m"]
+        )
+
     assigned = SIM.assign_to_centroids(e, cents)
-    return assigned.groupBy("centroid_id").agg(
+    sizes = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_assigned")
+    )
+    agg = sizes.agg(
+        F.sum("n_assigned").alias("_tot"),
+        F.count(F.lit(1)).alias("_used"),
+    ).collect()[0]
+    n_seeds = seed.count()
+    refined_ok = _mean_cos(cents) >= _mean_cos(seed) - 1e-9
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                n_seeds,
+                int(agg["_tot"]) == n,
+                int(agg["_used"]) <= n_seeds,
+                bool(refined_ok),
+            )
+        ],
+        "n_vectors long, n_seeds long, all_assigned boolean, "
+        "clusters_le_seeds boolean, refined_not_worse boolean",
     )
 
 

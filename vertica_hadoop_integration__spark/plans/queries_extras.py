@@ -3246,18 +3246,93 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_nationkey")
 
 
-# -- IVF ANN with k-means-refined centroids (rows-only; recall pytest) -----
-@register("ann_ivf_kmeans_topk")
+# -- IVF ANN with k-means-refined centroids (full-replay oracle, r10) ------
+def _ivf_kmeans_oracle(
+    iters: int = 3, dim: int = 64, every: int = 50, nprobe: int = 3,
+    k: int = 5,
+) -> str:
+    """Replay init + every Lloyd iteration + probe: seeds are
+    pick_centroids' vec_id-modulo set, each iteration is the
+    embedding_kmeans_step oracle (argmax-cosine assignment with
+    smaller-centroid-id ties, DECIMAL(30,15) per-dim means), empty
+    clusters COALESCE to the previous centroid, and the probe/rerank
+    tail is the ann_ivf_topk oracle verbatim."""
+    sql = f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (SELECT vec_id AS centroid_id, v AS cv FROM c
+              WHERE vec_id % {every} = 0)"""
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, p.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, p.cv) DESC,
+                            p.centroid_id) AS rn
+        FROM c, {prev} p) t WHERE rn = 1),
+    m{i} AS (
+        SELECT a.centroid_id, r.range AS dim,
+               CAST(SUM(CAST(c.v[CAST(r.range + 1 AS INT)]
+                             AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mv
+        FROM a{i} a JOIN c ON c.vec_id = a.vec_id
+        CROSS JOIN range({dim}) r
+        GROUP BY 1, 2),
+    n{i} AS (SELECT centroid_id, list(mv ORDER BY dim) AS nv
+             FROM m{i} GROUP BY 1),
+    cent{i} AS (SELECT p.centroid_id, COALESCE(n.nv, p.cv) AS cv
+                FROM {prev} p LEFT JOIN n{i} n USING (centroid_id))"""
+        prev = f"cent{i}"
+    return sql + f""",
+    assign AS (SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, p.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(c.v, p.cv) DESC,
+                            p.centroid_id) AS rn
+        FROM c, {prev} p) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    probes AS (SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, p.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, p.cv) DESC,
+                            p.centroid_id) AS rn
+        FROM q, {prev} p) t WHERE rn <= {nprobe}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN assign a USING (centroid_id)
+             WHERE a.vec_id <> p.query_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      list_cosine_similarity(qc.v, nc.v) AS cos_sim
+               FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+                         JOIN c nc ON nc.vec_id = cand.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, neighbor_id) AS rnk
+               FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF shape: every-Nth seed centroids refined with 3
-    Lloyd's iterations before assignment (operators/similarity.py::
-    build_ivf_index kmeans_iters arm), then nprobe=3 bucket probing —
-    better-balanced buckets and higher recall at the same probe budget
-    than the raw every-Nth index (pytest-asserted vs brute force AND vs
-    the unrefined index: tests/test_llm_ops.py::
-    test_kmeans_ivf_recall_not_worse_than_every_nth). Rows-only:
-    iterative float means are not SQL-expressible; the single-iteration
-    DECIMAL-exact step is oracle-checked as embedding_kmeans_step."""
+    """The production IVF shape: every-Nth-BY-ID seed centroids refined
+    with 3 Lloyd's iterations before assignment (operators/
+    similarity.py::build_ivf_index kmeans_iters arm), then nprobe=3
+    bucket probing — better-balanced buckets and higher recall at the
+    same probe budget than the raw every-Nth index (pytest-asserted vs
+    brute force AND vs the unrefined index: tests/test_llm_ops.py::
+    test_kmeans_ivf_recall_not_worse_than_every_nth).
+
+    Oracle-checked since r10 (previously rows-only): the refinement
+    loop became bit-replayable once kmeans_centroids switched its
+    per-dim means to order-free DECIMAL(30,15) accumulation and its
+    seed to the SQL-expressible id-modulo set — the oracle replays
+    seeds, all 3 assignment+mean iterations (each the
+    embedding_kmeans_step form), the final assignment, probe selection
+    and the exact top-k rerank.  Assignment argmaxes tolerate the
+    last-ulp JVM-vs-DuckDB cosine difference because random embeddings
+    never tie centroids within an ulp; the published cos_sim uses the
+    sequential-fold cosine bitwise-equal to list_cosine_similarity
+    (the ann_ivf_topk contract)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     idx = S.build_ivf_index(e, every_nth=50, kmeans_iters=3)
