@@ -217,6 +217,15 @@ HEADLINE = [
     "graph_link_prediction",
     "stats_welch_ttest",
     "dedup_minhash_probe_portable",
+    # round-10 additions: chi-square independence, Kaplan-Meier
+    # survival, deterministic Poisson bootstrap, LPA modularity,
+    # cross-source duplicate matrix, RAKE keyphrases
+    "stats_chi2_independence",
+    "events_survival_km",
+    "stats_bootstrap_mean",
+    "graph_modularity",
+    "dedup_cross_source_matrix",
+    "text_rake_keywords",
 ]
 
 

@@ -121,6 +121,11 @@ SCALAR_BROADCAST_OK = {
     "events_ab_test",               # two 1-row variant-count scalars crossed
     "dq_benford",                   # 1-row positive-value total scalar
     "corpus_neyman_sample",         # 1-row allocation-weight total scalar
+    "stats_chi2_independence",      # 1-row grand-total scalar under the
+                                    # (r x c)-bounded contingency cells
+    "events_survival_km",           # 1-row corpus-max-ts + 1-row user-count
+                                    # scalars over the bounded day spine
+    "graph_modularity",             # 1-row 2m edge-weight total scalar
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 
@@ -151,6 +156,10 @@ GLOBAL_WINDOW_OK = {
                                  # token rows only
     "dq_ks_drift",               # cumulative CDF over the bounded
                                  # 50-row bin spine only (never fact rows)
+    "events_survival_km",        # KM cumulative hazard over the duration
+                                 # spine — bounded by the corpus time span
+                                 # in DAYS (calendar-bounded at any data
+                                 # scale), never fact rows
 }
 
 

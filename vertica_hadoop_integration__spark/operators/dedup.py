@@ -1534,3 +1534,60 @@ def minhash_probe_portable(
     corpus_sigs.unpersist()
     batch_sigs.unpersist()
     return out
+
+
+def cross_source_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every (source_a <=
+    source_b) pair, how many duplicate DOCUMENT PAIRS share identical
+    text across (or within) the two sources, and how many distinct
+    texts are involved — the provenance view of exact dedup that tells
+    a corpus owner WHICH feeds copy from which (mirror detection,
+    license-laundering spots, upstream-crawl overlap) before any rows
+    are dropped.
+
+    Zero pair explosion: per (text-hash, source) counts collapse first,
+    and pair counts come from the closed forms ca*cb (a < b) and
+    C(ca,2) (a = b) — the candidate frame is (hashes x sources), never
+    (docs x docs).  All-integer arithmetic, fully SQL-replayable.
+
+    Scale shape: one text-scan groupBy onto (hash, source) — the
+    dedup_exact shuffle — then a hash-keyed self-join whose per-hash
+    fan-out is bounded by the SOURCE count, and a final aggregation
+    bounded by sources^2."""
+    per = (
+        docs.select(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.col(source_col).alias("_s"),
+        )
+        .groupBy("_h", "_s")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a = per.select(
+        F.col("_h"), F.col("_s").alias("source_a"), F.col("_c").alias("_ca")
+    )
+    b = per.select(
+        F.col("_h"), F.col("_s").alias("source_b"), F.col("_c").alias("_cb")
+    )
+    joined = a.join(b, on="_h").filter(F.col("source_a") <= F.col("source_b"))
+    n_pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("_ca") * (F.col("_ca") - 1)) / 2,
+    ).otherwise(F.col("_ca") * F.col("_cb"))
+    return (
+        joined.select(
+            "source_a",
+            "source_b",
+            n_pairs.cast("bigint").alias("_np"),
+        )
+        .filter(F.col("_np") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("_np").cast("bigint").alias("n_dup_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"),
+        )
+    )

@@ -710,3 +710,88 @@ def jaccard_link_prediction(
     return scored.orderBy(
         F.desc("jaccard"), F.asc("a"), F.asc("b")
     ).limit(top)
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str | None = None,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment: per community c,
+    ``Q_c = in_c/(2m) - (d_c/(2m))^2`` over the symmetrized weighted
+    edge list (in_c counts both directions of intra-community edges,
+    d_c is the community's total degree weight, 2m the total) — the
+    quality score for label_propagation's output, closing the loop the
+    LPA docstring gestures at ("modularity-ish grouping"): detect
+    communities, then MEASURE how modular they actually are.  Sum of
+    q_contrib over the output = Q; Q near 0 means the partition is no
+    better than random, ~0.3+ means real community structure.
+
+    Exactness: symmetrization and weights mirror label_propagation's
+    (union both directions, groupBy-sum), so in_c/d_c/two_m are exact
+    BIGINTs; q_contrib is closed-form doubles in one fixed association
+    (in/2m - (d/2m)*(d/2m)) the oracle mirrors.
+
+    Scale shape: two node-keyed joins of the edge list against the
+    label table (the LPA per-round shape), then aggregations bounded by
+    community count; the 1-row two_m scalar is a broadcast cross join.
+    Nothing quadratic, no global windows."""
+    w_expr = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        w_expr.alias("w"),
+    ).filter(F.col("u") != F.col("v"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        # persist, not localCheckpoint: all three consumers (two_m, deg,
+        # in_c) sit under ONE final action, so the lazy cache computes
+        # once on first use without an extra eager job (caller owns
+        # cleanup, the suite-wide persist contract)
+        .persist()
+    )
+    lab = labels.select(
+        F.col(node_col).cast("long").alias("_n"),
+        F.col(label_col).cast("long").alias("_lbl"),
+    )
+    two_m = sym.agg(F.sum("w").alias("_2m"))
+    deg = sym.groupBy("u").agg(F.sum("w").alias("_d"))
+    d_c = (
+        deg.join(lab, deg.u == lab._n)
+        .groupBy("_lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("_d").cast("bigint").alias("degree_w"),
+        )
+    )
+    in_c = (
+        sym.join(lab.select(F.col("_n"), F.col("_lbl").alias("_lu")), sym.u == F.col("_n"))
+        .drop("_n")
+        .join(lab.select(F.col("_n"), F.col("_lbl").alias("_lv")), F.col("v") == F.col("_n"))
+        .filter(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("_lbl"))
+        .agg(F.sum("w").cast("bigint").alias("internal_w"))
+    )
+    tm = F.col("_2m").cast("double")
+    din = F.col("internal_w").cast("double")
+    dd = F.col("degree_w").cast("double")
+    return (
+        d_c.join(in_c, on="_lbl", how="left")
+        .na.fill({"internal_w": 0})
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            F.col("_lbl").alias("community"),
+            "n_nodes",
+            F.col("internal_w").cast("bigint").alias("internal_w"),
+            "degree_w",
+            (din / tm - (dd / tm) * (dd / tm)).alias("q_contrib"),
+        )
+    )

@@ -792,3 +792,135 @@ def welch_ttest(
         dfw.alias("df_welch"),
         (F.abs(t) > F.lit(1.96)).alias("reject_at_95"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the contingency-table companion to ab_test_proportions
+    (2-proportion z) and welch_ttest (continuous): does event mix
+    differ by variant, does language mix differ by source?
+
+    Returns the full per-cell diagnostic table — (row value, col value,
+    n_observed, n_expected, chi2_contrib) — rather than only the
+    statistic: the cells ARE the product (which combination deviates),
+    and the statistic is their sum with df = (r-1)(c-1).
+
+    Exactness: observed counts and the row/col/grand totals are exact
+    BIGINTs from bounded aggregations; expected and contribution are
+    closed-form doubles in one fixed association the oracle mirrors
+    ((rt * ct) / n, then ((o - e) * (o - e)) / e).
+
+    Zero cells count: the grid is the CROSS of the observed row and
+    column margins, not just observed combinations — a (row, col) pair
+    that never co-occurs carries its full e contribution (observed 0),
+    which is exactly the dependence signal a sparse contingency table
+    exists to surface.
+
+    Scale shape: one fact-scan groupBy onto the (r x c)-bounded cell
+    table; margins are two more bounded aggregations, the grid is a
+    margins cross join (r x c rows), the grand total a 1-row cross
+    join — no global windows, nothing fact-sized downstream."""
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_observed")
+    )
+    row_t = cells.groupBy(row_col).agg(F.sum("n_observed").alias("_rt"))
+    col_t = cells.groupBy(col_col).agg(F.sum("n_observed").alias("_ct"))
+    grand = cells.agg(F.sum("n_observed").alias("_n"))
+    o = F.col("n_observed").cast("double")
+    e = (F.col("_rt").cast("double") * F.col("_ct").cast("double")) / F.col(
+        "_n"
+    ).cast("double")
+    grid = row_t.crossJoin(col_t)
+    out = (
+        grid.join(cells, on=[row_col, col_col], how="left")
+        .na.fill({"n_observed": 0})
+        .crossJoin(F.broadcast(grand))
+        .select(
+            row_col,
+            col_col,
+            F.col("n_observed").cast("bigint").alias("n_observed"),
+            e.alias("n_expected"),
+            (((o - e) * (o - e)) / e).alias("chi2_contrib"),
+        )
+    )
+    return out
+
+
+# Poisson(1) inverse-CDF thresholds: cumulative P(X <= k) for k = 0..7;
+# weights above the last threshold cap at 8 (P ~ 1e-6 at corpus sizes).
+# Literals are shortest-round-trip doubles so the oracle SQL parses the
+# bit-identical values.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+]
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    replicates: int = 40,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of a mean: every unit's weight in
+    replicate b is Poisson(1) drawn by inverse-CDF on a uniform derived
+    from md5(key:b) — the streaming-friendly bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    no resample materialization, no shared state, each row computes its
+    own B weights map-side.  md5 makes the draw portable: reruns AND
+    the DuckDB oracle reproduce the identical resamples, so the CI is
+    a replayable artifact, not a seed-lottery ticket.
+
+    Returns ``replicates`` rows: (replicate, n_effective, boot_mean).
+    Percentiles of boot_mean over this bounded frame are the CI.
+
+    Exactness: the uniform is md5_hash60 / 2^60 (both engines round the
+    60-bit int to the same nearest double; the power-of-two division is
+    exact), thresholds are shortest-round-trip literals, weighted sums
+    accumulate as DECIMAL(38,6) (order-free) with exact BIGINT weight
+    totals.
+
+    Scale shape: one scan with a replicates-way explode, collapsed by
+    map-side partial aggregation to ``replicates`` rows per task before
+    the only shuffle — output is B rows, never fact-sized."""
+    from ..functions.text_fns import md5_hash60
+
+    x = F.col(value_col).cast("double")
+    rows = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        x.alias("_x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(replicates - 1))
+        ).alias("replicate"),
+    )
+    u = md5_hash60(
+        F.concat_ws(":", F.col("_k"), F.col("replicate").cast("string"))
+    ).cast("double") / F.lit(1152921504606846976.0)  # 2^60
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = rows.select(
+        "replicate",
+        w.cast("long").alias("_w"),
+        F.col("_x"),
+    )
+    return weighted.groupBy("replicate").agg(
+        F.sum("_w").cast("bigint").alias("n_effective"),
+        (
+            F.sum((F.col("_w") * F.col("_x")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.sum("_w").cast("double")
+        ).alias("boot_mean"),
+    ).select(F.col("replicate").cast("int").alias("replicate"),
+             "n_effective", "boot_mean")

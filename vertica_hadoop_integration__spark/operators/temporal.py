@@ -966,3 +966,107 @@ def cohort_ltv(
             ).alias("ltv_per_user"),
         )
     )
+
+
+def survival_km(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 60,
+) -> DataFrame:
+    """Kaplan-Meier survival curve for user retention: each user's
+    observation is (duration = days between first and last event,
+    churned = no activity within ``horizon_days`` of the corpus's last
+    timestamp).  Users still active near the corpus edge are CENSORED
+    at their observed duration — the estimator's whole point versus the
+    naive churn histogram, which silently treats them as churned.
+    Returns one row per duration with at least one churn event:
+    (t_days, n_at_risk, n_churned, survival), survival =
+    prod_{s<=t}(1 - d_s/n_s).
+
+    Exactness: durations floor identically on both engines
+    (floor(double microsecond delta / 86400e6) — the delta is < 2^53 so
+    the double is exact; the shared rounding of the division IS the
+    contract); censoring compares exact BIGINT microseconds; the
+    product runs as exp(sum(ln)) with each ln factor truncated to
+    DECIMAL(30,15) so the sum is order-free (the unigram-logprob
+    pattern), each factor's argument computed as one double division
+    (n-d)/n.  A step where every at-risk user churns (factor 0) pins
+    survival to exactly 0.0 from that step on rather than ln(0).
+
+    Scale shape: one user-keyed aggregation (the only fact shuffle),
+    then everything lives on the duration spine — bounded by the corpus
+    time span in DAYS (calendar-bounded at any data scale), which is
+    why the cumulative windows over it are global-but-bounded
+    (GLOBAL_WINDOW_OK class)."""
+    us_day = 86_400_000_000
+    per_user = events.groupBy(user_col).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_f"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("_l"),
+    )
+    corpus_max = events.agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("_cm")
+    )
+    obs = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        F.floor(
+            (F.col("_l") - F.col("_f")).cast("double") / F.lit(float(us_day))
+        ).cast("bigint").alias("t_days"),
+        (
+            (F.col("_cm") - F.col("_l"))
+            > F.lit(horizon_days * us_day).cast("bigint")
+        ).alias("_churned"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("_nt"))
+    spine = obs.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("_ended"),
+        F.sum(F.when(F.col("_churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = (
+        spine.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("_nt")
+                - F.coalesce(F.sum("_ended").over(w_cum), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "_lnf",
+            F.when(
+                F.col("n_churned") == 0, F.lit(0).cast("decimal(30,15)")
+            ).when(
+                F.col("n_churned") < F.col("n_at_risk"),
+                F.log(
+                    (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                ).cast("decimal(30,15)"),
+            ),  # NULL marks a zero factor (all at-risk churned)
+        )
+        .withColumn(
+            "_zero",
+            F.max(
+                F.when(
+                    (F.col("n_churned") > 0)
+                    & (F.col("n_churned") >= F.col("n_at_risk")),
+                    1,
+                ).otherwise(0)
+            ).over(w_incl),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("_lnf").over(w_incl).cast("double"))
+            ),
+        )
+    )
+    return staged.filter(F.col("n_churned") > 0).select(
+        "t_days", "n_at_risk", "n_churned", "survival"
+    )

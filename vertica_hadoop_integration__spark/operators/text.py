@@ -1426,3 +1426,106 @@ def pii_density(
             total * F.lit(1000.0) / F.col("n_chars").cast("double"),
         ).alias("pii_per_kchar"),
     )
+
+
+# RAKE stopword list: a fixed, versioned vocabulary (order irrelevant —
+# membership only).  Deliberately small and frozen: the stoplist is part
+# of the operator's contract (changing it changes every phrase boundary),
+# and the SQL oracle embeds the same literal list.
+RAKE_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "in", "on", "to", "is", "are",
+    "was", "were", "for", "with", "as", "by", "at", "it", "its", "this",
+    "that", "be", "from", "has", "have", "had", "not", "but", "they",
+    "their", "we", "our", "you", "your", "he", "she", "his", "her",
+    "will", "would", "can", "could", "should", "may", "might", "do",
+    "does", "did", "so", "if", "then", "than", "there", "here", "what",
+    "which", "who", "when", "where", "how", "all", "each", "every",
+    "some", "any", "no", "nor", "too", "very", "just", "about", "into",
+    "over", "after", "before", "between", "under", "above", "up",
+    "down", "out", "off", "again", "once", "only", "own", "same",
+    "such", "both", "few", "more", "most", "other",
+]
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 50,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; a word's
+    score is degree/frequency where degree sums the lengths of every
+    phrase containing it (co-occurrence incl. itself — the standard
+    simplification) and frequency counts its phrase occurrences; a
+    phrase's score sums its member words' scores.  Returns the global
+    top-``top`` phrases (phrase, n_words, n_occurrences, rake_score) —
+    the corpus-level keyphrase inventory next to text_tfidf_topterms'
+    per-term view and text_collocations_pmi's bigram view.
+
+    Exactness: tokenization is one regexp_replace + trim + split both
+    engines run identically; phrase islands are a per-doc running
+    stopword count; degree/frequency are exact BIGINTs; each word score
+    truncates to DECIMAL(30,15) so the per-phrase sum is order-free;
+    ties break (score desc, phrase asc).
+
+    Scale shape: tokenize + island windows shuffle on the doc key only;
+    word stats aggregate on the token key; phrase scores join the
+    distinct-phrase table (bounded by distinct phrases) against word
+    scores; the final top-k is a mergeable orderBy+limit."""
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(norm, " +")).alias("_pos", "_tok"),
+    ).withColumn("_stop", F.col("_tok").isin(RAKE_STOPWORDS))
+    w_doc = Window.partitionBy("_doc").orderBy("_pos")
+    grouped = toks.withColumn(
+        "_grp", F.sum(F.when(F.col("_stop"), 1).otherwise(0)).over(w_doc)
+    ).filter(~F.col("_stop") & (F.col("_tok") != ""))
+    phrases = grouped.groupBy("_doc", "_grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    word_stats = (
+        grouped.join(phrases.select("_doc", "_grp", "_len"), on=["_doc", "_grp"])
+        .groupBy("_tok")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_len").alias("_deg"),
+        )
+        .select(
+            "_tok",
+            (F.col("_deg").cast("double") / F.col("_freq").cast("double"))
+            .cast("decimal(30,15)")
+            .alias("_wscore"),
+        )
+    )
+    distinct_phrases = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    member = distinct_phrases.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split(F.col("phrase"), " ")).alias("_tok"),
+    )
+    scored = member.join(word_stats, on="_tok").groupBy(
+        "phrase", "n_occurrences"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum("_wscore").cast("double").alias("rake_score"),
+    )
+    return scored.select(
+        "phrase", "n_words", "n_occurrences", "rake_score"
+    ).orderBy(F.desc("rake_score"), F.asc("phrase")).limit(top)

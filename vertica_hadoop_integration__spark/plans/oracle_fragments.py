@@ -216,3 +216,34 @@ def minhash_probe_portable_cte(
                   - len(list_intersect(sn.shs, sc.shs)) AS DOUBLE) AS jaccard
       FROM cand JOIN sig_n sn ON sn.doc_id = cand.new_id
                 JOIN sig_c sc ON sc.doc_id = cand.corpus_id)"""
+
+
+def lpa_cte(iters: int = 3) -> tuple[str, str]:
+    """The label-propagation replay over the part co-order graph
+    (orderkey % 3 slice) as a reusable WITH-body: returns (cte_body,
+    final_label_table) so graph_label_propagation's oracle and any
+    consumer of its communities (graph_modularity) replay the IDENTICAL
+    sweeps.  The body defines ``e`` (u, v, w — both directions, exact
+    co-order counts) and ``l{iters}`` (node, label)."""
+    body = """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    pairs AS (SELECT a.p AS u, b.p AS v FROM li a
+              JOIN li b ON a.o = b.o AND a.p <> b.p),
+    e AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM pairs
+          GROUP BY 1, 2),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM n)"""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        body += f""",
+    c{i} AS (SELECT e.u, l.label, SUM(e.w) AS ws
+             FROM e JOIN {prev} l ON l.node = e.v GROUP BY 1, 2),
+    p{i} AS (SELECT u, label FROM (
+               SELECT *, row_number() OVER (PARTITION BY u
+                   ORDER BY ws DESC, label) AS rn FROM c{i})
+             WHERE rn = 1),
+    l{i} AS (SELECT n.node, COALESCE(p{i}.label, n.node) AS label
+             FROM n LEFT JOIN p{i} ON p{i}.u = n.node)"""
+        prev = f"l{i}"
+    return body, prev

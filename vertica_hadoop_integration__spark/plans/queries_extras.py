@@ -4595,30 +4595,12 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- label-propagation communities (iteration-replay oracle) -------------------
 def _lpa_oracle(iters: int = 3) -> str:
-    body = """
-    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-                WHERE l_orderkey % 3 = 0),
-    pairs AS (SELECT a.p AS u, b.p AS v FROM li a
-              JOIN li b ON a.o = b.o AND a.p <> b.p),
-    e AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM pairs
-          GROUP BY 1, 2),
-    n AS (SELECT DISTINCT u AS node FROM e),
-    l0 AS (SELECT node, node AS label FROM n)"""
-    prev = "l0"
-    for i in range(1, iters + 1):
-        body += f""",
-    c{i} AS (SELECT e.u, l.label, SUM(e.w) AS ws
-             FROM e JOIN {prev} l ON l.node = e.v GROUP BY 1, 2),
-    p{i} AS (SELECT u, label FROM (
-               SELECT *, row_number() OVER (PARTITION BY u
-                   ORDER BY ws DESC, label) AS rn FROM c{i})
-             WHERE rn = 1),
-    l{i} AS (SELECT n.node, COALESCE(p{i}.label, n.node) AS label
-             FROM n LEFT JOIN p{i} ON p{i}.u = n.node)"""
-        prev = f"l{i}"
+    from .oracle_fragments import lpa_cte
+
+    body, final = lpa_cte(iters)
     return body + f"""
     SELECT node AS l_partkey, CAST(label AS BIGINT) AS community
-    FROM {prev}
+    FROM {final}
     """
 
 
