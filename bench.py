@@ -226,6 +226,7 @@ HEADLINE = [
     "graph_modularity",
     "dedup_cross_source_matrix",
     "text_rake_keywords",
+    "ann_pca_lossless_audit",
 ]
 
 

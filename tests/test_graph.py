@@ -145,3 +145,73 @@ def test_triangle_count_edge_cases(spark):
         "doc_id_a long, doc_id_b long",
     )
     assert triangle_count(k4).collect()[0]["n_triangles"] == 4
+
+
+class TestLinkPredictionHubCap:
+    """r09 verdict item 2: the wedge expansion must be bounded under
+    hub skew.  A planted hub of degree >> max_degree contributes at
+    most max_degree^2 wedges (deterministic md5-rank neighbor sample);
+    pairs whose wedge centers are below the cap are byte-identical to
+    the uncapped run."""
+
+    def _graph(self, spark):
+        edges = []
+        for c in (1, 3):  # two degree-2 wedge centers -> pair (100,101)
+            edges += [(c, 100), (c, 101)]
+        for h in (2, 4):  # two planted hubs, degree 40 each
+            edges += [(h, x) for x in range(200, 240)]
+        return spark.createDataFrame(edges, "u long, v long")
+
+    def _canon(self, df):
+        return {
+            (r.a, r.b): (r.n_common, round(r.jaccard, 9))
+            for r in df.collect()
+        }
+
+    def test_non_hub_pairs_unchanged_and_hub_fanout_cut(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import (
+            jaccard_link_prediction,
+        )
+
+        g = self._graph(spark)
+        capped = self._canon(
+            jaccard_link_prediction(g, top=2000, min_common=2, max_degree=5)
+        )
+        uncapped = self._canon(
+            jaccard_link_prediction(
+                g, top=2000, min_common=2, max_degree=None
+            )
+        )
+        # the low-degree-center pair survives the cap bit-identically
+        assert capped[(100, 101)] == uncapped[(100, 101)] == (2, 1.0)
+        # capping only removes wedges: no new pairs, no higher counts
+        assert set(capped) <= set(uncapped)
+        for k, (nc, _) in capped.items():
+            assert nc <= uncapped[k][0]
+        # hub-mediated pairs (both endpoints in the hubs' leaf range)
+        # collapse from C(40,2)=780 to at most C(5,2)-ish survivors
+        hub_pairs = lambda d: [  # noqa: E731
+            k for k in d if 200 <= k[0] < 240 and 200 <= k[1] < 240
+        ]
+        assert len(hub_pairs(uncapped)) == 780
+        assert len(hub_pairs(capped)) < 40, (
+            "hub cap did not bound the wedge fan-out"
+        )
+
+    def test_cap_is_deterministic_across_runs(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import (
+            jaccard_link_prediction,
+        )
+
+        g = self._graph(spark)
+        r1 = self._canon(
+            jaccard_link_prediction(
+                g.repartition(7), top=2000, min_common=2, max_degree=5
+            )
+        )
+        r2 = self._canon(
+            jaccard_link_prediction(
+                g.repartition(3), top=2000, min_common=2, max_degree=5
+            )
+        )
+        assert r1 == r2

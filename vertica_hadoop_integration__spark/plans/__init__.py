@@ -49,6 +49,9 @@ _HEAD_PROMOTE: list[str] = [
     # the new oracles.
     "embedding_kmeans",
     "ann_ivf_kmeans_topk",
+    "embedding_pca_project",
+    "multimodal_audio_spectrum",
+    "text_logreg_train",
     # r10: hub-degree cap added to the wedge expansion (plan + oracle
     # changed together; the oracle replays the cap).
     "graph_link_prediction",

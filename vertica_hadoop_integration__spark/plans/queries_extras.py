@@ -3447,7 +3447,19 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- distributed PCA (moment-matrix reduction + driver eigensolve) ---------
-@register("embedding_pca_project")
+@register(
+    "embedding_pca_project",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(len(embedding)) AS INT) AS dim,
+           CAST(4 AS INT) AS k,
+           TRUE AS orthonormal_ok,
+           TRUE AS variance_ordered_ok,
+           TRUE AS centered_ok,
+           TRUE AS variance_match_ok
+    FROM embeddings
+    """,
+)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA 64 -> 4 dims over the embedding table (operators/
     similarity.py::pca_projection): one map-only Arrow pass reduces
@@ -3455,17 +3467,63 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     by batch count) to a 64x64 covariance, numpy.linalg.eigh solves it
     driver-side, and a second map-only pass projects every vector onto
     the sign-fixed top-4 basis. The corpus is scanned twice and
-    shuffled never — MLlib's Gramian shape. Rows-only by design
-    (eigendecomposition is not SQL-expressible); orthonormality,
-    variance ordering, determinism, and agreement with an exact numpy
-    PCA on the collected fixture are pytest-asserted
-    (tests/test_pca.py)."""
+    shuffled never — MLlib's Gramian shape.
+
+    Audit-oracle form since r10 (previously rows-only — the
+    embedding_kmeans precedent): the eigensolve itself is not
+    SQL-expressible, so the query certifies the END-TO-END pipeline
+    with replayable counts plus invariants computed FOR REAL —
+    (a) the basis is orthonormal, (b) explained variance is
+    non-increasing, (c) the DISTRIBUTED projection is centered
+    (per-dim mean ~ 0), and (d) each projected dimension's population
+    variance equals the fitted eigenvalue (within 1e-6 relative) —
+    (d) is the genuine end-to-end check tying the second Arrow pass to
+    the driver-side eigensolve.  Exact-numpy agreement on the
+    collected fixture stays pytest-asserted (tests/test_pca.py); the
+    per-row projections stay available from the operator directly."""
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings")
-    out = S.pca_projection(e, k=4)
-    # stable scalar schema for the driver's rows-only check
-    return out.select(
-        "vec_id",
-        *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(4)],
+    mean, comps, ev = S.pca_fit(e, k=4)
+    proj = S.pca_project(e, mean, comps, ev)
+    stats = (
+        proj.select(F.posexplode("pc").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("x").alias("m"),
+            F.var_pop("x").alias("v"),
+        )
+        .collect()
+    )
+    n_vectors = stats[0]["n"]
+    orthonormal_ok = bool(
+        np.max(np.abs(comps @ comps.T - np.eye(comps.shape[0]))) < 1e-9
+    )
+    variance_ordered_ok = bool(np.all(np.diff(ev) <= 1e-12))
+    centered_ok = all(
+        abs(r["m"]) < 1e-6 * max(1.0, float(np.sqrt(ev[r["d"]])))
+        for r in stats
+    )
+    variance_match_ok = all(
+        abs(r["v"] - float(ev[r["d"]])) <= 1e-6 * max(float(ev[r["d"]]), 1e-12)
+        for r in stats
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                int(len(mean)),
+                4,
+                orthonormal_ok,
+                variance_ordered_ok,
+                bool(centered_ok),
+                bool(variance_match_ok),
+            )
+        ],
+        "n_vectors long, dim int, k int, orthonormal_ok boolean, "
+        "variance_ordered_ok boolean, centered_ok boolean, "
+        "variance_match_ok boolean",
     )
 
 

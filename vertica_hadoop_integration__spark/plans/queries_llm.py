@@ -1016,15 +1016,84 @@ def text_logreg_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.logreg_train_step(d)
 
 
-# -- logreg training loop (rows-only by design: iterative) -----------------
-@register("text_logreg_train")
+# -- logreg training loop (full-replay oracle since r10) -------------------
+def _logreg_train_oracle(iters: int = 3, lr: float = 0.5) -> str:
+    """Unroll the training loop: each iteration is the (driver-green)
+    text_logreg_train_step oracle with weights chained from the
+    previous iteration's update instead of literals — the
+    ann_ivf_kmeans_topk unroll pattern applied to gradient descent.
+    Exactness carries because the step is bitwise-replayable (ln/exp
+    parity + DECIMAL(30,15) order-free gradient sums) and the Spark
+    loop re-parameterizes each step with the exact collected doubles
+    the previous step's oracle-identical arithmetic produced."""
+    body = r"""
+    WITH t AS (
+        SELECT length(text) AS n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+               length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> list_contains(['the','and','of','to','a'], x))) AS sw
+        FROM documents),
+    f AS (
+        SELECT ln(CAST(n_tok AS DOUBLE)) AS x1,
+               CAST(sw AS DOUBLE) / CAST(n_tok AS DOUBLE) AS x2,
+               CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x3,
+               CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS x4,
+               CASE WHEN n_chars >= 100 AND n_tok >= 20
+                         AND n_punct * 5 <= n_chars
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+               END AS y
+        FROM t),
+    w0 AS (SELECT CAST(-1.5 AS DOUBLE) AS b, CAST(0.6 AS DOUBLE) AS c1,
+                  CAST(8.0 AS DOUBLE) AS c2, CAST(-12.0 AS DOUBLE) AS c3,
+                  CAST(-0.35 AS DOUBLE) AS c4)"""
+    for i in range(1, iters + 1):
+        p = f"w{i - 1}"
+        body += f""",
+    r{i} AS (SELECT 1.0 / (1.0 + exp(-(b + c1 * x1 + c2 * x2
+                                       + c3 * x3 + c4 * x4))) - y AS res,
+                    x1, x2, x3, x4
+             FROM f CROSS JOIN {p}),
+    s{i} AS (SELECT COUNT(*) AS n,
+                    SUM(CAST(res * 1.0 AS DECIMAL(30,15))) AS s0,
+                    SUM(CAST(res * x1 AS DECIMAL(30,15))) AS s1,
+                    SUM(CAST(res * x2 AS DECIMAL(30,15))) AS s2,
+                    SUM(CAST(res * x3 AS DECIMAL(30,15))) AS s3,
+                    SUM(CAST(res * x4 AS DECIMAL(30,15))) AS s4
+             FROM r{i}),
+    w{i} AS (SELECT
+                 b  - CAST({lr} AS DOUBLE) * (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) AS b,
+                 c1 - CAST({lr} AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS c1,
+                 c2 - CAST({lr} AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) AS c2,
+                 c3 - CAST({lr} AS DOUBLE) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) AS c3,
+                 c4 - CAST({lr} AS DOUBLE) * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)) AS c4
+             FROM s{i} CROSS JOIN {p})"""
+    tails = []
+    for i in range(0, iters + 1):
+        tails.append(f"""
+    SELECT CAST({i} AS INT) AS step, u.feature, u.weight
+    FROM w{i}, LATERAL (VALUES
+        ('bias', b), ('ln_tokens', c1), ('stopword_ratio', c2),
+        ('punct_ratio', c3), ('avg_token_len', c4)
+    ) AS u(feature, weight)""")
+    return body + "\n    UNION ALL".join(tails)
+
+
+@register("text_logreg_train", oracle=_logreg_train_oracle())
 def text_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three full-batch gradient rounds of the quality classifier
     (operators/text.py::logreg_train): the k-means-style driver loop
     over the oracle-checked step — one corpus scan + 5-value reduce per
-    round, weight trajectory out. Rows-only (iterative); the loop is
-    numpy-parity pytest-pinned and each step is individually
-    oracle-checked via text_logreg_train_step."""
+    round, weight trajectory (step, feature, weight) out.
+
+    Full-replay oracle since r10 (previously rows-only): the unrolled
+    SQL chains three copies of the bitwise-replayable step — sigmoid
+    residuals, DECIMAL(30,15) order-free gradient sums, the lr=0.5
+    update — through scalar weight CTEs, exactly the
+    ann_ivf_kmeans_topk loop-unroll pattern.  The driver loop
+    re-parameterizes each step with the previous step's collected
+    doubles, so every published trajectory cell hash-compares.
+    Numpy-parity stays pytest-pinned."""
     d = load_table(spark, sf_dir, "documents")
     return T.logreg_train(d, iters=3)
 

@@ -410,16 +410,35 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_dedup(media, max_hamming=3)
 
 
-# -- audio spectral features (rows-only; generator-parameter pytest) -------
-@register("multimodal_audio_spectrum")
+# -- audio spectral features (analytic oracle since r10) -------------------
+@register(
+    "multimodal_audio_spectrum",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1600 + ((doc_id % 40) % 5) * 320 AS BIGINT) AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(2 + ((doc_id % 40) % 7) AS INT) AS dominant_env_cycles,
+           TRUE AS env_power_ok
+    FROM documents
+    """,
+)
 def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelope-spectrum feature extraction per clip (operators/
     multimodal.py::audio_envelope_spectrum): FFT of the rectified
     signal -> dominant modulation frequency (cycles/clip) + relative
-    power — the curation-grade audio descriptor. Rows-only (no FFT in
-    SQL); the dominant bin is pytest-pinned to the synthesizer's exact
-    per-class modulation parameter fm = 2 + (cls % 7), which the
-    rectified square wave preserves analytically."""
+    power — the curation-grade audio descriptor.
+
+    Analytic oracle since r10 (previously rows-only): the synthesizer
+    modulates each clip's envelope at EXACTLY fm = 2 + (doc_id%40 % 7)
+    integer cycles per clip (amplitude 0.3) plus a weaker harmonic
+    (0.15), both landing in exact rfft bins, so the FFT's winning bin —
+    the per-clip output cell, not an aggregate — replays analytically
+    as arithmetic on doc_id, as do n_frames and the sample rate.  The
+    relative power (~0.8, or ~1.0 when the harmonics coincide, minus
+    int16 quantization noise) is published as the env_power_ok > 0.5
+    majority boolean, computed for real.  The FFT itself stays
+    non-SQL; what the oracle certifies is the full decode -> rectify ->
+    rfft -> argmax pipeline against the generator's closed form."""
     from ..operators.multimodal import (
         audio_envelope_spectrum,
         synthesize_am_audio_media,
@@ -427,4 +446,11 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_am_audio_media(d)
-    return audio_envelope_spectrum(media)
+    out = audio_envelope_spectrum(media)
+    return out.select(
+        "media_id",
+        "n_frames",
+        "sample_rate",
+        "dominant_env_cycles",
+        (F.col("env_power_frac") > F.lit(0.5)).alias("env_power_ok"),
+    )

@@ -122,8 +122,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     >1 day before the corpus edge = churned at their duration (the
     fixture's events span ~30 days of dense activity, so the
     operator's 60-day production default censors everyone; the horizon
-    is the caller's contract), still active near the edge = CENSORED — the estimator's whole point vs a
-    naive churn histogram.  One user-keyed aggregation is the only fact
+    is the caller's contract), still active near the edge = CENSORED —
+    the estimator's whole point vs a naive churn histogram.  One
+    user-keyed aggregation is the only fact
     shuffle; the KM product runs as exp(sum(ln)) with DECIMAL(30,15)
     per-step factors over the calendar-bounded duration spine (the
     unigram-logprob pattern), every step replayed in the oracle."""
@@ -348,3 +349,101 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return rake_keywords(d, top=50)
+
+
+# -- PCA ANN lossless-rotation equivalence audit -------------------------------
+@register(
+    "ann_pca_lossless_audit",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+           TRUE AS ids_match, TRUE AS cos_dev_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def ann_pca_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence audit for the PCA ANN path (the
+    ann_cosine_topk_arrow audit pattern): at pca_k = d the projection
+    is a pure rotation, so the projected-space L2 candidate cut is
+    mathematically lossless — pca_topk's distributed machinery
+    (map-side projection, per-batch partial top-k, candidate shuffle,
+    exact rerank) must return the IDENTICAL ranked list as a trusted
+    exact leg (brute-force L2 candidates through the same cosine
+    rerank).  Published per query: n_results plus ids_match /
+    cos_dev_ok booleans computed FOR REAL by joining the two legs on
+    (query_id, rank).  This upgrades tests/test_pca.py's
+    lossless-rotation pytest to a driver-verified row; the production
+    bottleneck config (pca_k=16) stays registered as ann_pca_topk
+    (rows-only: the eigensolve is not SQL-expressible and a 16-dim cut
+    on isotropic random embeddings has no invariant recall)."""
+    from pyspark.sql import Window
+    from ..operators.similarity import (
+        brute_force_topk,
+        cosine,
+        dot,
+        pca_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    dim = len(e.select("embedding").first()[0])
+    leg_a = pca_topk(e, q, k=5, pca_k=dim, oversample=4)
+
+    def neg_d2(a, b):
+        return -(dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b))
+
+    cand_b = brute_force_topk(e, q, k=20, scorer=neg_d2).select(
+        "query_id", "neighbor_id"
+    )
+    rer = (
+        cand_b.join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cv"),
+            ),
+            on="neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("_qv"),
+                )
+            ),
+            on="query_id",
+        )
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    leg_b = (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+    j = (
+        leg_a.select(
+            "query_id", "rank",
+            F.col("neighbor_id").alias("_an"), F.col("cos_sim").alias("_ac"),
+        )
+        .join(
+            leg_b.select(
+                "query_id", "rank",
+                F.col("neighbor_id").alias("_bn"),
+                F.col("cos_sim").alias("_bc"),
+            ),
+            on=["query_id", "rank"],
+            how="full",
+        )
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        F.bool_and(
+            F.col("_an").isNotNull()
+            & F.col("_bn").isNotNull()
+            & (F.col("_an") == F.col("_bn"))
+        ).alias("ids_match"),
+        F.bool_and(
+            F.abs(F.col("_ac") - F.col("_bc")) <= F.lit(1e-9)
+        ).alias("cos_dev_ok"),
+    )
