@@ -20,6 +20,9 @@ BNLJ_OK = {
     "range_join_price_bands",   # broadcast interval dimension (non-equi)
     "ann_cosine_topk",          # broadcast query vectors vs corpus scan
     "ann_cosine_topk_arrow",    # same kernel, Arrow scorer
+    "ann_pca_lossless_audit",   # exact leg = brute_force_topk (broadcast
+                                # query vectors vs corpus scan, the
+                                # ann_cosine_topk shape)
     "ann_range_search",         # broadcast query side, radius predicate
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
     "ann_ivf_filtered_topk",    # same probe pipeline (broadcast centroid
