@@ -227,6 +227,7 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "text_rake_keywords",
     "ann_pca_lossless_audit",
+    "graph_adamic_adar",
 ]
 
 

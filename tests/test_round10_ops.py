@@ -235,3 +235,52 @@ class TestRakeKeywords:
         ]
         # each word: freq 2, deg 4 -> score 2; phrase score 4, seen twice
         assert out == [("green tea", 2, 4.0)]
+
+
+class TestAdamicAdar:
+    def test_degree_discounted_score_by_hand(self, spark):
+        import math
+
+        from vertica_hadoop_integration__spark.operators.graph import (
+            adamic_adar_link_prediction,
+        )
+
+        # centers: node 1 (deg 2: 100,101) and node 2 (deg 3: 100,101,102)
+        g = spark.createDataFrame(
+            [(1, 100), (1, 101), (2, 100), (2, 101), (2, 102)],
+            "u long, v long",
+        )
+        out = {
+            (r.a, r.b): (r.n_common, r.adamic_adar)
+            for r in adamic_adar_link_prediction(
+                g, top=10, min_common=2
+            ).collect()
+        }
+        # the symmetric graph yields two unlinked 2-common pairs:
+        # (100,101) via centers {1,2} and (1,2) via centers {100,101}
+        assert set(out) == {(100, 101), (1, 2)}
+        n, aa = out[(100, 101)]
+        assert n == 2
+        # rare center (deg 2) outweighs the busier one (deg 3)
+        assert aa == pytest.approx(1 / math.log(2) + 1 / math.log(3), rel=1e-12)
+        # both mediating leaves of (1,2) have degree 2
+        assert out[(1, 2)][1] == pytest.approx(2 / math.log(2), rel=1e-12)
+
+    def test_hub_cap_applies_to_wedges_not_weights(self, spark):
+        from vertica_hadoop_integration__spark.operators.graph import (
+            adamic_adar_link_prediction,
+        )
+
+        # a hub of degree 40 mediating every pair: with cap 5 only the
+        # kept-neighbor pairs survive, and each survivor's weight still
+        # uses the FULL degree 40
+        import math
+
+        edges = [(9, x) for x in range(100, 140)]
+        g = spark.createDataFrame(edges, "u long, v long")
+        out = adamic_adar_link_prediction(
+            g, top=1000, min_common=1, max_degree=5
+        ).collect()
+        assert 0 < len(out) <= 10  # C(5,2) pairs at most
+        for r in out:
+            assert r.adamic_adar == pytest.approx(1 / math.log(40), rel=1e-12)

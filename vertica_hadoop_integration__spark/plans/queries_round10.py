@@ -447,3 +447,62 @@ def ann_pca_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_ac") - F.col("_bc")) <= F.lit(1e-9)
         ).alias("cos_dev_ok"),
     )
+
+
+# -- Adamic-Adar link prediction ------------------------------------------------
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 3 = 0),
+    pairs AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+              JOIN li b ON a.o = b.o AND a.p <> b.p),
+    deg AS (SELECT u, count(*) AS d FROM pairs GROUP BY 1),
+    capped AS (SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY u
+            ORDER BY md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)))
+            AS hr
+        FROM pairs) t WHERE hr <= 64),
+    wedge AS (SELECT x.v AS a, y.v AS b, x.u AS w FROM capped x
+              JOIN capped y ON x.u = y.u WHERE x.v < y.v),
+    weighted AS (SELECT a, b,
+                        CAST(1.0 / ln(CAST(d.d AS DOUBLE)) AS DECIMAL(30,15))
+                            AS wt
+                 FROM wedge JOIN deg d ON d.u = wedge.w),
+    common AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+                      sum(wt) AS aa
+               FROM weighted GROUP BY 1, 2 HAVING count(*) >= 2),
+    cand AS (SELECT c.a, c.b, c.n_common, c.aa FROM common c
+             LEFT JOIN pairs p ON p.u = c.a AND p.v = c.b
+             WHERE p.u IS NULL)
+    SELECT a, b, n_common, CAST(aa AS DOUBLE) AS adamic_adar
+    FROM cand ORDER BY adamic_adar DESC, a, b LIMIT 50
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part co-order graph
+    (operators/graph.py::adamic_adar_link_prediction; Adamic & Adar
+    2003): top-50 unlinked pairs by the degree-discounted
+    shared-neighbor score sum(1/ln(deg(w))) — the companion ranking to
+    graph_link_prediction's Jaccard: a shared RARE neighbor is strong
+    evidence, a shared hub nearly none, which is the discounting the
+    Jaccard score lacks.  Same hub-capped (max_degree=64, md5-rank)
+    wedge machinery, weights from the FULL exact degrees,
+    DECIMAL(30,15) order-free score sums, mergeable top-k; the oracle
+    replays cap, wedges, weights and the ranking end to end."""
+    from ..operators.graph import adamic_adar_link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.collect_list("p").alias("ps"))
+        .select(F.explode("ps").alias("p"), "ps")
+        .select("p", F.explode("ps").alias("q"))
+        .filter(F.col("p") != F.col("q"))
+    )
+    return adamic_adar_link_prediction(
+        pairs, top=50, min_common=2, src="p", dst="q", max_degree=64
+    )
