@@ -429,12 +429,15 @@ def main() -> None:
         )
         if not (breached or trials_disagree):
             continue
-        # Over-budget lines get up to 4 extra trials, stopping as soon
-        # as one lands under budget (r09: a fixed 2 extra trials during
-        # a still-live burst left 24 breaches standing whose quiet-host
-        # numbers were all under budget — give the burst more chances
-        # to move on).  Spread-only flags keep the cheap 2.
-        max_extra = 4 if breached else 2
+        # SYMMETRIC re-measure (r10 ADVICE): every flagged query — over
+        # budget or spread-flagged alike — gets the SAME fixed number of
+        # extra trials, with no early stop on an under-budget sample.
+        # The r10 stop-on-first-pass policy was biased: passes were
+        # never re-confirmed, so one lucky fast sample on a noisy host
+        # could clear a real regression.  The breach decision below uses
+        # the MEDIAN of all trials, so a single quiet (or noisy) outlier
+        # cannot flip it either way.
+        max_extra = 3
         extra: list[float] = []
         try:
             for _ in range(max_extra):
@@ -450,8 +453,6 @@ def main() -> None:
                 ).collect()
                 extra.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
-                if breached and extra[-1] <= bud:
-                    break
         except Exception:  # noqa: BLE001
             continue
         all_trials = runs[name] + [round(t, 4) for t in extra]
@@ -481,14 +482,16 @@ def main() -> None:
         runs[name] = all_trials
 
     # final breach list: the judge's per-round check reads this directly
-    # instead of re-deriving it — every entry already survived the
-    # under-budget-seeking re-measure above.
+    # instead of re-deriving it.  Keyed on the MEDIAN of all trials
+    # (r10 ADVICE: a robust statistic, not the min — the min rewards one
+    # lucky sample), with the min reported alongside for context.
     breaches = {
-        name: {"sec": times[name], "budget": _budgets[name],
-               "ratio": round(times[name] / _budgets[name], 2)}
+        name: {"sec": medians[name], "min_sec": times[name],
+               "budget": _budgets[name],
+               "ratio": round(medians[name] / _budgets[name], 2)}
         for name in times
         if name in _budgets and _budgets[name] > 0
-        and times[name] > _budgets[name]
+        and medians[name] > _budgets[name]
     }
     # provenance stamp (r09 ADVICE): the regression gate in
     # tests/test_bench.py validates that its basis artifact was produced
@@ -534,12 +537,12 @@ def main() -> None:
             "per-query trials with cache clearing; >=2 trials, retrying "
             "(max 4) until the two fastest agree within 20%; 'queries'/"
             "'value' = min, 'queries_median'/'suite_median_seconds' = "
-            "median, all trials under 'runs'; end-of-suite re-measure of "
-            "any query with >1.5x trial spread (2 extra trials) or over "
-            "budget (up to 4 extra trials, stopping when one lands under "
-            "budget), names under 'remeasured', pre-re-measure totals "
-            "under 'value_in_loop'/'suite_median_in_loop'; surviving "
-            "breaches under 'breaches'; provenance under "
+            "median, all trials under 'runs'; end-of-suite symmetric "
+            "re-measure of any query with >1.5x trial spread or over "
+            "budget (fixed 3 extra trials each, no early stop), names "
+            "under 'remeasured', pre-re-measure totals under "
+            "'value_in_loop'/'suite_median_in_loop'; breaches keyed on "
+            "median of all trials under 'breaches'; provenance under "
             "'git_sha'/'loadavg'"
         ),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,

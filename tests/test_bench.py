@@ -108,9 +108,10 @@ def test_per_query_budget_vs_round5():
             candidate = json.load(fh)
         if candidate.get("sf") != 0.1:
             continue
-        # pre-stamp artifacts (no git_sha) from before this guard keep
-        # the close-out contract they were committed under
-        if "git_sha" in candidate and not _current(candidate):
+        # r10 ADVICE: the one transition round for pre-stamp artifacts
+        # is over — a basis artifact with NO git_sha is treated as stale
+        # (otherwise stripping the key would silently defeat the guard).
+        if not _current(candidate):
             continue
         latest, basis = candidate, fname
         break

@@ -1442,6 +1442,7 @@ def minhash_probe_portable(
     bands: int = 4,
     min_jaccard: float = 0.5,
     shingle_n: int = 3,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """The incremental-dedup probe (minhash_index/minhash_probe's
     shape) through the portable md5-60 hash — the oracle-checked
@@ -1525,14 +1526,20 @@ def minhash_probe_portable(
         "corpus_id",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     ).filter(F.col("jaccard") >= min_jaccard)
-    # eagerly materialize the verified-pair result (bounded by the
-    # batch's duplicate count) and release both persisted signature
-    # frames — the mmr_rerank pattern: a long-lived ingest session
-    # otherwise pins one corpus-sized signature cache per probe call
-    # (r09 ADVICE).
-    out = out.localCheckpoint(eager=True)
-    corpus_sigs.unpersist()
-    batch_sigs.unpersist()
+    if eager_cleanup:
+        # Long-lived ingest sessions (repeated probe calls against a
+        # growing corpus) must not pin one corpus-sized signature cache
+        # per call (r09 ADVICE): materialize the verified-pair result
+        # (bounded by the batch's duplicate count) eagerly and release
+        # both persisted signature frames before returning.  The eager
+        # job costs a full extra pass, so single-shot batch callers —
+        # the registered query included — take the lazy default and let
+        # session teardown / caller clearCache() reclaim the frames
+        # (r10 VERDICT: the unconditional eager path regressed the
+        # bench 1.84x for zero hygiene benefit in a one-action session).
+        out = out.localCheckpoint(eager=True)
+        corpus_sigs.unpersist()
+        batch_sigs.unpersist()
     return out
 
 

@@ -752,11 +752,14 @@ def modularity(
         )
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        # persist, not localCheckpoint: all three consumers (two_m, deg,
-        # in_c) sit under ONE final action, so the lazy cache computes
-        # once on first use without an extra eager job (caller owns
-        # cleanup, the suite-wide persist contract)
-        .persist()
+        # LAZY localCheckpoint, not persist (r10 ADVICE): all three
+        # consumers (two_m, deg, in_c) sit under ONE final action, so
+        # the checkpoint materializes once on first use with no extra
+        # eager job — same one-compute behavior as persist — but its
+        # blocks are ContextCleaner-reclaimed when the result frame goes
+        # out of scope, instead of pinning one edge-sized cache per call
+        # in a long-lived session (no caller-owned cleanup needed).
+        .localCheckpoint(eager=False)
     )
     lab = labels.select(
         F.col(node_col).cast("long").alias("_n"),

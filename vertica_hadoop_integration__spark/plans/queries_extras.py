@@ -4673,22 +4673,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, ties by smallest label; three sweeps replayed one-for-one
     in the oracle (the pagerank pattern).  Pair expansion is the
     bounded collect_list double-explode; per-sweep plans stay flat via
-    lineage truncation."""
-    from ..operators.graph import label_propagation
+    lineage truncation.
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 3 == 0
-    )
-    pairs = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .groupBy("o")
-        .agg(F.collect_list("p").alias("ps"))
-        .select(F.explode("ps").alias("p"), "ps")
-        .select("p", F.explode("ps").alias("q"))
-        .filter(F.col("p") != F.col("q"))
-    )
-    edges = pairs.groupBy("p", "q").agg(F.count(F.lit(1)).alias("w"))
-    out = label_propagation(edges, src="p", dst="q", weight="w", iters=3)
+    Serves from the shared materialized community table
+    (plans/shared_graph.py, r10 VERDICT item 4): the labels are built
+    once per session and also feed graph_modularity; the oracle still
+    replays the full derivation from raw lineitem."""
+    from .shared_graph import coorder_graph_and_labels
+
+    _edges, out = coorder_graph_and_labels(spark, sf_dir)
     return out.select(
         F.col("node").alias("l_partkey"),
         F.col("community").cast("bigint").alias("community"),

@@ -228,29 +228,18 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical LPA sweeps via the shared lpa_cte fragment, then the
     exact-BIGINT in/degree/2m aggregates and the one fixed double
     association.  Two node-keyed label joins + community-bounded
-    aggregates — the LPA per-round shape, nothing quadratic."""
-    from ..operators.graph import label_propagation, modularity
+    aggregates — the LPA per-round shape, nothing quadratic.
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 3 == 0
-    )
-    pairs = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .groupBy("o")
-        .agg(F.collect_list("p").alias("ps"))
-        .select(F.explode("ps").alias("p"), "ps")
-        .select("p", F.explode("ps").alias("q"))
-        .filter(F.col("p") != F.col("q"))
-    )
-    # materialize the co-order edge list ONCE: both the LPA sweeps and
-    # the modularity aggregates consume it, and the collect_list
-    # double-explode is the expensive part of the lineage
-    edges = (
-        pairs.groupBy("p", "q")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
-    )
-    labels = label_propagation(edges, src="p", dst="q", weight="w", iters=3)
+    Scores the SHARED materialized community table
+    (plans/shared_graph.py, r10 VERDICT item 4): modularity takes a
+    supplied label table — re-deriving the LPA sweeps here doubled the
+    query's cost for no semantic gain.  The oracle still replays the
+    full LPA derivation inline via the shared lpa_cte fragment, so the
+    maintained table is re-proven against raw lineitem every run."""
+    from ..operators.graph import modularity
+    from .shared_graph import coorder_graph_and_labels
+
+    edges, labels = coorder_graph_and_labels(spark, sf_dir)
     return modularity(
         edges, labels, src="p", dst="q", weight="w",
         node_col="node", label_col="community",

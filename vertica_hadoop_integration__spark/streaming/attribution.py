@@ -76,6 +76,66 @@ def read_report(spark, report_dir: str) -> DataFrame:
     return spark.read.parquet(report_dir.rstrip("/") + "/report")
 
 
+_LEGACY_TID_SENTINEL = -(2**63)  # Long.MIN: loses every (ts, id) tie
+
+
+def _migrate_legacy_state(spark, touch_dir: str) -> None:
+    """One-shot upgrade of pre-r10 in-place touch state (r10 ADVICE):
+    the r10 snapshot-per-batch rework left a pre-existing deployment's
+    parquet files sitting DIRECTLY under ``touch_dir`` (and without the
+    ``t_id`` column), where ``_latest_snapshot``'s digit-only listing
+    ignores them — so the first post-upgrade batch would silently treat
+    every user as having no carried touch and attribute straddling
+    conversions NULL/organic.
+
+    If legacy part-files are present and NO digit-named snapshot exists
+    yet, rewrite them as snapshot ``0`` with ``t_id`` backfilled to
+    Long.MIN — the sentinel deterministically loses any (ts, event_id)
+    tie against a post-upgrade event, the conservative resolution for a
+    row whose true event id was never recorded — then remove the legacy
+    files.  Later batches (id >= 1) resolve snapshot 0 like any other;
+    a fresh-checkpoint batch 0 replays the stream from scratch and
+    overwrites it, which is also correct."""
+    try:
+        entries = os.listdir(touch_dir)
+    except FileNotFoundError:
+        return
+    if any(d.isdigit() and os.path.isdir(os.path.join(touch_dir, d))
+           for d in entries):
+        return  # already on the snapshot layout
+    legacy = [
+        e for e in entries
+        if os.path.isfile(os.path.join(touch_dir, e))
+        and (e.endswith(".parquet") or e.startswith("part-"))
+    ]
+    if not legacy:
+        return
+    old = spark.read.parquet(*[os.path.join(touch_dir, e) for e in legacy])
+    cols = [F.col("user_id"), F.col("t_ts")]
+    if "t_id" in old.columns:
+        cols.append(F.col("t_id").cast("long"))
+    else:
+        cols.append(
+            F.lit(_LEGACY_TID_SENTINEL).cast("long").alias("t_id")
+        )
+    cols.append(F.col("t_ty"))
+    write_atomic(
+        old.select(*cols), f"{touch_dir}/0", output_format="parquet"
+    )
+    for e in legacy:
+        try:
+            os.remove(os.path.join(touch_dir, e))
+        except OSError:
+            pass
+    for e in entries:  # _SUCCESS / .crc markers of the legacy write
+        p = os.path.join(touch_dir, e)
+        if os.path.isfile(p) and (e == "_SUCCESS" or e.endswith(".crc")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
 def _latest_snapshot(spark, touch_dir: str, before_batch_id: int):
     """The newest committed touch-state snapshot with id < the current
     batch id, or None.  Committed snapshots are enumerated by EXACT
@@ -120,6 +180,7 @@ def make_attribution_sink(
         ledger.enqueue_whole_table(key, "stream", 1)
         if not ledger.pending_exists(key):
             return  # replayed batch, already applied
+        _migrate_legacy_state(spark, touch_dir)
         state = _latest_snapshot(spark, touch_dir, batch_id)
         # in-batch prior touch per row (the batch operator's window)
         w = (
