@@ -23,6 +23,10 @@ BNLJ_OK = {
     "ann_pca_lossless_audit",   # exact leg = brute_force_topk (broadcast
                                 # query vectors vs corpus scan, the
                                 # ann_cosine_topk shape)
+    "ann_pca_topk",             # audit form (r11): the independent
+                                # projected-space leg is brute_force_topk
+                                # over pc arrays (broadcast 10-query
+                                # side); everything else is id-keyed
     "ann_range_search",         # broadcast query side, radius predicate
     "ann_ivf_topk",             # broadcast centroid table (probe assignment)
     "ann_ivf_filtered_topk",    # same probe pipeline (broadcast centroid
@@ -129,6 +133,12 @@ SCALAR_BROADCAST_OK = {
     "events_survival_km",           # 1-row corpus-max-ts + 1-row user-count
                                     # scalars over the bounded day spine
     "graph_modularity",             # 1-row 2m edge-weight total scalar
+    "dedup_minhash_lsh",            # audit form (r11): four 1-row audit
+                                    # aggregates crossed into the single
+                                    # published row
+    "dedup_simhash",                # audit form (r11): same 1-row crosses
+    "dedup_minhash_probe",          # audit form (r11): same 1-row crosses
+    "dedup_minhash_clusters",       # audit form (r11): same 1-row crosses
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 

@@ -1,0 +1,196 @@
+"""Round-11 scaling evidence (r10 verdict items 5 + 6):
+
+* 100x edges for the graph family — graph_link_prediction (the
+  steepest 10x curve in scale_new_ops_round10.json at 7.33x),
+  graph_modularity and graph_kcore — hub cap on, reps 1/10/100 so the
+  curve's shape (not one ratio) is on record.  The bar: no
+  super-linear-PER-ROW entry (ratio_vs_1x <= rep), else a named fix.
+* 10x per-batch rows for the two new streaming twins
+  (stream_retention, stream_funnel): one sink invocation over a
+  replicated batch against carried state from an unreplicated batch 0.
+
+Replica semantics, interleaving, and burst-recovery third trials match
+the r06-r10 harnesses (tools/bench_r10_ops_scale.py).
+
+Usage: python tools/bench_r11_graph_scale.py
+Writes reports/scale_graph_round11.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.1"
+OFF = 1_000_000
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vertica_hadoop_integration__spark.operators.graph import (
+        jaccard_link_prediction,
+        kcore,
+        label_propagation,
+        modularity,
+    )
+    from vertica_hadoop_integration__spark.session import get_session
+    from vertica_hadoop_integration__spark.sources import load_table
+
+    spark = get_session("r11-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df, id_cols, rep):
+        out = [df]
+        for r in range(1, rep):
+            d = df
+            for c in id_cols:
+                d = d.withColumn(c, F.col(c) + F.lit(r * OFF))
+            out.append(d)
+        u = out[0]
+        for d in out[1:]:
+            u = u.unionByName(d)
+        return u
+
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0
+    ).select("l_orderkey", "l_partkey")
+
+    reps = [1, 10, 100]
+    lg = {
+        r: (li if r == 1
+            else replicate(li, ["l_orderkey", "l_partkey"], r)
+            .localCheckpoint())
+        for r in reps
+    }
+
+    def pairs_of(frame):
+        return (
+            frame.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            )
+            .groupBy("o")
+            .agg(F.collect_list("p").alias("ps"))
+            .select(F.explode("ps").alias("p"), "ps")
+            .select("p", F.explode("ps").alias("q"))
+            .filter(F.col("p") != F.col("q"))
+        )
+
+    OPS = {
+        "graph_kcore": lambda r: kcore(
+            pairs_of(lg[r]), k=3, rounds=3, src="p", dst="q"
+        ).count(),
+        "graph_link_prediction": lambda r: jaccard_link_prediction(
+            pairs_of(lg[r]), top=50, min_common=2, src="p", dst="q",
+            max_degree=64,
+        ).count(),
+        "graph_modularity": lambda r: (
+            lambda e: modularity(
+                e,
+                label_propagation(e, src="p", dst="q", weight="w", iters=3),
+                src="p", dst="q", weight="w",
+                node_col="node", label_col="community",
+            ).count()
+        )(pairs_of(lg[r]).groupBy("p", "q").agg(F.count(F.lit(1)).alias("w"))),
+    }
+
+    trials: dict[tuple[str, int], list[float]] = {
+        (name, r): [] for name in OPS for r in reps
+    }
+
+    def run_cell(name, r):
+        t0 = time.perf_counter()
+        OPS[name](r)
+        dt = round(time.perf_counter() - t0, 3)
+        trials[(name, r)].append(dt)
+        spark.catalog.clearCache()
+        print(f"# {name} {r}x: {dt}s", file=sys.stderr, flush=True)
+
+    for _ in range(2):
+        for name in OPS:
+            for r in reps:
+                run_cell(name, r)
+    for (name, r), ts in list(trials.items()):
+        if max(ts) > 1.3 * min(ts):
+            run_cell(name, r)
+
+    batch = {}
+    for name in OPS:
+        row = {}
+        base = min(trials[(name, 1)])
+        for r in reps:
+            best = min(trials[(name, r)])
+            row[f"{r}x"] = {
+                "best": best,
+                "trials": trials[(name, r)],
+                "ratio_vs_1x": round(best / base, 2),
+            }
+        batch[name] = row
+
+    # ---- 10x per-batch rows for the two new streaming twins ----------
+    from vertica_hadoop_integration__spark.streaming.funnel import (
+        make_funnel_sink,
+    )
+    from vertica_hadoop_integration__spark.streaming.retention import (
+        make_retention_sink,
+    )
+
+    events = load_table(spark, SF, "events")
+    cut = events.agg(
+        F.percentile_approx("ts", F.lit(0.5), F.lit(100))
+    ).collect()[0][0]
+    b0 = events.filter(F.col("ts") <= F.lit(cut)).localCheckpoint()
+    b1 = events.filter(F.col("ts") > F.lit(cut))
+    b1x = {
+        r: (b1 if r == 1
+            else replicate(b1, ["event_id", "user_id"], r)
+            .localCheckpoint())
+        for r in [1, 10]
+    }
+
+    streaming = {}
+    for fam, mk in (
+        ("stream_retention", make_retention_sink),
+        ("stream_funnel", make_funnel_sink),
+    ):
+        row = {}
+        for r in [1, 10]:
+            ts_list = []
+            for _ in range(2):
+                work = tempfile.mkdtemp(prefix=f"{fam}_{r}x_")
+                sink = mk(
+                    os.path.join(work, "rep"), os.path.join(work, "led")
+                )
+                sink(b0, 0)  # carried state from the unreplicated half
+                t0 = time.perf_counter()
+                sink(b1x[r], 1)
+                ts_list.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+                shutil.rmtree(work, ignore_errors=True)
+            row[f"{r}x"] = {"best": min(ts_list), "trials": ts_list}
+            print(f"# {fam} {r}x: {ts_list}", file=sys.stderr, flush=True)
+        base = row["1x"]["best"]
+        for k in row:
+            row[k]["ratio_vs_1x"] = round(row[k]["best"] / base, 2)
+        streaming[fam] = row
+
+    out = {
+        "sf": 0.1,
+        "offset": OFF,
+        "graph_100x": batch,
+        "streaming_batch_10x": streaming,
+    }
+    os.makedirs("/root/repo/reports", exist_ok=True)
+    with open("/root/repo/reports/scale_graph_round11.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"written": "reports/scale_graph_round11.json"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,27 +42,63 @@ from .registry import ORACLES, QUERIES
 # certifies the new oracle (judge-verified locally; r07 verdict item 1).
 # Drop entries once their driver-green row lands.
 _HEAD_PROMOTE: list[str] = [
-    # (r09 entries all landed driver-green — jsonl_ingest_roundtrip's
-    # BIGINT retype, the four sketch audit oracles, ann_cosine_topk_arrow
-    # and the normalized events_transition_matrix — and were dropped.)
-    # r10: rows-only -> oracle-checked upgrades; first driver rows with
-    # the new oracles.
-    "embedding_kmeans",
-    "ann_ivf_kmeans_topk",
-    "embedding_pca_project",
-    "multimodal_audio_spectrum",
-    "text_logreg_train",
-    # r10: hub-degree cap added to the wedge expansion (plan + oracle
-    # changed together; the oracle replays the cap).
-    "graph_link_prediction",
+    # (r10 entries all landed driver-green — embedding_kmeans,
+    # ann_ivf_kmeans_topk, embedding_pca_project,
+    # multimodal_audio_spectrum, text_logreg_train,
+    # graph_link_prediction — and were dropped; the queries_round10
+    # module graduated out of the head with them.)
+    # r11: rows-only -> oracle-checked upgrades (BPE merge-loop unroll,
+    # PCA/xxhash-dedup equivalence audits); first driver rows with the
+    # new oracles.
+    "text_bpe_learn_merges",
+    "text_bpe_encode",
+    "ann_pca_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_probe",
+    "dedup_minhash_clusters",
+    # r11: implementation changed (shared materialized LPA label table;
+    # lazy-by-default cache hygiene) — re-certify against the unchanged
+    # oracles.
+    "graph_label_propagation",
+    "graph_modularity",
+    "dedup_minhash_probe_portable",
+    "pipeline_mmr_rerank",
+    "pipeline_mmr_rerank_ivf",
+]
+
+# r10 VERDICT item 7: ~100 queries last earned a driver row in r01-r06
+# and have since seen shared-kernel rewrites (portable hash,
+# brute_force_topk, oracle_fragments).  Rotate a named batch of the
+# OLDEST-certified through the sample head each round until the backlog
+# drains; replace the batch each round once its rows land green.
+_HEAD_RECERTIFY: list[str] = [
+    # r11 batch: the r01/r02-era relational core.
+    "agg_cube",
+    "agg_distinct_stats",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_variance_stats",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_salted_skew",
+    "join_semi",
+    "pivot_status_revenue",
+    "profile_orders",
+    "q18_large_volume_customer",
+    "q3_shipping_priority",
+    "q5_local_volume",
 ]
 
 
 def _reorder() -> None:
     order = list(QUERIES)
     ref = [n for n in order if QUERIES[n].__module__.endswith("queries_reference")]
-    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round10")]
-    head = ref + new + [n for n in _HEAD_PROMOTE if n in QUERIES]
+    new = [n for n in order if QUERIES[n].__module__.endswith("queries_round11")]
+    head = ref + new + [
+        n for n in _HEAD_PROMOTE + _HEAD_RECERTIFY if n in QUERIES
+    ]
     seen = set(head)
     full = head + [n for n in order if n not in seen]
     snapshot = {n: QUERIES[n] for n in full}

@@ -247,3 +247,47 @@ def lpa_cte(iters: int = 3) -> tuple[str, str]:
              FROM n LEFT JOIN p{i} ON p{i}.u = n.node)"""
         prev = f"l{i}"
     return body, prev
+
+
+def bpe_learn_cte(num_merges: int = 8) -> tuple[str, list[str]]:
+    r"""The BPE merge-loop replay (operators/text.py::bpe_learn) as a
+    reusable WITH-body: returns (cte_body, [t0..t{k-1}]) where each
+    ``t{r}`` is the round-r winning merge (l, r, cnt) — the logreg
+    gradient-unroll pattern applied to the tokenizer trainer, so
+    text_bpe_learn_merges / text_bpe_encode graduate from rows-only.
+
+    Each round's symbol state rides in ONE delimited string per word:
+    ``SEP SEP sym1 SEP SEP sym2 SEP SEP`` with SEP = chr(31) (never in
+    whitespace-token text).  The greedy left-to-right non-overlapping
+    merge then IS SQL ``replace``: the pattern ``SEP l SEP SEP r SEP``
+    consumes the inner half of each double boundary, so consecutive
+    matches (e.g. aaaa under merge a+a -> [aa, aa]) still fire, while a
+    multi-char symbol's suffix can never false-match (property-checked
+    against the operator's fold semantics in tests/test_round11_ops.py
+    and 2000 randomized trials during development).  Pair counting per
+    round splits the delimited string back to its symbol list."""
+    S = "'\x1f'"  # chr(31) literal
+    S2 = "'\x1f\x1f'"
+    body = rf"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+    wc AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1),
+    w0 AS (SELECT wc, {S2} || regexp_replace(w, '(.)', '\1' || {S2}, 'g') AS s
+           FROM wc)"""
+    names: list[str] = []
+    for r in range(num_merges):
+        body += f""",
+    v{r} AS (SELECT wc, string_split(trim(s, {S}), {S2}) AS syms FROM w{r}),
+    p{r} AS (SELECT syms[i] AS l, syms[i + 1] AS r, wc
+             FROM (SELECT wc, syms,
+                          unnest(generate_series(1, len(syms) - 1)) AS i
+                   FROM v{r} WHERE len(syms) >= 2)),
+    t{r} AS (SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
+             FROM p{r} GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+    w{r + 1} AS (SELECT wc,
+                        replace(s, {S} || t.l || {S2} || t.r || {S},
+                                {S} || t.l || t.r || {S}) AS s
+                 FROM w{r} CROSS JOIN t{r} t)"""
+        names.append(f"t{r}")
+    return body, names

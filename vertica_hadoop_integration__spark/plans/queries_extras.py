@@ -295,30 +295,83 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(d, top=20)
 
 
-@register("text_bpe_learn_merges")  # rows-only: iterative argmax loop
+def _bpe_learn_oracle(num_merges: int = 8) -> str:
+    from .oracle_fragments import bpe_learn_cte
+
+    body, names = bpe_learn_cte(num_merges)
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM {t}"
+        for i, t in enumerate(names)
+    )
+    return body + f" SELECT * FROM ({union}) ORDER BY step"
+
+
+@register("text_bpe_learn_merges", oracle=_bpe_learn_oracle())
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table, 8 rounds (operators/text.py::bpe_learn):
     per round one vocabulary-sized aggregation picks the max-count
     pair, one JVM fold rewrites the symbol arrays, lineage truncated
     per round. Merge-sequence parity vs a pure-Python BPE reference is
     pytest-pinned (tests/test_llm_ops.py), including fixtures where
-    early merges change later pair counts."""
+    early merges change later pair counts.  The oracle unrolls all 8
+    data-dependent argmax rounds in SQL (oracle_fragments.py::
+    bpe_learn_cte — delimited-string replace IS the greedy merge), the
+    logreg gradient-unroll pattern, graduating this from rows-only."""
     from ..operators.text import bpe_learn
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_learn(d, num_merges=8)
 
 
-@register("text_bpe_encode")  # rows-only: train-then-encode composition
+def _bpe_encode_oracle(num_merges: int = 8) -> str:
+    from .oracle_fragments import bpe_learn_cte
+
+    body, names = bpe_learn_cte(num_merges)
+    S = "'\x1f'"
+    S2 = "'\x1f\x1f'"
+    enc = f""",
+    dt AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+           FROM documents),
+    dw AS (SELECT doc_id, w, count(*) AS c FROM dt WHERE w <> ''
+           GROUP BY 1, 2),
+    e0 AS (SELECT w, {S2} || regexp_replace(w, '(.)', '\\1' || {S2}, 'g') AS s
+           FROM (SELECT DISTINCT w FROM dw))"""
+    for i, t in enumerate(names):
+        enc += f""",
+    e{i + 1} AS (SELECT w, replace(s, {S} || t.l || {S2} || t.r || {S},
+                                   {S} || t.l || t.r || {S}) AS s
+                 FROM e{i} CROSS JOIN {t} t)"""
+    enc += f""",
+    nsym AS (SELECT w, len(string_split(trim(s, {S}), {S2})) AS n
+             FROM e{len(names)}),
+    per AS (SELECT dw.doc_id,
+                   CAST(sum(length(dw.w) * dw.c) AS BIGINT) AS nch,
+                   CAST(sum(nsym.n * dw.c) AS BIGINT) AS nbp
+            FROM dw JOIN nsym USING (w) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(per.nch, 0) AS n_char_tokens,
+           COALESCE(per.nbp, 0) AS n_bpe_tokens,
+           CASE WHEN COALESCE(per.nbp, 0) = 0 THEN 0.0
+                ELSE CAST(per.nch AS DOUBLE) / CAST(per.nbp AS DOUBLE)
+           END AS compression_ratio
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+    return body + enc
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer loop closed: learn 8 BPE merges from the corpus
     (bpe_learn), then ENCODE the corpus with them (operators/text.py::
     bpe_encode — one Arrow pass, merge table in the closure). Output is
     the per-doc token-budget statistic sequence packing consumes
-    (n_char_tokens, n_bpe_tokens, compression_ratio). Rows-only
-    (iterative train + Python encode); encode parity vs a pure-Python
-    reference and monotonicity (bpe <= chars, ratio >= 1) are
-    pytest-pinned."""
+    (n_char_tokens, n_bpe_tokens, compression_ratio). Encode parity vs
+    a pure-Python reference and monotonicity (bpe <= chars, ratio >= 1)
+    are pytest-pinned; the oracle replays train AND encode end-to-end
+    in SQL (bpe_learn_cte + per-word delimited-string replaces applied
+    in rank order over the distinct vocabulary, joined back to per-doc
+    word counts), graduating this from rows-only."""
     from ..operators.text import bpe_encode, bpe_learn
 
     d = load_table(spark, sf_dir, "documents")
@@ -3527,21 +3580,132 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pca_topk")
+@register(
+    "ann_pca_topk",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+           TRUE AS in_projected_cands, TRUE AS cos_match,
+           TRUE AS rank_contract
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN through the PCA bottleneck (operators/similarity.py::
-    pca_topk): candidates by squared-L2 in the 16-dim projected space
-    (basis + projected queries in the UDF closure, per-batch partial
-    top-k*oversample — the shuffle carries candidates, never the
-    corpus), exact full-width cosine rerank on the survivors only.
-    Completes the index family: IVF cuts by cluster, PQ by code book,
-    PCA by subspace. Rows-only by design (the eigensolve is not
-    SQL-expressible); recall vs the exact brute-force ranking and the
-    pca_k=d lossless-rotation property are pytest-asserted
-    (tests/test_pca.py). Same query set as ann_cosine_topk."""
+    """ANN through the PCA bottleneck at the PRODUCTION config
+    (operators/similarity.py::pca_topk, pca_k=16, oversample=4),
+    audited in equivalence form since r11 (the ann_cosine_topk_arrow /
+    ann_pca_lossless_audit pattern; previously rows-only — the
+    eigensolve is not SQL-expressible and recall at pca_k < d on
+    isotropic random embeddings has no invariant floor, measured 0.0
+    min at sf0.1).  Per query the registered row publishes, computed
+    FOR REAL in-engine:
+
+    * ``n_results`` — exactly k rows came back;
+    * ``in_projected_cands`` — every final id sits inside an
+      INDEPENDENT projected-space candidate leg (pca_project +
+      brute_force_topk with a JVM neg-L2 scorer at 2x the operator's
+      candidate budget — same deterministic pca_fit basis, different
+      projection/scoring code path; the 2x margin makes numpy-vs-JVM
+      float noise unable to flip membership);
+    * ``cos_match`` — the reported cos_sim equals an independently
+      re-joined full-width cosine within 1e-9 (rerank faithfulness);
+    * ``rank_contract`` — ranks are 1..k in (cos_sim DESC,
+      neighbor_id ASC) order.
+
+    The oracle asserts the invariant row per query, so a machinery
+    regression (wrong basis handoff, transposed batch, stale join,
+    broken partial top-k) breaks the value hash while legitimate
+    eigensolve/summation-order freedom passes.  Recall-vs-exact floors
+    at controlled anisotropy stay pytest-asserted (tests/test_pca.py);
+    the raw neighbor lists stay available from the operator and from
+    ann_pca_lossless_audit's pca_k=d leg."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine, dot
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return S.pca_topk(e, q, k=5, pca_k=16, oversample=4)
+    k, pca_k, oversample = 5, 16, 4
+    out = S.pca_topk(e, q, k=k, pca_k=pca_k, oversample=oversample)
+
+    # independent projected-space candidate leg on the same (bit-
+    # deterministic) basis, 2x the operator's candidate budget
+    mean, comps, ev = S.pca_fit(e, k=pca_k)
+    cp = S.pca_project(e, mean, comps, ev)
+    qp = S.pca_project(q, mean, comps, ev)
+
+    def neg_d2(a, b):
+        return -(dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b))
+
+    ind = S.brute_force_topk(
+        cp, qp, k=2 * k * oversample, vec_col="pc", scorer=neg_d2
+    ).select("query_id", "neighbor_id")
+    containment = (
+        out.select("query_id", "neighbor_id")
+        .join(ind, on=["query_id", "neighbor_id"], how="left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_in"))
+    )
+    # rerank faithfulness: re-join full vectors, recompute cosine
+    dev = (
+        out.join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cv"),
+            ),
+            on="neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("_qv"),
+                )
+            ),
+            on="query_id",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.abs(F.col("cos_sim") - cosine(F.col("_qv"), F.col("_cv")))
+            ).alias("_dev")
+        )
+    )
+    wlag = Window.partitionBy("query_id").orderBy("rank")
+    contract = (
+        out.withColumn("_pc", F.lag("cos_sim").over(wlag))
+        .withColumn("_pn", F.lag("neighbor_id").over(wlag))
+        .withColumn("_pr", F.lag("rank").over(wlag))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.col("rank")).alias("_rmin"),
+            F.max(F.col("rank")).alias("_rmax"),
+            F.min(
+                F.when(F.col("_pc").isNull(), True).otherwise(
+                    (F.col("_pc") > F.col("cos_sim"))
+                    | (
+                        (F.col("_pc") == F.col("cos_sim"))
+                        & (F.col("_pn") < F.col("neighbor_id"))
+                    )
+                )
+            ).alias("_ord"),
+        )
+    )
+    return (
+        contract.join(containment, on="query_id")
+        .join(dev, on="query_id")
+        .select(
+            "query_id",
+            F.col("_n").cast("bigint").alias("n_results"),
+            (F.col("_n_in") == F.col("_n")).alias("in_projected_cands"),
+            (F.col("_dev") <= F.lit(1e-9)).alias("cos_match"),
+            (
+                F.col("_ord")
+                & (F.col("_rmin") == 1)
+                & (F.col("_rmax") == F.col("_n"))
+            ).alias("rank_contract"),
+        )
+    )
 
 
 @register(

@@ -183,30 +183,201 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- MinHash-LSH near-dup (scale path; rows-only + pytest-verified) --------
-@register("dedup_minhash_lsh")
+# -- MinHash-LSH near-dup (scale path; audit-oracle since r11) -------------
+def _minhash_lsh_audit_oracle() -> str:
+    from .dedup_audit import j1_pairs_sql_cte
+
+    return j1_pairs_sql_cte() + """,
+    gg AS (SELECT k, count(*) AS c FROM gt GROUP BY 1)
+    SELECT CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_j1_pairs,
+           TRUE AS j1_complete, TRUE AS pairs_sound,
+           TRUE AS jaccard_exact, TRUE AS canonical_form
+    FROM gg WHERE c > 1
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_audit_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates -> exact Jaccard verify >= 0.7 on 3-gram shingles.
-    Non-SQL-expressible (banded xxhash64 signatures); recall vs the exact
-    oracle is asserted in tests/test_llm_ops.py."""
+    """The PRODUCTION xxhash64 MinHash-LSH near-dedup (operators/
+    dedup.py::minhash_dedup, 16 hashes / 8 bands / verify >= 0.7 on
+    3-gram shingles), audited in equivalence form since r11 (r10
+    VERDICT item 3; previously rows-only — banded xxhash64 signatures
+    are not SQL-replayable).  One published row certifies the pipeline
+    end-to-end against RAW-TEXT ground truth computed in-engine with no
+    hashing (plans/dedup_audit.py):
+
+    * ``n_j1_pairs`` — ground-truth identical-shingle-set pair count,
+      hash-compared against the oracle's own SQL replay of it;
+    * ``j1_complete`` — every ground-truth j=1.0 pair was emitted
+      (identical sets => identical signatures under ANY hash family =>
+      all 8 bands collide — the pigeonhole guarantee the xx path must
+      honor);
+    * ``pairs_sound`` — every emitted pair's raw-shingle Jaccard
+      really clears 0.7 (no false positives through banding);
+    * ``jaccard_exact`` — the reported jaccard (computed over hashed
+      shingle sets) equals the raw-set recompute bit for bit (64-bit
+      collisions would surface here — and would be a real finding);
+    * ``canonical_form`` — a < b, no duplicate pairs.
+
+    Pair-set recall fixtures vs the exhaustive oracle stay pytest-
+    pinned (tests/test_llm_ops.py); the raw pair list stays available
+    from the operator and, oracle-green in full, from the md5-60
+    portable twin dedup_minhash_portable."""
+    from .dedup_audit import (
+        bool_agg,
+        j1_truth_pairs,
+        recomputed_jaccard,
+        shingle_sets,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.7)
+    pairs = D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.7)
+    sets_df = shingle_sets(d).localCheckpoint(eager=False)
+    truth = j1_truth_pairs(sets_df)
+    found = pairs.select(
+        F.col("doc_id_a").alias("_a"), F.col("doc_id_b").alias("_b")
+    )
+    j1 = truth.join(found, on=["_a", "_b"], how="left_anti").agg(
+        F.count(F.lit(1)).alias("_miss")
+    )
+    n_j1 = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_j1_pairs"))
+    rj = recomputed_jaccard(pairs, sets_df, "doc_id_a", "doc_id_b")
+    sound = rj.agg(
+        bool_agg(F.col("_rj") >= F.lit(0.7)).alias("pairs_sound"),
+        bool_agg(F.col("jaccard") == F.col("_rj")).alias("jaccard_exact"),
+    )
+    canon = pairs.agg(
+        (
+            bool_agg(F.col("doc_id_a") < F.col("doc_id_b"))
+            & (
+                F.count(F.lit(1))
+                == F.count_distinct(F.col("doc_id_a"), F.col("doc_id_b"))
+            )
+        ).alias("canonical_form")
+    )
+    return (
+        n_j1.crossJoin(j1)
+        .crossJoin(sound)
+        .crossJoin(canon)
+        .select(
+            "n_j1_pairs",
+            (F.col("_miss") == 0).alias("j1_complete"),
+            "pairs_sound",
+            "jaccard_exact",
+            "canonical_form",
+        )
+    )
 
 
-# -- SimHash near-dup (rows-only + pytest-verified) ------------------------
-@register("dedup_simhash")
+# -- SimHash near-dup (audit-oracle since r11) -----------------------------
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH h AS (SELECT md5(text) AS k, count(*) AS c FROM documents
+               GROUP BY 1)
+    SELECT CAST(COALESCE(sum(c * (c - 1) / 2), 0) AS BIGINT)
+               AS n_exact_pairs,
+           TRUE AS exact_complete, TRUE AS hamming_band,
+           TRUE AS hamming_match, TRUE AS canonical_form
+    FROM h WHERE c > 1
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical SimHash operating point (hamming <= 3 over 64 bits, 4
-    bands of 16 bits — the web-dedup standard): 16-bit chunks give 65536
-    buckets per band, so candidate fan-in stays tiny even on correlated
-    corpora. The previous hamming<=6 point forced 7 bands of ~9 bits,
-    and low-entropy chunk regions put 40% of the corpus in one bucket
-    (6.5M candidate pairs from 5000 docs at sf0.1 — measured); looser
-    thresholds belong to the MinHash/Jaccard family, not bit-sliced
-    SimHash. Pigeonhole completeness at the registered point is exact:
-    d <= 3 differing bits cannot touch all 4 bands."""
+    """The PRODUCTION xxhash64 SimHash near-dedup at the canonical
+    operating point (operators/dedup.py::simhash_near_pairs, hamming
+    <= 3 over 64 bits, 4 bands of 16 bits — the web-dedup standard),
+    audited in equivalence form since r11 (r10 VERDICT item 3;
+    previously rows-only — the bit-sliced xxhash64 signature is not
+    SQL-replayable).  One published row certifies:
+
+    * ``n_exact_pairs`` — ground-truth identical-TEXT pair count
+      (md5 groups), hash-compared against the oracle's SQL replay;
+    * ``exact_complete`` — every identical-text pair was emitted with
+      hamming = 0 (identical text => identical signature => every band
+      collides — pigeonhole, hash-family-free);
+    * ``hamming_band`` — all reported distances lie in [0, 3];
+    * ``hamming_match`` — the reported hamming equals an independent
+      re-derivation: per-doc signatures recomputed once and re-joined
+      by id, xor popcount in a separate expression tree (a transposed
+      pair join or stale signature column breaks this);
+    * ``canonical_form`` — a < b, no duplicate pairs.
+
+    Bucket-cap/pigeonhole fixtures stay pytest-pinned
+    (tests/test_llm_ops.py); the raw pair list stays available from the
+    operator and oracle-green from the md5-60 portable twin."""
+    from .dedup_audit import bool_agg
+
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(d, max_hamming=3, bands=4)
+    pairs = D.simhash_near_pairs(d, max_hamming=3, bands=4)
+    texts = d.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("_k")
+    )
+    truth = (
+        texts.alias("x")
+        .join(texts.alias("y"), on="_k")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+    )
+    n_exact = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs")
+    )
+    miss = truth.join(
+        pairs.filter(F.col("hamming") == 0).select("doc_id_a", "doc_id_b"),
+        on=["doc_id_a", "doc_id_b"],
+        how="left_anti",
+    ).agg(F.count(F.lit(1)).alias("_miss"))
+    sig = D.simhash64(d).select(
+        F.col("doc_id"), F.col("simhash")
+    ).localCheckpoint(eager=False)
+    redo = (
+        pairs.join(
+            sig.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("simhash").alias("_ha"),
+            ),
+            on="doc_id_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("simhash").alias("_hb"),
+            ),
+            on="doc_id_b",
+        )
+        .agg(
+            bool_agg(
+                F.col("hamming")
+                == F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            ).alias("hamming_match")
+        )
+    )
+    checks = pairs.agg(
+        bool_agg(
+            (F.col("hamming") >= 0) & (F.col("hamming") <= 3)
+        ).alias("hamming_band"),
+        (
+            bool_agg(F.col("doc_id_a") < F.col("doc_id_b"))
+            & (
+                F.count(F.lit(1))
+                == F.count_distinct(F.col("doc_id_a"), F.col("doc_id_b"))
+            )
+        ).alias("canonical_form"),
+    )
+    return (
+        n_exact.crossJoin(miss)
+        .crossJoin(checks)
+        .crossJoin(redo)
+        .select(
+            "n_exact_pairs",
+            (F.col("_miss") == 0).alias("exact_complete"),
+            "hamming_band",
+            "hamming_match",
+            "canonical_form",
+        )
+    )
 
 
 # -- embedding near-dup: exact threshold (oracle-checked) ------------------
@@ -903,17 +1074,140 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- near-dup clusters via connected components (rows-only) ----------------
-@register("dedup_minhash_clusters")
+# -- near-dup clusters via connected components (audit-oracle since r11) ---
+def _minhash_clusters_audit_oracle() -> str:
+    from .dedup_audit import j1_pairs_sql_cte
+
+    return j1_pairs_sql_cte() + """,
+    gg AS (SELECT k, count(*) AS c FROM gt GROUP BY 1)
+    SELECT CAST(COALESCE(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_j1_groups,
+           TRUE AS j1_colocated, TRUE AS canonical_is_min,
+           TRUE AS sizes_consistent, TRUE AS edges_within_clusters
+    FROM gg
+    """
+
+
+@register("dedup_minhash_clusters", oracle=_minhash_clusters_audit_oracle())
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified MinHash pairs -> connected components -> one canonical id
-    per duplicate cluster. Iterative label propagation (operators/
-    graph.py); structure asserted in tests/test_llm_ops.py."""
+    """The PRODUCTION near-dup clustering (verified xxhash64 MinHash
+    pairs -> connected components -> canonical id per cluster,
+    operators/graph.py::dedup_clusters), audited in equivalence form
+    since r11 (r10 VERDICT item 3; previously rows-only — the pair
+    graph comes from the non-replayable xxhash64 pipeline).  One
+    published row certifies the CLUSTERING contract on the real
+    production pair graph:
+
+    * ``n_j1_groups`` — ground-truth count of identical-shingle-set
+      groups (>1 member), hash-compared against the oracle's replay;
+    * ``j1_colocated`` — docs with identical shingle sets landed in
+      the SAME cluster (their pair is guaranteed emitted, so CC must
+      join them);
+    * ``canonical_is_min`` — every cluster's canonical_id is the
+      smallest member doc_id (the keep-set contract);
+    * ``sizes_consistent`` — cluster_size equals the actual member
+      count, identically on every member row;
+    * ``edges_within_clusters`` — every verified pair's endpoints
+      share a canonical id (no edge crosses clusters — CC correctness
+      on the production graph, not a fixture).
+
+    Component-structure fixtures stay pytest-pinned
+    (tests/test_llm_ops.py); the full (doc_id, canonical_id,
+    cluster_size) table stays available from the operator and
+    oracle-green from dedup_clusters_portable's recursive-CTE twin."""
     from ..operators.graph import dedup_clusters
+    from .dedup_audit import bool_agg, j1_truth_pairs, shingle_sets
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup(d, num_hashes=16, bands=8, min_jaccard=0.7)
-    return dedup_clusters(pairs)
+    pairs = D.minhash_dedup(
+        d, num_hashes=16, bands=8, min_jaccard=0.7
+    ).localCheckpoint(eager=False)
+    clusters = dedup_clusters(pairs).localCheckpoint(eager=False)
+
+    sets_df = shingle_sets(d)
+    truth = j1_truth_pairs(sets_df)
+    n_groups = (
+        sets_df.groupBy("skey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_j1_groups"))
+    )
+    canon = clusters.select("doc_id", "canonical_id")
+    coloc = (
+        truth.join(
+            canon.select(
+                F.col("doc_id").alias("_a"),
+                F.col("canonical_id").alias("_ca"),
+            ),
+            on="_a",
+            how="left",
+        )
+        .join(
+            canon.select(
+                F.col("doc_id").alias("_b"),
+                F.col("canonical_id").alias("_cb"),
+            ),
+            on="_b",
+            how="left",
+        )
+        .agg(
+            bool_agg(
+                F.col("_ca").isNotNull()
+                & (F.col("_ca") == F.col("_cb"))
+            ).alias("j1_colocated")
+        )
+    )
+    per_cluster = clusters.groupBy("canonical_id").agg(
+        F.min("doc_id").alias("_minid"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("cluster_size").alias("_szmin"),
+        F.max("cluster_size").alias("_szmax"),
+    )
+    shape = per_cluster.agg(
+        bool_agg(F.col("canonical_id") == F.col("_minid")).alias(
+            "canonical_is_min"
+        ),
+        bool_agg(
+            (F.col("_szmin") == F.col("_n"))
+            & (F.col("_szmax") == F.col("_n"))
+        ).alias("sizes_consistent"),
+    )
+    edges = (
+        pairs.select(
+            F.col("doc_id_a").alias("_a"), F.col("doc_id_b").alias("_b")
+        )
+        .join(
+            canon.select(
+                F.col("doc_id").alias("_a"),
+                F.col("canonical_id").alias("_ca"),
+            ),
+            on="_a",
+        )
+        .join(
+            canon.select(
+                F.col("doc_id").alias("_b"),
+                F.col("canonical_id").alias("_cb"),
+            ),
+            on="_b",
+        )
+        .agg(
+            bool_agg(F.col("_ca") == F.col("_cb")).alias(
+                "edges_within_clusters"
+            )
+        )
+    )
+    return (
+        n_groups.crossJoin(coloc)
+        .crossJoin(shape)
+        .crossJoin(edges)
+        .select(
+            "n_j1_groups",
+            "j1_colocated",
+            "canonical_is_min",
+            "sizes_consistent",
+            "edges_within_clusters",
+        )
+    )
 
 
 # -- logistic quality classifier (fixed weights, oracle-exact) -------------

@@ -1193,19 +1193,23 @@ def layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jdbc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertica-sink rehearsal (sources/jdbc.py::write_jdbc, cited to the
-    reference's numLoaders throttle): write -> read-back -> summarize
-    through a genuine JDBC endpoint (Spark's bundled embedded Derby —
-    real driver, real batched inserts, real server-side MOD pushdown).
-    The summary is computed from the READ-BACK frame only, so the oracle
-    (which reads the parquet source) certifies the round-trip lossless."""
+    """Vertica-sink rehearsal (sources/jdbc.py::write_jdbc_atomic, cited
+    to the reference's numLoaders throttle + completion flag-flip):
+    staged partitioned write -> transactional swap -> read-back ->
+    summarize through a genuine JDBC endpoint (Spark's bundled embedded
+    Derby — real driver, real batched inserts, real transactional DDL
+    commit, real server-side MOD pushdown).  The summary is computed
+    from the READ-BACK frame only, so the oracle (which reads the
+    parquet source) certifies the staged round-trip lossless; crash
+    injection at both failure points is pytest-driven
+    (tests/test_jdbc_live.py)."""
     import tempfile
 
     from ..sources.jdbc import (
         JdbcSource,
         mod_predicates,
         read_partitioned,
-        write_jdbc,
+        write_jdbc_atomic,
     )
 
     db_dir = tempfile.mkdtemp(prefix="jdbc_rt_") + "/db"
@@ -1219,7 +1223,7 @@ def jdbc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 3 == 0)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     )
-    write_jdbc(df, src, mode="overwrite", num_partitions=2)
+    write_jdbc_atomic(df, src, num_partitions=2)
     # Derby folds unquoted identifiers to uppercase; Spark's JDBC writer
     # creates case-exact quoted columns — quote the key in the predicate
     back = read_partitioned(

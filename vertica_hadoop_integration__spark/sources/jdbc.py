@@ -204,6 +204,103 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def _jdbc_exec_txn(spark: SparkSession, src: JdbcSource, stmts: list[str]) -> None:
+    """Execute ``stmts`` over a single driver-side JDBC connection in ONE
+    transaction (autocommit off; rollback on any failure).  Used by the
+    atomic-write commit swap — Derby/Vertica DDL is transactional, so
+    either every statement lands or none does."""
+    jvm = spark.sparkContext._jvm
+    dm = jvm.java.sql.DriverManager
+    if src.user:
+        conn = dm.getConnection(src.url, src.user, src.password)
+    else:
+        conn = dm.getConnection(src.url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        for s in stmts:
+            st.execute(s)
+        conn.commit()
+    except Exception:
+        try:
+            conn.rollback()
+        except Exception:  # noqa: BLE001
+            pass
+        raise
+    finally:
+        conn.close()
+
+
+def _jdbc_table_exists(spark: SparkSession, src: JdbcSource, table: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    dm = jvm.java.sql.DriverManager
+    conn = (
+        dm.getConnection(src.url, src.user, src.password)
+        if src.user
+        else dm.getConnection(src.url)
+    )
+    try:
+        # unquoted identifiers fold to UPPER in Derby/Vertica
+        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+        return bool(rs.next())
+    finally:
+        conn.close()
+
+
+def _commit_swap(spark: SparkSession, src: JdbcSource, stage_table: str) -> None:
+    """The flag-flip: atomically replace ``src.table`` with the fully
+    loaded ``stage_table`` in one transaction (DROP old + RENAME stage).
+    Split out so the crash-injection tests can fail exactly here."""
+    stmts = []
+    if _jdbc_table_exists(spark, src, src.table):
+        stmts.append(f"DROP TABLE {src.table}")
+    stmts.append(f"RENAME TABLE {stage_table} TO {src.table}")
+    _jdbc_exec_txn(spark, src, stmts)
+
+
+def write_jdbc_atomic(
+    df: DataFrame,
+    src: JdbcSource,
+    batchsize: int = 10000,
+    num_partitions: int | None = None,
+    isolation_level: str = "READ_UNCOMMITTED",
+    create_table_column_types: str | None = None,
+) -> None:
+    """Exactly-once JDBC overwrite: the staged-swap protocol of
+    sources/writers.py::write_atomic applied to the JDBC sink — the
+    write-side analogue of the reference's completion flag-flip
+    (sqoop_etl.py:43-46), where downstream readers must never observe a
+    half-loaded table.
+
+    Protocol: (1) the partitioned batch insert lands in
+    ``{table}__stage`` (recreated each attempt, so a crashed prior load
+    is simply overwritten); (2) one driver-side transaction drops the
+    old target and renames the stage into place.  DDL is transactional
+    in Derby and Vertica, so a crash anywhere leaves EITHER the old
+    complete table (before commit) OR the new complete table (after) —
+    never partial rows; rerunning converges (idempotent), which the
+    crash-injection tests in tests/test_jdbc_live.py drive through both
+    failure points."""
+    stage = JdbcSource(
+        url=src.url,
+        table=src.table + "__stage",
+        user=src.user,
+        password=src.password,
+        driver=src.driver,
+        fetchsize=src.fetchsize,
+    )
+    write_jdbc(
+        df,
+        stage,
+        mode="overwrite",
+        batchsize=batchsize,
+        num_partitions=num_partitions,
+        isolation_level=isolation_level,
+        create_table_column_types=create_table_column_types,
+    )
+    _commit_swap(df.sparkSession, src, stage.table)
+
+
 def vertica_external_table_ddl(
     df: DataFrame, table_name: str, storage_url: str, file_format: str = "ORC"
 ) -> str:
