@@ -237,3 +237,96 @@ class TestStreamAttribution:
             sink(df, b)
         snaps = [d for d in os.listdir(f"{report}__touch") if d.isdigit()]
         assert snaps == ["3"], f"stale snapshots not pruned: {snaps}"
+
+
+class TestLegacyStateMigration:
+    """r10 ADVICE: pre-snapshot deployments kept touch state as in-place
+    parquet directly under touch_dir (without the t_id column).  The
+    first post-upgrade batch must rewrite it as snapshot 0 — with t_id
+    backfilled to the always-loses-ties sentinel — so conversions that
+    straddle the upgrade keep their carried touches instead of being
+    silently attributed organic."""
+
+    def test_legacy_inplace_state_carries_across_upgrade(
+        self, spark, tmp_path
+    ):
+        import datetime as dt
+
+        from vertica_hadoop_integration__spark.streaming.attribution import (
+            _LEGACY_TID_SENTINEL,
+            touch_dir_for,
+        )
+
+        report = str(tmp_path / "rep_legacy")
+        touch_dir = touch_dir_for(report)
+        # legacy layout: parquet part-files DIRECTLY under touch_dir,
+        # schema (user_id, t_ts, t_ty) — no t_id, no snapshot subdir
+        legacy = spark.createDataFrame(
+            [(7, dt.datetime(2024, 1, 1, 9), "click")],
+            "user_id long, t_ts timestamp, t_ty string",
+        )
+        legacy.coalesce(1).write.parquet(touch_dir)
+        sink = make_attribution_sink(report, str(tmp_path / "led_legacy"))
+        # post-upgrade batch: user 7 converts with NO in-batch touch —
+        # only the migrated legacy carry can claim the credit
+        batch = spark.createDataFrame(
+            [
+                (
+                    10,
+                    dt.datetime(2024, 1, 2, 9),
+                    7,
+                    "purchase",
+                    3.0,
+                )
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        sink(batch, 5)
+        got = _canon(read_report(spark, report))
+        assert got == [("click", 1, 3.0)]
+        # migrated snapshot 0 exists with the sentinel id; legacy
+        # part-files are gone
+        import os
+
+        snap = spark.read.parquet(f"{touch_dir}/5")
+        assert "t_id" in snap.columns
+        root_files = [
+            e for e in os.listdir(touch_dir)
+            if os.path.isfile(os.path.join(touch_dir, e))
+            and (e.startswith("part-") or e.endswith(".parquet"))
+        ]
+        assert root_files == []
+        # the sentinel loses a (ts, id) tie against a real event id
+        assert _LEGACY_TID_SENTINEL == -(2**63)
+
+    def test_migration_skipped_when_snapshots_exist(self, spark, tmp_path):
+        """A directory already on the snapshot layout is never touched
+        by the migration, even if stray files sit at the root."""
+        import datetime as dt
+        import os
+
+        from vertica_hadoop_integration__spark.streaming.attribution import (
+            touch_dir_for,
+        )
+
+        report = str(tmp_path / "rep_mixed")
+        touch_dir = touch_dir_for(report)
+        sink = make_attribution_sink(report, str(tmp_path / "led_mixed"))
+        b0 = spark.createDataFrame(
+            [(1, dt.datetime(2024, 2, 1, 9), 3, "view", 0.0)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        sink(b0, 0)  # creates snapshot 0 in the NEW layout
+        # a stray root-level file (e.g. an old _SUCCESS) must not
+        # trigger a rewrite of the existing snapshots
+        open(os.path.join(touch_dir, "_SUCCESS"), "w").close()
+        b1 = spark.createDataFrame(
+            [(2, dt.datetime(2024, 2, 1, 10), 3, "purchase", 2.0)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        sink(b1, 1)
+        got = _canon(read_report(spark, report))
+        assert got == [("view", 1, 2.0)]

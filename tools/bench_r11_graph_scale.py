@@ -62,11 +62,23 @@ def main() -> None:
         F.col("l_orderkey") % 3 == 0
     ).select("l_orderkey", "l_partkey")
 
+    # Replicas materialize through PARQUET, not localCheckpoint: at 100x
+    # the checkpoint blocks alone OOM a 16g single-JVM heap, and parquet
+    # input is what the operator reads in production anyway — the
+    # measured time is the operator over rep-x FILES, fan-in excluded.
+    mat_root = tempfile.mkdtemp(prefix="r11_scale_mat_")
+
+    def materialize(df, tag):
+        path = os.path.join(mat_root, tag)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     reps = [1, 10, 100]
     lg = {
         r: (li if r == 1
-            else replicate(li, ["l_orderkey", "l_partkey"], r)
-            .localCheckpoint())
+            else materialize(
+                replicate(li, ["l_orderkey", "l_partkey"], r), f"lg{r}"
+            ))
         for r in reps
     }
 
@@ -145,12 +157,13 @@ def main() -> None:
     cut = events.agg(
         F.percentile_approx("ts", F.lit(0.5), F.lit(100))
     ).collect()[0][0]
-    b0 = events.filter(F.col("ts") <= F.lit(cut)).localCheckpoint()
+    b0 = materialize(events.filter(F.col("ts") <= F.lit(cut)), "b0")
     b1 = events.filter(F.col("ts") > F.lit(cut))
     b1x = {
-        r: (b1 if r == 1
-            else replicate(b1, ["event_id", "user_id"], r)
-            .localCheckpoint())
+        r: (materialize(b1, "b1_1") if r == 1
+            else materialize(
+                replicate(b1, ["event_id", "user_id"], r), f"b1_{r}"
+            ))
         for r in [1, 10]
     }
 
@@ -189,6 +202,7 @@ def main() -> None:
     os.makedirs("/root/repo/reports", exist_ok=True)
     with open("/root/repo/reports/scale_graph_round11.json", "w") as fh:
         json.dump(out, fh, indent=1)
+    shutil.rmtree(mat_root, ignore_errors=True)
     print(json.dumps({"written": "reports/scale_graph_round11.json"}))
 
 
