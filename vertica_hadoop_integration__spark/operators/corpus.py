@@ -209,6 +209,72 @@ def eval_shingle_set(
 # never on doc id) or a single groupBy — nothing driver-side, no UDFs.
 
 
+def source_ngram_novelty(
+    docs: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source n-gram novelty: of each source's DISTINCT word
+    ``shingle_n``-grams, how many also occur in at least one OTHER
+    source — the content-level overlap view that sits between
+    cross_source_matrix (whole-document exact copies) and
+    decontaminate (one fixed eval set): a feed whose shingles are
+    mostly shared is a re-crawl/mirror contributing little novel text
+    to a training mix, even when no single document is an exact dupe.
+
+    Output per source: (source, n_distinct_ngrams, n_shared_ngrams,
+    novelty_frac) with ``novelty_frac = 1 - shared/distinct``; ordered
+    by novelty ascending (worst offenders first), ties by source.
+
+    Exactness: distinct-shingle sets and the source-count per shingle
+    are exact integer aggregations; the fraction is one int/int double
+    division — fully SQL-replayable.
+
+    Scale shape: one text scan -> explode to (source, shingle) pairs
+    -> distinct (the shuffle key is the shingle — the inverted-index
+    exchange), one shingle-keyed source count joined back, one
+    source-keyed rollup bounded by source cardinality.  No pair
+    expansion anywhere: overlap is counted through the shingle's
+    source-count, never source x source joins."""
+    from ..functions.text_fns import shingles
+
+    pairs = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_n))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    src_count = pairs.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("_nsrc")
+    )
+    return (
+        pairs.join(src_count, on="sh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_ngrams"),
+            F.sum(F.when(F.col("_nsrc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_ngrams"),
+        )
+        .select(
+            "source",
+            "n_distinct_ngrams",
+            "n_shared_ngrams",
+            (
+                F.lit(1.0)
+                - F.col("n_shared_ngrams").cast("double")
+                / F.col("n_distinct_ngrams").cast("double")
+            ).alias("novelty_frac"),
+        )
+        .orderBy("novelty_frac", "source")
+    )
+
+
 def systematic_sample(
     df: DataFrame, modulus: int, residue: int = 0, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -794,6 +794,113 @@ def welch_ttest(
     )
 
 
+def mann_whitney_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str = "A",
+    group_b: str = "B",
+    num_bins: int = 50,
+) -> DataFrame:
+    """Binned Mann-Whitney U rank-sum test — the DISTRIBUTION-FREE
+    companion to welch_ttest (that one compares means and leans on
+    normality; this one asks "does one variant stochastically dominate
+    the other", robust to the heavy-tailed revenue metrics A/B units
+    actually produce).
+
+    Exact ranks need a global sort of the pooled sample — a
+    single-partition funnel at scale — so the statistic is evaluated on
+    the pooled distribution's ``num_bins``-quantile bins (the ks_drift
+    move): every value in a bin shares that bin's MIDRANK, which is
+    precisely the standard tie-handling rule with bins as tie groups,
+    and the tie-corrected normal approximation is exact FOR THE BINNED
+    statistic.  Two mergeable aggregation passes (percentile cuts, bin
+    counts per group); cumulative ranks via a window over the BOUNDED
+    bin spine; never fact rows.
+
+    Exactness: bin counts are exact integers; rank sums accumulate as
+    DECIMAL(38,1) of exact half-integer midrank terms (doubled to stay
+    integral, halved once at the end); the z closed form is double
+    arithmetic in one fixed association the oracle mirrors, with the
+    tie correction sum(t^3 - t) as exact BIGINTs.
+
+    Returns ONE row: (n_a, n_b, u_a, z_stat, reject_at_95) where
+    ``u_a`` counts (a, b) pairs with a ranked higher (ties half)."""
+    pooled = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    fracs = [i / num_bins for i in range(1, num_bins)]
+    cuts = pooled.agg(
+        F.percentile(F.col("_v"), F.array(*[F.lit(f) for f in fracs])).alias(
+            "c"
+        )
+    )
+    binned = (
+        pooled.crossJoin(F.broadcast(cuts))
+        .select(
+            "_g",
+            F.size(F.filter(F.col("c"), lambda x: F.col("_v") > x))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_na"),
+            F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+            .cast("bigint")
+            .alias("_nb"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t_i = F.col("_na") + F.col("_nb")
+    # doubled midrank stays integral: 2*(below + (t+1)/2) = 2*below+t+1
+    dm = F.lit(2) * F.coalesce(
+        F.sum(t_i).over(w), F.lit(0).cast("bigint")
+    ) + t_i + F.lit(1)
+    per_bin = binned.select(
+        "_na",
+        "_nb",
+        t_i.alias("_t"),
+        dm.alias("_dm"),
+    )
+    tot = per_bin.agg(
+        F.sum("_na").cast("bigint").alias("n_a"),
+        F.sum("_nb").cast("bigint").alias("n_b"),
+        # DECIMAL(38,1) exact: na * doubled-midrank is integral
+        F.sum((F.col("_na") * F.col("_dm")).cast("decimal(38,1)")).alias(
+            "_2ra"
+        ),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("bigint")
+        .alias("_s3"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    ra = F.col("_2ra").cast("double") / F.lit(2.0)
+    ua = ra - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mean_u = na * nb / F.lit(2.0)
+    var_u = na * nb / F.lit(12.0) * (
+        (n + F.lit(1.0))
+        - F.col("_s3").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = (ua - mean_u) / F.sqrt(var_u)
+    return tot.select(
+        "n_a",
+        "n_b",
+        ua.alias("u_a"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_at_95"),
+    )
+
+
 def chi2_independence(
     df: DataFrame,
     row_col: str,

@@ -837,6 +837,94 @@ def markov_transitions(
     )
 
 
+def markov_stationary(
+    events: DataFrame,
+    iters: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution of the estimated behavioral Markov chain
+    — the long-run fraction of time a user's event stream spends in
+    each state, closing the loop markov_transitions opens: the matrix
+    says where each action LEADS, the stationary vector says where the
+    process LIVES (the behavioral analogue of PageRank's importance
+    vector, and the baseline against which a session's observed state
+    mix is an anomaly).
+
+    ``iters`` synchronous power iterations of v <- v P from the uniform
+    start over the observed states.  States with NO outgoing transition
+    (types observed only as a user's final event) get an absorbing
+    self-loop (p = 1) so probability mass is conserved exactly —
+    renormalization would hide the leak; an absorbing state's mass
+    honestly accumulates.  Fixed iteration count, not a convergence
+    test (the LPA/pagerank contract: deterministic output after T
+    sweeps, periodic chains don't spin forever).
+
+    Exactness: p(to|from) is markov_transitions' int/int double; each
+    iteration's contributions (v_from * p) are cast DECIMAL(30,15) and
+    summed order-free, the per-step total re-emerging as one DOUBLE —
+    the pagerank oracle pattern, so every iteration replays in SQL.
+
+    Scale shape: the chain lives on the |event types| state space, so
+    after markov_transitions' one user-keyed window pass EVERYTHING is
+    types- or types^2-bounded: the uniform start is a 1-row count cross,
+    each iteration one bounded join + aggregation.  Output
+    (event_type, p_stationary), summing to 1 within float error."""
+    trans = markov_transitions(
+        events, user_col=user_col, type_col=type_col,
+        ts_col=ts_col, id_col=id_col,
+    )
+    states = (
+        trans.select(F.col("from_type").alias("state"))
+        .unionByName(trans.select(F.col("to_type").alias("state")))
+        .distinct()
+    )
+    absorbing = states.join(
+        trans.select(F.col("from_type").alias("state")).distinct(),
+        on="state",
+        how="left_anti",
+    ).select(
+        F.col("state").alias("from_type"),
+        F.col("state").alias("to_type"),
+        F.lit(1.0).alias("p_transition"),
+    )
+    p = (
+        trans.select("from_type", "to_type", "p_transition")
+        .unionByName(absorbing)
+        .localCheckpoint(eager=False)
+    )
+    n_states = states.agg(F.count(F.lit(1)).alias("_k"))
+    v = states.crossJoin(F.broadcast(n_states)).select(
+        "state",
+        (F.lit(1.0) / F.col("_k").cast("double")).alias("p_stationary"),
+    )
+    for _ in range(iters):
+        contrib = p.join(
+            v.select(F.col("state").alias("from_type"), "p_stationary"),
+            on="from_type",
+        ).select(
+            F.col("to_type").alias("state"),
+            (F.col("p_stationary") * F.col("p_transition"))
+            .cast("decimal(30,15)")
+            .alias("_c"),
+        )
+        nxt = contrib.groupBy("state").agg(
+            F.sum("_c").cast("double").alias("p_stationary")
+        )
+        # states receiving no mass this step keep an explicit 0 row so
+        # the vector stays state-complete across iterations
+        v = (
+            states.join(nxt, on="state", how="left")
+            .na.fill({"p_stationary": 0.0})
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("state").alias("event_type"), "p_stationary"
+    )
+
+
 def attribution_last_touch(
     events: DataFrame,
     conversion_type: str = "purchase",

@@ -26,6 +26,7 @@ indirection is now deleted and the head is natural registration order:
 
 from . import (  # noqa: F401  (imported for registration side effects)
     queries_reference,
+    queries_round11,
     queries_round10,
     queries_llm,
     queries_temporal,
