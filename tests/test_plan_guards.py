@@ -139,6 +139,10 @@ SCALAR_BROADCAST_OK = {
     "dedup_simhash",                # audit form (r11): same 1-row crosses
     "dedup_minhash_probe",          # audit form (r11): same 1-row crosses
     "dedup_minhash_clusters",       # audit form (r11): same 1-row crosses
+    "stats_mann_whitney",           # 1-row pooled quantile-cuts scalar
+                                    # (the ks_drift broadcast shape)
+    "events_markov_stationary",     # 1-row state-count scalar for the
+                                    # uniform start vector
 }
 BNLJ_OK |= SCALAR_BROADCAST_OK
 
@@ -169,6 +173,9 @@ GLOBAL_WINDOW_OK = {
                                  # token rows only
     "dq_ks_drift",               # cumulative CDF over the bounded
                                  # 50-row bin spine only (never fact rows)
+    "stats_mann_whitney",        # cumulative midranks over the bounded
+                                 # 50-row bin spine only (the ks_drift
+                                 # shape; never fact rows)
     "events_survival_km",        # KM cumulative hazard over the duration
                                  # spine — bounded by the corpus time span
                                  # in DAYS (calendar-bounded at any data

@@ -825,7 +825,13 @@ def mann_whitney_binned(
     tie correction sum(t^3 - t) as exact BIGINTs.
 
     Returns ONE row: (n_a, n_b, u_a, z_stat, reject_at_95) where
-    ``u_a`` counts (a, b) pairs with a ranked higher (ties half)."""
+    ``u_a`` counts (a, b) pairs with a ranked higher (ties half).
+
+    ``F.percentile`` here is the EXACT aggregate (bit-identical to
+    DuckDB quantile_cont — the oracle contract); like ks_drift, the
+    100 TB switch is ``approx_percentile`` for the cuts, which changes
+    only WHERE the bin boundaries fall, not the statistic's validity
+    (any fixed binning yields a legitimate binned U)."""
     pooled = df.filter(
         F.col(group_col).isin(group_a, group_b)
         & F.col(value_col).isNotNull()
