@@ -228,6 +228,11 @@ HEADLINE = [
     "text_rake_keywords",
     "ann_pca_lossless_audit",
     "graph_adamic_adar",
+    # round-11 additions: Markov stationary distribution, binned
+    # Mann-Whitney rank test, per-source n-gram novelty
+    "events_markov_stationary",
+    "stats_mann_whitney",
+    "corpus_source_novelty",
 ]
 
 
