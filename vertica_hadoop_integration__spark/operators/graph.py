@@ -212,6 +212,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Exact global triangle count over an undirected edge list — one
     row (n_triangles). The graph-analytics clustering-coefficient
@@ -236,10 +237,20 @@ def triangle_count(
     wedge-join form shuffled — but no wedge ROWS are materialized
     through a join, which measured 8.1 -> 5.1s median (interleaved
     3-trial A/B at sf0.1, identical counts) versus the wedge form."""
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
-        F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
-    ).filter(F.col("u") != F.col("v")).distinct()
+    if input_symmetric:
+        # both directions of every edge are present (the co-order pair
+        # expansion's contract), so keeping only src < dst rows yields
+        # the same canonical set while HALVING the distinct's shuffle
+        # input (r11, guide §2.3: shuffle fewer bytes)
+        e = edges.filter(F.col(src) < F.col(dst)).select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        ).distinct()
+    else:
+        e = edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        ).filter(F.col("u") != F.col("v")).distinct()
     # note: the edge list feeds degrees and both orientation joins, but
     # interleaved A/B at sf0.1 showed neither persist() nor an eager
     # localCheckpoint beats recomputation here (medians 16.0/16.3 vs
@@ -295,9 +306,24 @@ def pagerank(
     iters: int = 10,
     dangling: str = "redistribute",
     checkpoint_every: int = 1,
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an arbitrary directed edge list; returns
     (node, pagerank) for every node appearing as a source or target.
+
+    ``input_symmetric=True`` (r11) declares that every node appearing
+    as a target also appears as a source (true of any symmetric edge
+    list, e.g. the co-order graph) and requires
+    ``dangling="assume_none"``.  The fast path it unlocks, values
+    bit-identical (guide §2.3-2.4): the node table IS the out-weight
+    table's key set (no separate union+distinct+persist), the node
+    count becomes one driver scalar instead of a per-iteration 1-row
+    broadcast join, the per-iteration left-join back onto the node
+    table disappears (the in-sum covers every node, so its coalesce
+    could never fire), the rank join takes a shuffled-hash build on
+    the node-sized rank side (no per-iteration sort of the edge
+    frame), and per-iteration lineage truncation is lazy (one job per
+    run, not one per iteration).
 
     ``dangling`` controls nodes with no out-edges:
 
@@ -330,6 +356,11 @@ def pagerank(
     result is a bounded materialized frame with no lineage into them."""
     if dangling not in ("redistribute", "assume_none", "error"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
+    if input_symmetric and dangling != "assume_none":
+        raise ValueError(
+            "input_symmetric requires dangling='assume_none' (a symmetric "
+            "graph has no dangling nodes)"
+        )
     w_expr = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     )
@@ -337,6 +368,48 @@ def pagerank(
         F.col(src).alias("p"), F.col(dst).alias("q"), w_expr.alias("w")
     ).persist()
     outw = e.groupBy("p").agg(F.sum("w").alias("outw"))
+    if input_symmetric:
+        edges_n = e.join(outw, on="p").persist()
+        outw_keys = outw.select("p").persist()
+        try:
+            # bounded driver scalar: one count of the node-cardinality
+            # out-weight table (the nodes == sources contract)
+            n = outw_keys.count()
+            inv_n = F.lit(1.0) / F.lit(n).cast("double")
+            rank = outw_keys.select("p", inv_n.alias("r"))
+            for _i in range(iters):
+                contrib = edges_n.join(
+                    rank.hint("shuffle_hash"), on="p"
+                ).select(
+                    F.col("q"),
+                    (
+                        (F.col("r") * F.col("w")) / F.col("outw")
+                    ).cast("decimal(30,15)").alias("_c"),
+                )
+                # the in-sum covers every node (symmetric graph), so it
+                # IS the next rank frontier — no node-table join back
+                new_rank = (
+                    contrib.groupBy("q")
+                    .agg(F.sum("_c").cast("double").alias("_s"))
+                    .select(
+                        F.col("q").alias("p"),
+                        (
+                            F.lit(teleport) / F.lit(n).cast("double")
+                            + F.lit(damping) * F.col("_s")
+                        ).alias("r"),
+                    )
+                )
+                if _i % checkpoint_every == checkpoint_every - 1 or _i == iters - 1:
+                    rank = new_rank.localCheckpoint(eager=_i == iters - 1)
+                else:
+                    rank = new_rank
+            return rank.select(
+                F.col("p").alias("node"), F.col("r").alias("pagerank")
+            )
+        finally:
+            outw_keys.unpersist()
+            edges_n.unpersist()
+            e.unpersist()
     edges_n = e.join(outw, on="p").persist()
     nodes = (
         e.select("p")
@@ -482,6 +555,11 @@ def cooccurrence_pagerank(
         teleport=teleport,
         iters=iters,
         dangling="assume_none",
+        # co-order edges are symmetric (the pair expansion emits both
+        # directions), so the r11 fast path applies: no node-table
+        # union/persist, driver-scalar n, no per-iteration node join,
+        # hash-built rank join, lazy lineage truncation
+        input_symmetric=True,
     )
     return (
         ranks.orderBy(F.col("pagerank").desc(), F.col("node"))
@@ -496,6 +574,7 @@ def label_propagation(
     dst: str = "doc_id_b",
     weight: str | None = None,
     iters: int = 3,
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous weighted label propagation (Raghavan et al. 2007) —
     community detection, the third member of the graph family next to
@@ -512,54 +591,82 @@ def label_propagation(
     oscillate on bipartite structures, and the downstream contract is
     "deterministic labels after T sweeps", not a fixpoint claim.
 
-    Plan shape per iteration: one edges-sized join + one (node,
-    label)-keyed aggregation + a partitioned top-1 window; the label
-    frontier is node-sized and lineage-truncated per round, so the plan
-    stays flat at any depth."""
+    ``input_symmetric=True`` declares the caller's contract that
+    ``edges`` already contains BOTH directions of every undirected edge
+    with equal weight and one row per directed edge (true of the
+    co-order pair expansion, which emits (p,q) and (q,p) symmetrically
+    and is grouped per pair).  The symmetrize-union-aggregate pass —
+    a 2x-edge-volume shuffle plus a checkpoint job — is then skipped
+    outright and the edge frame is used as-is; labels are invariant to
+    this because argmax/tie-break only compare per-(node, label) weight
+    sums, which the doubled symmetrized weights scale uniformly (r11
+    measurement: the union+groupBy was ~1/3 of the query's wall).
+
+    Plan shape per iteration (r11, guide §2.3-2.4): one edges-sized
+    join that attaches the SOURCE endpoint's label (a shuffled-hash
+    join with the node-sized label frame as build side — sort-free; on
+    a pre-partitioned edge frame the edge side needs no exchange
+    either) + one (node, label)-keyed partial aggregation + one
+    node-keyed argmax via min(struct(-ws, label)) — a hash aggregate
+    instead of the previous row_number window, so no per-iteration
+    sort.  Sweep 1 needs no join at all (the seed label of a node IS
+    the node id, so the message labels are the edge's own source
+    column).  The per-iteration left-join back onto the node table was
+    dropped: in a symmetrized graph every node has at least one
+    neighbor, so the argmax output already covers every node (the
+    coalesce it fed could never fire).  The label frontier is
+    node-sized and lineage-truncated per round, so the plan stays flat
+    at any depth."""
     w_expr = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     e = edges.select(
         F.col(src).cast("long").alias("u"),
         F.col(dst).cast("long").alias("v"),
         w_expr.alias("w"),
     )
-    sym = (
-        e.unionByName(
-            e.select(
-                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+    if input_symmetric:
+        sym = e
+    else:
+        sym = (
+            e.unionByName(
+                e.select(
+                    F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+                )
             )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
         )
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-        .localCheckpoint()
-    )
-    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("label"))
-    from pyspark.sql import Window as _W
-
-    for _ in range(iters):
-        cnt = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy(sym.u, "label")
-            .agg(F.sum("w").alias("ws"))
-        )
-        pick = (
-            cnt.withColumn(
-                "_rn",
-                F.row_number().over(
-                    _W.partitionBy("u").orderBy(
-                        F.desc("ws"), F.asc("label")
-                    )
-                ),
+    labels = None
+    for _i in range(iters):
+        if labels is None:
+            # sweep 1: label(u) == u, so the message label is sym's own
+            # source column — no join needed
+            msg = sym.select(F.col("v"), F.col("u").alias("label"), "w")
+        else:
+            # attach the SOURCE endpoint's label and vote at the target:
+            # by symmetry this is the same message set as attaching the
+            # target's label and voting at the source, but it keys the
+            # join on u — the partitioning both the pre-partitioned edge
+            # frame and the previous sweep's node-keyed argmax output
+            # already have, so neither side re-shuffles.  shuffle_hash:
+            # build the node-sized label side, never sort the edges.
+            msg = (
+                sym.join(
+                    labels.hint("shuffle_hash"), sym.u == labels.node
+                ).select(F.col("v"), F.col("label"), "w")
             )
-            .filter(F.col("_rn") == 1)
-            .select(F.col("u").alias("node"), F.col("label").alias("_nl"))
-        )
+        cnt = msg.groupBy("v", "label").agg(F.sum("w").alias("ws"))
+        # argmax per node: min(struct(-ws, label)) == (ws DESC, label
+        # ASC) top-1, as a partial-aggregating hash agg instead of a
+        # row_number window (no sort, no full-row shuffle)
         labels = (
-            nodes.join(pick, on="node", how="left")
-            .select(
-                "node",
-                F.coalesce(F.col("_nl"), F.col("node")).alias("label"),
+            cnt.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("ws")).alias("_nws"), F.col("label"))
+                ).alias("_m")
             )
+            .select(F.col("v").alias("node"), F.col("_m.label").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
@@ -571,6 +678,7 @@ def kcore(
     rounds: int = 3,
     src: str = "u",
     dst: str = "v",
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """k-core peel, ``rounds`` synchronous iterations: repeatedly drop
     nodes of degree < ``k`` (dropping a node lowers its neighbors'
@@ -592,9 +700,14 @@ def kcore(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    if input_symmetric:
+        # both directions already present: skip the union, halving the
+        # distinct's shuffle input (r11, guide §2.3)
+        sym = e.distinct()
+    else:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
     alive = sym.localCheckpoint()
     for r in range(rounds):
         keep = (
@@ -603,9 +716,13 @@ def kcore(
             .filter(F.col("_d") >= k)
             .select("u")
         )
-        alive = alive.join(keep, on="u", how="left_semi").join(
+        # v-side semi first, u-side last (r11, guide §2.4): the round's
+        # output is then hash-partitioned on u, which the NEXT round's
+        # degree aggregate and u-side semi-join reuse without an
+        # exchange (filter order is irrelevant to the surviving set)
+        alive = alive.join(
             keep.select(F.col("u").alias("v")), on="v", how="left_semi"
-        )
+        ).join(keep, on="u", how="left_semi")
         if r < rounds - 1:
             alive = alive.localCheckpoint(eager=False)
     return alive.groupBy(F.col("u").alias("node")).agg(
@@ -620,6 +737,7 @@ def jaccard_link_prediction(
     src: str = "u",
     dst: str = "v",
     max_degree: int | None = 64,
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction: for node pairs that share
     at least ``min_common`` neighbors but are NOT already connected,
@@ -659,9 +777,14 @@ def jaccard_link_prediction(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    if input_symmetric:
+        # both directions already present: skip the union, halving the
+        # distinct's shuffle input (r11, guide §2.3)
+        sym = e.distinct()
+    else:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
     sym = sym.localCheckpoint()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
     wedge_src = sym
@@ -720,6 +843,7 @@ def modularity(
     weight: str | None = None,
     node_col: str = "node",
     label_col: str = "label",
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Newman modularity of a community assignment: per community c,
     ``Q_c = in_c/(2m) - (d_c/(2m))^2`` over the symmetrized weighted
@@ -746,21 +870,33 @@ def modularity(
         F.col(dst).cast("long").alias("v"),
         w_expr.alias("w"),
     ).filter(F.col("u") != F.col("v"))
-    sym = (
-        e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
+    if input_symmetric:
+        # the caller declares edges already hold BOTH directions of
+        # every undirected edge with equal weight, one row per directed
+        # edge (the co-order pair expansion's contract): the union +
+        # groupBy symmetrization then reduces to doubling the weight in
+        # place — bit-identical in/degree/2m sums (each (u,v) would
+        # have received w_uv + w_vu = 2*w_uv), zero extra shuffle
+        # (r11, guide §2.4).
+        sym = e.select("u", "v", (F.col("w") * 2).alias("w")).localCheckpoint(
+            eager=False
         )
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-        # LAZY localCheckpoint, not persist (r10 ADVICE): all three
-        # consumers (two_m, deg, in_c) sit under ONE final action, so
-        # the checkpoint materializes once on first use with no extra
-        # eager job — same one-compute behavior as persist — but its
-        # blocks are ContextCleaner-reclaimed when the result frame goes
-        # out of scope, instead of pinning one edge-sized cache per call
-        # in a long-lived session (no caller-owned cleanup needed).
-        .localCheckpoint(eager=False)
-    )
+    else:
+        sym = (
+            e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w"))
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            # LAZY localCheckpoint, not persist (r10 ADVICE): all three
+            # consumers (two_m, deg, in_c) sit under ONE final action, so
+            # the checkpoint materializes once on first use with no extra
+            # eager job — same one-compute behavior as persist — but its
+            # blocks are ContextCleaner-reclaimed when the result frame goes
+            # out of scope, instead of pinning one edge-sized cache per call
+            # in a long-lived session (no caller-owned cleanup needed).
+            .localCheckpoint(eager=False)
+        )
     lab = labels.select(
         F.col(node_col).cast("long").alias("_n"),
         F.col(label_col).cast("long").alias("_lbl"),
@@ -775,13 +911,31 @@ def modularity(
             F.sum("_d").cast("bigint").alias("degree_w"),
         )
     )
+    # internal weight via the message shape (r11, guide §2.3): attach
+    # the SOURCE label, partially aggregate per (target, source-label)
+    # — the exchange then carries the compressed (v, label) sums, not
+    # raw edges — and only then attach the TARGET label node-keyed.
+    # Algebraically identical to the former double edge-sized join
+    # (sum over edges with equal endpoint labels, exact BIGINTs), but
+    # the second join moves |V|-scale rows instead of |E|-scale.
     in_c = (
-        sym.join(lab.select(F.col("_n"), F.col("_lbl").alias("_lu")), sym.u == F.col("_n"))
-        .drop("_n")
-        .join(lab.select(F.col("_n"), F.col("_lbl").alias("_lv")), F.col("v") == F.col("_n"))
+        sym.join(
+            lab.select(F.col("_n"), F.col("_lbl").alias("_lu")).hint(
+                "shuffle_hash"
+            ),
+            sym.u == F.col("_n"),
+        )
+        .groupBy("v", "_lu")
+        .agg(F.sum("w").alias("_ws"))
+        .join(
+            lab.select(F.col("_n"), F.col("_lbl").alias("_lv")).hint(
+                "shuffle_hash"
+            ),
+            F.col("v") == F.col("_n"),
+        )
         .filter(F.col("_lu") == F.col("_lv"))
         .groupBy(F.col("_lu").alias("_lbl"))
-        .agg(F.sum("w").cast("bigint").alias("internal_w"))
+        .agg(F.sum("_ws").cast("bigint").alias("internal_w"))
     )
     tm = F.col("_2m").cast("double")
     din = F.col("internal_w").cast("double")
@@ -807,6 +961,7 @@ def adamic_adar_link_prediction(
     src: str = "u",
     dst: str = "v",
     max_degree: int | None = 64,
+    input_symmetric: bool = False,
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003): unlinked pairs
     scored ``sum over shared neighbors w of 1/ln(deg(w))`` — the
@@ -829,9 +984,14 @@ def adamic_adar_link_prediction(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    if input_symmetric:
+        # both directions already present: skip the union, halving the
+        # distinct's shuffle input (r11, guide §2.3)
+        sym = e.distinct()
+    else:
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
     sym = sym.localCheckpoint()
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
     wedge_src = sym
