@@ -730,18 +730,21 @@ def clean_corpus_portable(
     Returns the surviving (id) rows. Stage order matters and is part of
     the contract: gates cut volume before any pair generation."""
     from .dedup import containment_pairs_portable
-    from .text import quality_logreg
+    from .text import quality_logreg_prob
 
     # spread the few-partition scan before the CPU-bound gate/decon/
     # shingle stages (no-op at real scale)
     df = spread(df)
-    kept = df.join(
-        quality_logreg(df, text_col, id_col)
-        .filter(F.col("quality_prob") >= min_prob)
-        .select(id_col),
-        on=id_col,
-        how="left_semi",
-    )
+    # r11 (guide §2.4): the gate probability is a pure projection, so
+    # filter INLINE in the scan stage — the previous semi-join against
+    # quality_logreg's (id, prob) frame paid a second corpus scan plus
+    # an id-keyed exchange for the same surviving set.  Also project to
+    # the two columns every later stage needs (guide §2.3): the result
+    # is an id list, so dragging lang/source/n_chars through the
+    # decon/exact/containment shuffles was pure shuffle weight.
+    kept = df.filter(
+        quality_logreg_prob(F.col(text_col)) >= min_prob
+    ).select(id_col, text_col)
     decon = decontaminate(
         kept, eval_shingles, text_col, id_col, shingle_n=decon_shingle_n,
         mode="drop",

@@ -876,6 +876,12 @@ def markov_stationary(
         events, user_col=user_col, type_col=type_col,
         ts_col=ts_col, id_col=id_col,
     )
+    # ONE eager materialization of the types^2-bounded transition table
+    # (r11, guide §1.2): the events-scale window pass behind it runs
+    # exactly once, and all eight iterations below are plan-side work
+    # over these bounded blocks — no per-iteration lineage back into
+    # the fact table, no per-iteration checkpoints.
+    trans = trans.localCheckpoint()
     states = (
         trans.select(F.col("from_type").alias("state"))
         .unionByName(trans.select(F.col("to_type").alias("state")))
@@ -893,16 +899,31 @@ def markov_stationary(
     p = (
         trans.select("from_type", "to_type", "p_transition")
         .unionByName(absorbing)
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
+    # states with no incoming edge receive zero mass at EVERY step —
+    # the set is iteration-invariant, so compute its 0-rows once and
+    # union them in per step instead of left-joining the full state
+    # table each iteration (identical vector: presence in the step's
+    # in-sum is decided by edge existence, not by the summed value)
+    dead = states.join(
+        p.select(F.col("to_type").alias("state")).distinct(),
+        on="state",
+        how="left_anti",
+    ).select("state", F.lit(0.0).alias("p_stationary")).localCheckpoint()
     n_states = states.agg(F.count(F.lit(1)).alias("_k"))
     v = states.crossJoin(F.broadcast(n_states)).select(
         "state",
         (F.lit(1.0) / F.col("_k").cast("double")).alias("p_stationary"),
     )
     for _ in range(iters):
+        # broadcast the types-bounded vector: the per-iteration join
+        # carries no exchange at all (the chain IS broadcast-sized by
+        # the event-type enum contract)
         contrib = p.join(
-            v.select(F.col("state").alias("from_type"), "p_stationary"),
+            F.broadcast(
+                v.select(F.col("state").alias("from_type"), "p_stationary")
+            ),
             on="from_type",
         ).select(
             F.col("to_type").alias("state"),
@@ -913,13 +934,7 @@ def markov_stationary(
         nxt = contrib.groupBy("state").agg(
             F.sum("_c").cast("double").alias("p_stationary")
         )
-        # states receiving no mass this step keep an explicit 0 row so
-        # the vector stays state-complete across iterations
-        v = (
-            states.join(nxt, on="state", how="left")
-            .na.fill({"p_stationary": 0.0})
-            .localCheckpoint(eager=False)
-        )
+        v = nxt.unionByName(dead)
     return v.select(
         F.col("state").alias("event_type"), "p_stationary"
     )

@@ -679,7 +679,23 @@ def quality_logreg(
     DuckDB (round-2 verification), and every ratio reuses
     quality_features' exact cast shapes, so the probability is
     oracle-comparable to the last ulp."""
-    text = F.col(text_col)
+    prob = quality_logreg_prob(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        prob.alias("quality_prob"),
+        F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
+    )
+
+
+def quality_logreg_prob(text) -> "F.Column":
+    """The :func:`quality_logreg` probability as a bare Column — so
+    gate-style consumers (clean_corpus_portable) can FILTER inline in
+    the scan stage instead of computing an (id, prob) frame and
+    semi-joining it back onto the corpus (r11, guide §2.4: that
+    self-join cost a second full scan + an id-keyed exchange for a
+    value that is a pure projection).  Expression shape (literal order,
+    casts) is identical to the frame form, so the probability stays
+    oracle-comparable to the last ulp."""
     n_tok = token_count(text)
     n_chars = F.length(text)
     n_punct = punct_count(text)
@@ -695,12 +711,7 @@ def quality_logreg(
         - F.lit(12.0) * punct_ratio
         - F.lit(0.35) * avg_token_len
     )
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return df.select(
-        F.col(id_col),
-        prob.alias("quality_prob"),
-        F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
-    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def logreg_train_step(
