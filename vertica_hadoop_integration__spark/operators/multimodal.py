@@ -168,11 +168,28 @@ DECODERS: dict[str, Callable[[str, bytes], dict]] = {
 }
 
 
+# Per-class payload memos for the fixture synthesizers (r11, guide
+# §4.5): each synthesizer below is a pure function of doc_id modulo a
+# small class period (the fixtures deliberately repeat payloads to model
+# recurring web assets), so a corpus row re-derives a few-KB payload
+# thousands of times over.  The memo eliminates that re-synthesis — the
+# bytes are produced by the very same function on first use in each
+# Python worker (worker reuse keeps the dict across tasks), so outputs
+# are bit-identical and nothing about the decode/fingerprint kernels
+# under test is cached.  Bounded: <= class-period entries of a few KB.
+_FIXTURE_CACHE: dict[tuple[str, int], bytes] = {}
+
+
 def _bmp_bytes(doc_id: int) -> bytes:
     """A genuine uncompressed 24-bit BMP file, dimensions and luminance
     derived deterministically from doc_id (so a SQL oracle can predict
     exactly what the decoder must recover)."""
     import struct
+
+    key = ("bmp", doc_id % 768)  # lcm(24, 24, 256): all parameter periods
+    hit = _FIXTURE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     width = 8 + doc_id % 24
     height = 8 + (doc_id * 7) % 24
@@ -184,7 +201,9 @@ def _bmp_bytes(doc_id: int) -> bytes:
     dib = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
-    return header + dib + pixels
+    out = header + dib + pixels
+    _FIXTURE_CACHE[key] = out
+    return out
 
 
 def _wav_bytes(doc_id: int) -> bytes:
@@ -194,6 +213,11 @@ def _wav_bytes(doc_id: int) -> bytes:
     import io
     import struct
     import wave as _wave
+
+    key = ("wav", doc_id % 100)  # lcm(50, 100): both parameter periods
+    hit = _FIXTURE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     rate = 8000
     n_frames = 400 + (doc_id % 50) * 80
@@ -209,7 +233,9 @@ def _wav_bytes(doc_id: int) -> bytes:
                 for i in range(n_frames)
             )
         )
-    return buf.getvalue()
+    out = buf.getvalue()
+    _FIXTURE_CACHE[key] = out
+    return out
 
 
 def _avi_from_frames(frames, fps: int) -> bytes:
@@ -789,6 +815,9 @@ def _bmp_gradient_bytes(doc_id: int) -> bytes:
     import struct
 
     cls = doc_id % 50
+    hit = _FIXTURE_CACHE.get(("bmpg", cls))
+    if hit is not None:
+        return hit
     width = 8 + (cls % 10)
     height = 8 + ((cls * 3) % 10)
     base = (cls * 5) % 256
@@ -810,7 +839,9 @@ def _bmp_gradient_bytes(doc_id: int) -> bytes:
     dib = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
-    return header + dib + pixels
+    out = header + dib + pixels
+    _FIXTURE_CACHE[("bmpg", cls)] = out
+    return out
 
 
 def synthesize_textured_media(docs: DataFrame) -> DataFrame:
@@ -960,6 +991,9 @@ def _wav_am_bytes(doc_id: int) -> bytes:
     import wave as _wave
 
     cls = doc_id % 40
+    hit = _FIXTURE_CACHE.get(("wavam", cls))
+    if hit is not None:
+        return hit
     rate = 8000
     n_frames = 1600 + (cls % 5) * 320
     base = 4000 + (cls % 8) * 1500
@@ -982,7 +1016,9 @@ def _wav_am_bytes(doc_id: int) -> bytes:
         w.setsampwidth(2)
         w.setframerate(rate)
         w.writeframes(bytes(frames))
-    return buf.getvalue()
+    out = buf.getvalue()
+    _FIXTURE_CACHE[("wavam", cls)] = out
+    return out
 
 
 def synthesize_am_audio_media(docs: DataFrame) -> DataFrame:
