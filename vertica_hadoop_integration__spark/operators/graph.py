@@ -78,9 +78,18 @@ def connected_components(
     # on containment clusters — every iteration re-analyzed the full
     # containment logical plan through the cached layers.)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    if small_graph_threshold:
+        # ONE bounded take() replaces the former checkpoint + count +
+        # collect triple (r11, guide §1.2): at or under the gate, the
+        # rows in hand ARE the edge set the union-find needs — the edge
+        # pipeline executes once instead of three times.  Over the
+        # gate, take()'s incremental limit stops after the first
+        # partitions (cheap) and the distributed path below re-executes
+        # from the checkpoint as before.
+        rows = sym.take(2 * small_graph_threshold + 1)
+        if len(rows) <= 2 * small_graph_threshold:
+            return _driver_union_find(e.sparkSession, rows)
     sym = sym.localCheckpoint()
-    if small_graph_threshold and sym.count() <= 2 * small_graph_threshold:
-        return _driver_union_find(sym)
     # hop 0 folded into initialization: label(u) = min(u, min neighbor)
     # straight from the symmetric edge list — one aggregate instead of a
     # full propagate round (labels == node ids makes the first join a
@@ -148,12 +157,12 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-def _driver_union_find(sym: DataFrame) -> DataFrame:
+def _driver_union_find(spark, rows) -> DataFrame:
     """Exact min-label connected components for a bounded symmetrized
-    edge frame: collect (the caller has already counted and gated),
-    union-find with union-by-min-root — every union keeps the smaller id
-    as root, so each node's final root IS the minimum id of its
-    component, matching the label-propagation fixpoint bit for bit."""
+    edge list already in hand (the caller's gated take()), union-find
+    with union-by-min-root — every union keeps the smaller id as root,
+    so each node's final root IS the minimum id of its component,
+    matching the label-propagation fixpoint bit for bit."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     parent: dict[int, int] = {}
@@ -166,7 +175,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.collect():
+    for row in rows:
         u, v = row[0], row[1]
         if u not in parent:
             parent[u] = u
@@ -185,7 +194,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             StructField("component", LongType(), False),
         ]
     )
-    return sym.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_clusters(

@@ -2019,6 +2019,13 @@ def centroid_drift(
         ]
         return df.groupBy(F.col(label_col).alias("label")).agg(*aggs)
     j = _sums(emb_a, "a").join(_sums(emb_b, "b"), on="label", how="full")
+    return _drift_combine(j, dim)
+
+
+def _drift_combine(j: DataFrame, dim: int) -> DataFrame:
+    """Shared closed-form combine for the centroid-drift family: one
+    fixed left-to-right double association the oracle mirrors
+    term-for-term."""
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     dot = norm_a = norm_b = shift = None
