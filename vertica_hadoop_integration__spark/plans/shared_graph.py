@@ -50,9 +50,20 @@ def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p", F.explode("ps").alias("q"))
         .filter(F.col("p") != F.col("q"))
     )
+    # Eager localCheckpoint, no repartition (r11 A/B): a checkpointed
+    # RDD scans back as UnknownPartitioning, so a pre-checkpoint
+    # repartition("p") is a pure-cost exchange — and the
+    # partition-preserving alternative (repartition + persist + count,
+    # which DOES let the sweeps' label joins skip the edge exchange —
+    # plan evidence in plans/r11/graph_lpa_sweeps_after.txt) measured
+    # NO FASTER end-to-end in a 4-variant interleaved A/B at sf0.1
+    # (mins 5.6-6.9s, persisted-edge variants mid-pack): the saved
+    # exchange is repaid in InMemoryTableScan's columnar→row
+    # deserialization on every one of the ~6 consumers.  The checkpoint
+    # also avoids pinning a catalog cache entry in long-lived sessions
+    # (blocks are ContextCleaner-reclaimed with the frame).
     return (
         pairs.groupBy("p", "q")
         .agg(F.count(F.lit(1)).alias("w"))
-        .repartition("p")
         .localCheckpoint()
     )
