@@ -1,0 +1,71 @@
+"""Refreeze per-query bench budgets at the r11 close-out (r10 VERDICT
+item 8): budget = 2x the best-known per-query min across rounds, i.e.
+min(previous budget, 2x this close-out's min) — a budget can only
+TIGHTEN, never loosen — except for queries whose registered computation
+changed this round (audit-form re-baselines, the r09 precedent), which
+re-baseline at 2x the new form's close-out min.
+
+Usage: python tools/refreeze_budgets.py [closeout_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# Queries whose registered computation changed in the r11 mid-build:
+# dedup_minhash_lsh now runs the xxhash pipeline PLUS the raw-text
+# equivalence audit (shingle_sets ground truth, soundness/completeness
+# booleans); its old budget priced the pipeline alone.
+REBASELINE = {"dedup_minhash_lsh"}
+
+
+def main() -> None:
+    closeout_path = (
+        sys.argv[1] if len(sys.argv) > 1 else "reports/bench_closeout.json"
+    )
+    with open(closeout_path) as fh:
+        closeout = json.load(fh)
+    with open("reports/bench_budget.json") as fh:
+        budget_doc = json.load(fh)
+    budgets = budget_doc["budget_seconds"]
+    mins = closeout["queries"]
+
+    tightened, rebased, kept = [], [], []
+    for name, old in sorted(budgets.items()):
+        if name not in mins:
+            kept.append(name)
+            continue
+        cand = round(2.0 * mins[name], 3)
+        if name in REBASELINE:
+            budgets[name] = cand
+            rebased.append((name, old, cand))
+        elif cand < old:
+            budgets[name] = cand
+            tightened.append((name, old, cand))
+        else:
+            kept.append(name)
+
+    budget_doc["basis"] = (
+        "2.0 x best-known per-query min across all rounds' full bench "
+        "runs; r11 close-out refreeze (OPTIMIZATION_r11.md): budgets "
+        "tightened to 2x the r11 close-out min wherever that is lower "
+        "than the standing budget, never loosened; dedup_minhash_lsh "
+        "re-baselined at 2x the r11 close-out min because its registered "
+        "computation gained the raw-text equivalence audit in the r11 "
+        "mid-build (the r09 sketch_hll_rollup/sketch_kmv_distinct "
+        "audit-form precedent). Close-out git_sha: "
+        + str(closeout.get("git_sha"))
+    )
+    with open("reports/bench_budget.json", "w") as fh:
+        json.dump(budget_doc, fh, indent=1, sort_keys=True)
+    print(f"tightened {len(tightened)}, rebased {len(rebased)}, "
+          f"kept {len(kept)}")
+    for name, old, new in rebased:
+        print(f"  REBASE {name}: {old} -> {new}")
+    for name, old, new in sorted(tightened, key=lambda t: t[1] - t[2])[-15:]:
+        print(f"  tighten {name}: {old} -> {new}")
+
+
+if __name__ == "__main__":
+    main()
