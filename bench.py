@@ -548,7 +548,13 @@ def main() -> None:
             "under 'remeasured', pre-re-measure totals under "
             "'value_in_loop'/'suite_median_in_loop'; breaches keyed on "
             "median of all trials under 'breaches'; provenance under "
-            "'git_sha'/'loadavg'"
+            "'git_sha'/'loadavg'. Multimodal note: the fixture "
+            "synthesizers (operators/multimodal.py::_FIXTURE_CACHE) "
+            "memoize the few-KB class-periodic media payloads per Python "
+            "worker — input synthesis standing in for 'read media from "
+            "storage', bit-identical bytes, bounded by the class period; "
+            "the decode/fingerprint kernels under test are never cached, "
+            "so multimodal trials time kernel work over warm fixtures"
         ),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }

@@ -1207,3 +1207,39 @@ def test_topk_paged_serving_pushes_rank_filter_and_prunes_files(
             if not (hi < 6 or lo > 10):
                 touching.add(f)
     assert touching and len(touching) < len(all_files)
+
+
+def test_shingles_edge_docs_match_oracle_fragment(spark):
+    """Pin the r11 zip_with shingle kernel on the degenerate docs the
+    sf corpora happen not to contain (r11 VERDICT item 9): empty,
+    whitespace-only, and sub-n-token texts must produce exactly what
+    the DuckDB oracle fragment computes — so a future corpus WITH such
+    rows cannot silently diverge from the oracle."""
+    import duckdb
+
+    from vertica_hadoop_integration__spark.functions.text_fns import shingles
+
+    docs = ["", "   ", "\t\n", "one", "one two", "one two three",
+            "one two three four", "  padded   tokens  "]
+    got = {
+        r["i"]: r["sh"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "i int, text string"
+        )
+        .select("i", shingles(F.col("text"), 3).alias("sh"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: con.execute(
+            r"""
+            SELECT list_transform(
+                generate_series(1, greatest(len(t)-2, 1)),
+                i -> array_to_string(t[i:i+2], ' '))
+            FROM (SELECT string_split_regex(lower(trim(?)), '\s+') AS t)
+            """,
+            [t],
+        ).fetchone()[0]
+        for i, t in enumerate(docs)
+    }
+    assert got == want, f"spark={got}\noracle={want}"

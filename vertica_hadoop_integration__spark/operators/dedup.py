@@ -408,12 +408,27 @@ def _containment_core(
     sets: DataFrame,
     id_col: str,
     min_containment: float,
+    prefix_k: int = 3,
 ) -> DataFrame:
     """Prefix-filter + positional-filter candidate generation + exact
     containment verify over a (staged, sets) pair (see
     containment_pairs_portable).  ``staged`` carries the per-doc set
     size ``n`` (free — it is a map-only explode of the sets frame), so
-    no join-back to ``sets`` is needed before the prefix cut."""
+    no join-back to ``sets`` is needed before the prefix cut.
+
+    ``prefix_k`` (r12) is the adaptive k-prefix knob (Wang et al.,
+    VLDB'12 "Can we beat the prefix filtering?"): the probe prefix is
+    EXTENDED by k-1 positions and a candidate must then share at least
+    min(O, k) elements inside it (O = ceil(t*np), the pair's overlap
+    requirement).  Lossless by pigeonhole: a qualifying pair has
+    overlap >= O common elements, of which at most np - L = O - k can
+    sit outside the length-L = np - O + k extended prefix, so at least
+    k land inside it (and when O < k the prefix covers the whole set,
+    so all >= O do).  k=1 is the classic single-match prefix filter;
+    at sf0.1 / t=0.8 the one-rare-shingle coincidences it admits
+    dominated the candidate set (148 434 pairs for 241 true), k=3 cuts
+    that to 292 for ~15% more prefix-join probe rows — the verify join
+    then touches 500x fewer array pairs."""
     freq = staged.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         staged.join(freq, on="_h")
@@ -427,7 +442,7 @@ def _containment_core(
     )
     prefix = ranked.filter(
         F.col("_rn")
-        <= F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1
+        <= F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + prefix_k
     ).select(
         F.col(id_col).alias("_p"),
         F.col("n").alias("_np"),
@@ -440,36 +455,54 @@ def _containment_core(
         F.col("_rn").alias("_mi"),
         "_h",
     )
-    # PPJoin-style positional filter (lossless): both docs' shingle
-    # lists are ranked by the SAME global (df, hash) order, so a match
-    # at rank kp of the probe and rank mi of the indexed doc bounds the
-    # overlap by min(np - kp, ni - mi) + 1 — common elements can only
-    # sit at or after the match in both orders.  A qualifying pair
-    # (overlap >= ceil(t * np); np is the min side by the probe-
-    # direction rule) always has its FIRST common element inside the
-    # probe prefix carrying the loosest bound, so dropping match rows
-    # whose bound is below the requirement never loses a true pair —
-    # while pruning the random one-rare-shingle coincidences that
-    # dominated the candidate set (152k candidates -> 241 verified
-    # pairs at sf0.1 before this filter).
+    # PPJoin-style positional filter, aggregated over ALL of a pair's
+    # prefix matches (r12 — tightens the r10 per-row form, lossless):
+    # both docs' shingle lists are ranked by the SAME global (df, hash)
+    # order, so the common elements of a pair appear in the same order
+    # in both ranked lists.  The match rows of a pair are therefore its
+    # FIRST c common elements (those landing in the probe's prefix);
+    # every remaining common element sits strictly after the LAST match
+    # in both orders, so
+    #     overlap <= c + min(np - max(kp), ni - max(mi)).
+    # Requiring that bound >= ceil(t * np) never loses a qualifying
+    # pair (its true overlap >= ceil(t*np) is itself <= the bound) and
+    # is always at least as tight as the old any-row form — with c
+    # matches at probe ranks kp_1 < .. < kp_c, np - kp_c <= (np - kp_1)
+    # - (c - 1), so c + min-over-last <= 1 + min-over-first.  The
+    # groupBy replaces the former per-row filter + distinct: same
+    # (pair-keyed, partially-aggregated) exchange, one fewer pass, and
+    # the direction rule already emits each unordered pair in exactly
+    # one orientation so no distinct is needed.  Combined with the
+    # k-prefix match-count requirement (see ``prefix_k`` above), the
+    # one-rare-shingle coincidences that dominated the candidate set
+    # die here instead of in the array-intersect verify.
+    req = F.ceil(F.lit(min_containment) * F.col("_np"))
     cands = (
         prefix.join(index, on="_h")
         .filter(
             (F.col("_ni") > F.col("_np"))
             | ((F.col("_ni") == F.col("_np")) & (F.col("_i") > F.col("_p")))
         )
+        .groupBy("_p", "_i", "_np", "_ni")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("_kp").alias("_kpx"),
+            F.max("_mi").alias("_mix"),
+        )
         .filter(
-            F.lit(1)
-            + F.least(
-                F.col("_np") - F.col("_kp"), F.col("_ni") - F.col("_mi")
+            (F.col("_c") >= F.least(req, F.lit(prefix_k)))
+            & (
+                F.col("_c")
+                + F.least(
+                    F.col("_np") - F.col("_kpx"), F.col("_ni") - F.col("_mix")
+                )
+                >= req
             )
-            >= F.ceil(F.lit(min_containment) * F.col("_np"))
         )
         .select(
             F.least("_p", "_i").alias("doc_id_a"),
             F.greatest("_p", "_i").alias("doc_id_b"),
         )
-        .distinct()
     )
     v = sets.select(F.col(id_col), F.col("sh")).hint("merge")
     joined = (

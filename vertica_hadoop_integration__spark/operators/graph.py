@@ -41,8 +41,10 @@ def connected_components(
     self-loop rows surviving should coalesce against their node
     universe, which every in-repo caller already does.)
 
-    Size-gated execution: the symmetrized-distinct edge list is counted
-    first (a cached scan — it is checkpointed either way).  At or below
+    Size-gated execution: the symmetrized-distinct edge list is
+    checkpointed first (one execution of the edge pipeline on either
+    branch), then probed with one bounded take() over the materialized
+    blocks.  At or below
     ``small_graph_threshold`` distinct undirected edges, the labels come
     from a single-pass driver-side union-find over the bounded collect —
     exact, convergence-free, and O(E α(E)) instead of O(diameter) shuffle
@@ -77,19 +79,27 @@ def connected_components(
     # pipeline was.  (A persist-chain variant was measured 10x slower
     # on containment clusters — every iteration re-analyzed the full
     # containment logical plan through the cached layers.)
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        # checkpoint BEFORE the gate (r12, per r11 ADVICE): the edge
+        # pipeline — at 100 TB scale an expensive verification cascade —
+        # executes exactly once on BOTH branches.  The r11 take()-first
+        # form executed it ~twice over the gate (take() must run the
+        # distinct's full map side before its limit applies, then the
+        # checkpoint recomputed the pipeline for the distributed path).
+        .localCheckpoint()
+    )
     if small_graph_threshold:
-        # ONE bounded take() replaces the former checkpoint + count +
-        # collect triple (r11, guide §1.2): at or under the gate, the
-        # rows in hand ARE the edge set the union-find needs — the edge
-        # pipeline executes once instead of three times.  Over the
-        # gate, take()'s incremental limit stops after the first
-        # partitions (cheap) and the distributed path below re-executes
-        # from the checkpoint as before.
+        # ONE bounded take() against the already-materialized blocks
+        # both decides the gate and hands the union-find its rows (r11,
+        # guide §1.2 — replaces the former separate count + collect):
+        # under the gate, the rows in hand ARE the edge set; over it,
+        # take()'s incremental limit stops after the first checkpointed
+        # partitions (a cheap cached scan, no recompute).
         rows = sym.take(2 * small_graph_threshold + 1)
         if len(rows) <= 2 * small_graph_threshold:
             return _driver_union_find(e.sparkSession, rows)
-    sym = sym.localCheckpoint()
     # hop 0 folded into initialization: label(u) = min(u, min neighbor)
     # straight from the symmetric edge list — one aggregate instead of a
     # full propagate round (labels == node ids makes the first join a
@@ -250,11 +260,13 @@ def triangle_count(
         # both directions of every edge are present (the co-order pair
         # expansion's contract), so keeping only src < dst rows yields
         # the same canonical set while HALVING the distinct's shuffle
-        # input (r11, guide §2.3: shuffle fewer bytes)
-        e = edges.filter(F.col(src) < F.col(dst)).select(
+        # input (r11, guide §2.3: shuffle fewer bytes).  Compare on the
+        # CAST values (r12, per r11 ADVICE) so string-typed ids order
+        # the same way as the default path's post-cast least/greatest.
+        e = edges.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
-        ).distinct()
+        ).filter(F.col("u") < F.col("v")).distinct()
     else:
         e = edges.select(
             F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
@@ -638,6 +650,12 @@ def label_propagation(
     the labels several times (graph_modularity feeds them to two
     joins), which a 4-variant interleaved A/B measured no slower than
     the un-truncated single-plan form even for a single consumer."""
+    if iters < 1:
+        raise ValueError(
+            "label_propagation requires iters >= 1 (0 sweeps would leave "
+            "every node's community as its own seed label — select the "
+            "distinct endpoints yourself if that is what you want)"
+        )
     w_expr = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     e = edges.select(
         F.col(src).cast("long").alias("u"),
@@ -828,11 +846,21 @@ def jaccard_link_prediction(
             .filter(F.col("_hr") <= max_degree)
             .select("u", "v")
         )
-    # wedges: a -w- b with a < b gives each unordered candidate once
-    a = wedge_src.select(F.col("v").alias("a"), F.col("u").alias("w"))
-    b = wedge_src.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    # wedges via capped-adjacency double explode (r12, guide §2.4 — the
+    # triangle_count / cooccurrence_pagerank move): collect each
+    # center's capped neighbor list (bounded <= max_degree rows, and the
+    # groupBy reuses the cap window's hash partitioning on u, so NO new
+    # exchange) and explode the a < b pairs out of it.  Same wedge
+    # multiset as the former a-join-b self-join — each unordered pair of
+    # capped neighbors of w exactly once — but no join ever materializes
+    # the wedge rows, so the self-join's per-side sorts/hash build are
+    # gone and the only wedge-sized exchange left is the partial-agged
+    # groupBy(a, b).  With max_degree=None (exact mode, hub-free graphs
+    # only per the docstring) the list is the full neighborhood.
+    nbrs = wedge_src.groupBy("u").agg(F.collect_list("v").alias("_nbrs"))
     common = (
-        a.join(b, on="w")
+        nbrs.select(F.explode("_nbrs").alias("a"), "_nbrs")
+        .select("a", F.explode("_nbrs").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -1018,9 +1046,11 @@ def adamic_adar_link_prediction(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
     sym = sym.localCheckpoint()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
-    wedge_src = sym
     if max_degree is not None:
+        # one window pass computes BOTH the md5-rank cap and the FULL
+        # degree (r12): count() over the same partition key rides the
+        # cap window's exchange+sort for free, replacing the former
+        # separate degree aggregation + edge-sized join (guide §2.4).
         wc = Window.partitionBy("u").orderBy(
             F.md5(
                 F.concat(
@@ -1030,25 +1060,48 @@ def adamic_adar_link_prediction(
                 )
             )
         )
-        wedge_src = (
+        nbrs = (
             sym.withColumn("_hr", F.row_number().over(wc))
+            .withColumn("_d", F.count(F.lit(1)).over(Window.partitionBy("u")))
             .filter(F.col("_hr") <= max_degree)
-            .select("u", "v")
+            .groupBy("u")
+            .agg(
+                F.collect_list("v").alias("_nbrs"),
+                F.first("_d").alias("_d"),
+            )
         )
-    # attach the center weight to the EDGE list before wedge expansion:
-    # 1/ln(deg(w)) is constant per center, so joining deg onto the capped
-    # edges (edge-sized) instead of onto the wedges (fan-out-sized) keeps
-    # the expensive self-join free of an extra wedge-sized exchange
-    # (measured ~10.9s -> ~6s at sf0.1 vs the per-wedge formulation)
-    a = wedge_src.join(deg, on="u").select(
-        F.col("v").alias("a"),
-        F.col("u").alias("w"),
-        (F.lit(1.0) / F.log(F.col("_d").cast("double")))
-        .cast("decimal(30,15)")
-        .alias("_wt"),
+    else:
+        nbrs = sym.groupBy("u").agg(
+            F.collect_list("v").alias("_nbrs"),
+            F.count(F.lit(1)).alias("_d"),
+        )
+    # wedges via capped-adjacency double explode (r12, guide §2.4 — the
+    # triangle_count move, see jaccard_link_prediction): the center
+    # weight 1/ln(deg(w)) is constant per center, computed once on the
+    # node-sized adjacency row before the explode; the capped list is
+    # bounded <= max_degree and the groupBy reuses the window's hash
+    # partitioning on u, so the only wedge-sized exchange left is the
+    # partial-agged groupBy(a, b) — the self-join's per-side sorts and
+    # wedge-row materialization are gone.  Same wedge multiset, and the
+    # DECIMAL(30,15) score sums are partial-agg-order-free, so results
+    # are bit-identical.
+    weighted = (
+        # a center with < 2 capped neighbors yields no a < b pair, so
+        # dropping it first is free — and it is the ONLY row whose
+        # degree can be 1, so the filter also keeps ln(_d) > 0 out of
+        # ANSI divide-by-zero territory (the old join form only dodged
+        # that because codegen deferred the division past the filter)
+        nbrs.filter(F.size("_nbrs") >= 2)
+        .select(
+            (F.lit(1.0) / F.log(F.col("_d").cast("double")))
+            .cast("decimal(30,15)")
+            .alias("_wt"),
+            F.explode("_nbrs").alias("a"),
+            "_nbrs",
+        )
+        .select("_wt", "a", F.explode("_nbrs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
     )
-    b = wedge_src.select(F.col("u").alias("w"), F.col("v").alias("b"))
-    weighted = a.join(b, on="w").filter(F.col("a") < F.col("b"))
     common = (
         weighted.groupBy("a", "b")
         .agg(
