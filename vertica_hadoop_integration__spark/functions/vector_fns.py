@@ -88,10 +88,14 @@ def quantize_int8(a: Column) -> Column:
         a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.lit(127.0) / F.nullif(absmax, F.lit(0.0))
-    return F.transform(
+    # scale stays OUT of the per-element lambda (see normalize): pairing
+    # against array_repeat evaluates the absmax fold once per row, not
+    # once per element — identical doubles, O(d) instead of O(d^2)
+    return F.zip_with(
         a,
-        lambda x: F.coalesce(
-            F.floor(x.cast("double") * scale + F.lit(0.5)), F.lit(0)
+        F.array_repeat(scale, F.size(a)),
+        lambda x, s: F.coalesce(
+            F.floor(x.cast("double") * s + F.lit(0.5)), F.lit(0)
         ).cast("int"),
     )
 
@@ -109,6 +113,17 @@ def normalize(a: Column) -> Column:
     """Unit-normalize an embedding (array<double> out). Pre-normalizing the
     corpus once turns cosine top-k into dot-product top-k — at 100 TB the
     norm is computed in the same scan that writes the corpus, not per
-    query."""
+    query.
+
+    Shape note (r12, guide §1.2 per-task work): the norm must stay OUT
+    of the per-element lambda — ``transform(a, x -> x / l2_norm(a))``
+    re-evaluates the whole O(d) fold for every element (O(d^2)
+    interpreted work per row; HOFs are CodegenFallback), which measured
+    ~1s for one normalize pass over the sf0.1 embeddings.  Pairing the
+    array against ``array_repeat(norm, size)`` evaluates the fold once
+    per row and makes the lambda a single division — identical doubles
+    (same x / n arithmetic), ~30x less expression evaluation."""
     n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    return F.zip_with(
+        a, F.array_repeat(n, F.size(a)), lambda x, y: x.cast("double") / y
+    )

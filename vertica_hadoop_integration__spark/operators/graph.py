@@ -694,7 +694,16 @@ def label_propagation(
                     labels.hint("shuffle_hash"), sym.u == labels.node
                 ).select(F.col("v"), F.col("label"), "w")
             )
-        cnt = msg.groupBy("v", "label").agg(F.sum("w").alias("ws"))
+        if labels is None and input_symmetric:
+            # the input_symmetric contract includes "one row per
+            # directed edge", so sweep 1's (v, label=u) vote keys are
+            # already unique — the (v, label) groupBy-sum would be a
+            # no-op aggregation costing its own edge-sized exchange
+            # (r12, guide §2.4).  Feed the argmax directly: the sum of
+            # w over a one-row group IS w.
+            cnt = msg.select("v", "label", F.col("w").alias("ws"))
+        else:
+            cnt = msg.groupBy("v", "label").agg(F.sum("w").alias("ws"))
         # argmax per node: max_by over struct(ws, -label) == (ws DESC,
         # label ASC) top-1 — deterministic (the label rides in the
         # ordering key, so no group has tied keys), partial-aggregating
