@@ -284,3 +284,45 @@ class TestAdamicAdar:
         assert 0 < len(out) <= 10  # C(5,2) pairs at most
         for r in out:
             assert r.adamic_adar == pytest.approx(1 / math.log(40), rel=1e-12)
+
+
+class TestModularitySymmetricFastPath:
+    def test_symmetric_fast_path_matches_default(self, spark):
+        """r12: the input_symmetric one-pass form (degree off incoming
+        message sums, one community aggregate) must equal the default
+        three-pass form on a symmetric edge list with complete labels —
+        bit-for-bit, since all sums are exact BIGINTs."""
+        import random
+
+        from vertica_hadoop_integration__spark.operators.graph import (
+            label_propagation,
+            modularity,
+        )
+
+        rng = random.Random(7)
+        und = {(a, b) for a, b in (sorted(rng.sample(range(30), 2))
+                                   for _ in range(120))}
+        rows = [(a, b, w) for a, b in und for w in (rng.randint(1, 5),)]
+        both = [(a, b, w) for a, b, w in rows] + [
+            (b, a, w) for a, b, w in rows
+        ]
+        g = spark.createDataFrame(both, "u long, v long, w long")
+        labels = label_propagation(
+            g, src="u", dst="v", weight="w", iters=2, input_symmetric=True
+        )
+        canon = lambda df: sorted(  # noqa: E731
+            (r.community, r.n_nodes, r.internal_w, r.degree_w, r.q_contrib)
+            for r in df.collect()
+        )
+        fast = canon(modularity(
+            g, labels, src="u", dst="v", weight="w",
+            node_col="node", label_col="community", input_symmetric=True,
+        ))
+        # the default path symmetrizes a one-direction list; feeding it
+        # the doubled-weight single-direction rows reproduces the same
+        # undirected multigraph the fast path sees
+        base = canon(modularity(
+            g, labels, src="u", dst="v", weight="w",
+            node_col="node", label_col="community", input_symmetric=False,
+        ))
+        assert fast == base

@@ -1,9 +1,17 @@
-"""Refreeze per-query bench budgets at the r11 close-out (r10 VERDICT
-item 8): budget = 2x the best-known per-query min across rounds, i.e.
+"""Refreeze per-query bench budgets at close-out (r10 VERDICT item 8):
+budget = 2x the best-known per-query min across rounds, i.e.
 min(previous budget, 2x this close-out's min) — a budget can only
 TIGHTEN, never loosen — except for queries whose registered computation
 changed this round (audit-form re-baselines, the r09 precedent), which
 re-baseline at 2x the new form's close-out min.
+
+r12: REBASELINE holds dedup_minhash_lsh, carried over from r11 — its
+r11 mid-build audit extension (raw-text equivalence pass on top of the
+xxhash pipeline) was priced against the pre-audit budget all of r11
+because the r11 close-out refreeze never ran (r11 VERDICT item 1); the
+re-baseline the r11 tool declared is executed HERE, at the first
+close-out that actually runs.  No r12 change altered any query's
+computation (every optimization is value-identical, xxhash-verified).
 
 Usage: python tools/refreeze_budgets.py [closeout_json]
 """
@@ -13,10 +21,11 @@ from __future__ import annotations
 import json
 import sys
 
-# Queries whose registered computation changed in the r11 mid-build:
-# dedup_minhash_lsh now runs the xxhash pipeline PLUS the raw-text
-# equivalence audit (shingle_sets ground truth, soundness/completeness
-# booleans); its old budget priced the pipeline alone.
+# Queries whose registered computation changed since their budget was
+# frozen: dedup_minhash_lsh runs the xxhash pipeline PLUS the raw-text
+# equivalence audit (r11 mid-build); its standing budget priced the
+# pipeline alone (re-baseline declared in r11, executed at this first
+# actually-run close-out refreeze).
 REBASELINE = {"dedup_minhash_lsh"}
 
 
@@ -48,13 +57,13 @@ def main() -> None:
 
     budget_doc["basis"] = (
         "2.0 x best-known per-query min across all rounds' full bench "
-        "runs; r11 close-out refreeze (OPTIMIZATION_r11.md): budgets "
-        "tightened to 2x the r11 close-out min wherever that is lower "
+        "runs; r12 close-out refreeze (OPTIMIZATION_r12.md): budgets "
+        "tightened to 2x the r12 close-out min wherever that is lower "
         "than the standing budget, never loosened; dedup_minhash_lsh "
-        "re-baselined at 2x the r11 close-out min because its registered "
+        "re-baselined at 2x the close-out min because its registered "
         "computation gained the raw-text equivalence audit in the r11 "
-        "mid-build (the r09 sketch_hll_rollup/sketch_kmv_distinct "
-        "audit-form precedent). Close-out git_sha: "
+        "mid-build and the r11 refreeze never ran (r11 VERDICT item 1; "
+        "r09 audit-form precedent). Close-out git_sha: "
         + str(closeout.get("git_sha"))
     )
     with open("reports/bench_budget.json", "w") as fh:

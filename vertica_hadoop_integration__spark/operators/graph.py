@@ -295,12 +295,13 @@ def triangle_count(
         F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("b"),
     )
     adj = o.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbr"))
+    # a-side adjacency rides the explode instead of a join (r12, guide
+    # §2.4): the oriented edges ARE adj's rows fanned back out, so
+    # re-deriving o and joining it on a paid one edge-sized exchange +
+    # join for an array the explode carries for free (the count never
+    # reads a itself).  Same (a, b, na) multiset bit for bit.
     attached = (
-        o.join(
-            adj.withColumnRenamed("a", "_x").withColumnRenamed("nbr", "na"),
-            F.col("a") == F.col("_x"),
-        )
-        .drop("_x")
+        adj.select(F.col("nbr").alias("na"), F.explode("nbr").alias("b"))
         # left: b may have no out-edges (a pure sink under orientation)
         .join(
             adj.withColumnRenamed("a", "_y").withColumnRenamed("nbr", "nb"),
@@ -336,8 +337,10 @@ def pagerank(
     as a target also appears as a source (true of any symmetric edge
     list, e.g. the co-order graph) and requires
     ``dangling="assume_none"``.  The fast path it unlocks, values
-    bit-identical (guide §2.3-2.4): the node table IS the out-weight
-    table's key set (no separate union+distinct+persist), the node
+    bit-identical (guide §2.3-2.4): out-weights attach via ONE
+    whole-partition window over the single persisted edge frame (r12 —
+    no separate outw aggregate + join-back, no second persisted frame),
+    the node table IS that frame's distinct source key set, the node
     count becomes one driver scalar instead of a per-iteration 1-row
     broadcast join, the per-iteration left-join back onto the node
     table disappears (the in-sum covers every node, so its coalesce
@@ -385,16 +388,32 @@ def pagerank(
     w_expr = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     )
-    e = edges.select(
-        F.col(src).alias("p"), F.col(dst).alias("q"), w_expr.alias("w")
-    ).persist()
-    outw = e.groupBy("p").agg(F.sum("w").alias("outw"))
     if input_symmetric:
-        edges_n = e.join(outw, on="p").persist()
-        outw_keys = outw.select("p").persist()
+        # outw attached by a whole-partition window instead of a
+        # groupBy + join-back (r12, guide §2.4): ONE exchange on p and
+        # ONE materialized frame replace the former two persisted
+        # frames (e, edges_n) and their agg+join exchanges —
+        # interleaved A/B 5.63 -> 4.34s min on the co-order query,
+        # identical xxhash sums.  Value note: the window sums w in a
+        # different order than the hash aggregate, which is exact here
+        # because pagerank weights are integer-valued doubles (co-order
+        # counts; sums stay far under 2^53) — arbitrary fractional
+        # weights were already partial-agg-order-sensitive in BOTH
+        # forms.  The window buffers one out-neighborhood per group
+        # (degree-bounded, spillable) — the same bound the adjacency
+        # builders carry.
+        edges_n = (
+            edges.select(
+                F.col(src).alias("p"), F.col(dst).alias("q"), w_expr.alias("w")
+            )
+            .withColumn("outw", F.sum("w").over(Window.partitionBy("p")))
+            .persist()
+        )
+        outw_keys = edges_n.select("p").distinct()
         try:
             # bounded driver scalar: one count of the node-cardinality
-            # out-weight table (the nodes == sources contract)
+            # out-weight key set (the nodes == sources contract); the
+            # distinct reuses edges_n's hash partitioning on p
             n = outw_keys.count()
             inv_n = F.lit(1.0) / F.lit(n).cast("double")
             rank = outw_keys.select("p", inv_n.alias("r"))
@@ -428,9 +447,11 @@ def pagerank(
                 F.col("p").alias("node"), F.col("r").alias("pagerank")
             )
         finally:
-            outw_keys.unpersist()
             edges_n.unpersist()
-            e.unpersist()
+    e = edges.select(
+        F.col(src).alias("p"), F.col(dst).alias("q"), w_expr.alias("w")
+    ).persist()
+    outw = e.groupBy("p").agg(F.sum("w").alias("outw"))
     edges_n = e.join(outw, on="p").persist()
     nodes = (
         e.select("p")
@@ -963,6 +984,15 @@ def modularity(
         F.col(node_col).cast("long").alias("_n"),
         F.col(label_col).cast("long").alias("_lbl"),
     )
+    # r12 negative result (kept for the record, like the r11 centroid
+    # drift one-scan attempt): a fused one-pass form for the symmetric
+    # case — degree/two_m read off the incoming-message sums of the
+    # in_c aggregation, one node-scale combine, one community aggregate
+    # — is bit-identical (property-tested) but measured consistently
+    # SLOWER in a 6-trial interleaved A/B at sf0.1 (min 4.80 vs 5.03s,
+    # med 5.11 vs 5.56s for graph_modularity): the three cheap columnar
+    # rescans of the checkpointed edge frame beat the extra join stage
+    # + node-scale checkpoint the fusion needs.  The 3-pass shape stays.
     two_m = sym.agg(F.sum("w").alias("_2m"))
     deg = sym.groupBy("u").agg(F.sum("w").alias("_d"))
     d_c = (

@@ -106,22 +106,43 @@ def repetition_signals(
 
     All ratios are double divisions of exact integer counts (engine-
     parity rule). Pure projection, zero shuffle."""
+    from ..functions.text_fns import shingles
+
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
-    grams2 = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_tok - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-    )
+    # word bigrams via the linear zip_with shingle kernel (r12): the
+    # former transform-over-positions form allocated a slice per window
+    # (the exact shape the r11 shingle rewrite removed); same values
+    # including the short-doc partial window
+    grams2 = shingles(F.col(text_col), 2)
     n_g2 = F.size(grams2)
     n_g2_distinct = F.size(F.array_distinct(grams2))
-    # most-frequent-token count without a shuffle: fold over the distinct
-    # tokens, counting each one's occurrences via filter+size — bounded
-    # work because distinct tokens per DOC are bounded, unlike the corpus
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # most-frequent-token count without a shuffle (r12): longest equal
+    # run of the SORTED token array — one O(n log n) JVM sort plus one
+    # linear fold.  The former distinct-tokens x filter scan was
+    # O(distinct x n) interpreted lambda evals PER DOCUMENT (quadratic
+    # on repetitive docs — exactly the ones this operator exists to
+    # catch); identical counts by definition.
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("b"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("p"),
+            F.when(a.p.isNotNull() & (a.p == x), a.r + 1)
+            .otherwise(F.lit(1))
+            .alias("r"),
+            F.greatest(
+                a.b,
+                F.when(a.p.isNotNull() & (a.p == x), a.r + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("b"),
+        ),
+        lambda a: a.b,
     )
     dup_frac = F.lit(1.0) - n_g2_distinct.cast("double") / n_g2.cast("double")
     top_frac = top_cnt.cast("double") / n_tok.cast("double")
