@@ -22,11 +22,16 @@ import json
 import sys
 
 # Queries whose registered computation changed since their budget was
-# frozen: dedup_minhash_lsh runs the xxhash pipeline PLUS the raw-text
-# equivalence audit (r11 mid-build); its standing budget priced the
-# pipeline alone (re-baseline declared in r11, executed at this first
-# actually-run close-out refreeze).
-REBASELINE = {"dedup_minhash_lsh"}
+# frozen (all in the r11 mid-build, budgets never re-baselined because
+# the r11 refreeze never ran — r11 VERDICT item 1):
+# * dedup_minhash_lsh: runs the xxhash pipeline PLUS the raw-text
+#   equivalence audit (re-baseline declared by the r11 tool);
+# * ann_pca_topk: converted from rows-only to the equivalence-audit
+#   form in b90a6f6 — it now ALSO runs an independent projected-space
+#   candidate leg at 2x the candidate budget plus a full-width cosine
+#   re-join and rank checks; its 1.453s budget priced the bare
+#   pca_topk call (same r09 audit-form precedent).
+REBASELINE = {"dedup_minhash_lsh", "ann_pca_topk"}
 
 
 def main() -> None:
@@ -60,10 +65,11 @@ def main() -> None:
         "runs; r12 close-out refreeze (OPTIMIZATION_r12.md): budgets "
         "tightened to 2x the r12 close-out min wherever that is lower "
         "than the standing budget, never loosened; dedup_minhash_lsh "
-        "re-baselined at 2x the close-out min because its registered "
-        "computation gained the raw-text equivalence audit in the r11 "
-        "mid-build and the r11 refreeze never ran (r11 VERDICT item 1; "
-        "r09 audit-form precedent). Close-out git_sha: "
+        "and ann_pca_topk re-baselined at 2x the close-out min because "
+        "their registered computations gained equivalence audits in the "
+        "r11 mid-build (raw-text audit / independent projected-space "
+        "leg) and the r11 refreeze never ran (r11 VERDICT item 1; r09 "
+        "audit-form precedent). Close-out git_sha: "
         + str(closeout.get("git_sha"))
     )
     with open("reports/bench_budget.json", "w") as fh:
