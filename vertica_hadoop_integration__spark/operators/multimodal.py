@@ -957,7 +957,15 @@ def phash_dedup(
         .select(F.col("a").alias("media_id_a"), F.col("b").alias("media_id_b"))
         .distinct()
     )
-    v = sig.hint("merge")
+    # shuffled-hash, not sort-merge (r12, guide §3.1): unlike the
+    # shingle-set verifies (whose array payloads keep the merge hint as
+    # broadcast/OOM protection), the signature side here is 16 bytes a
+    # row (id + 64-bit fingerprint) — a per-partition hash build is
+    # bounded at any corpus size, and skipping the candidate-side sorts
+    # measured 3.31 -> 2.79s min on the audio query (4-trial interleaved
+    # A/B, identical results; broadcast was faster still but is not
+    # scale-safe for a corpus-sized signature table).
+    v = sig.hint("shuffle_hash")
     joined = cands.join(
         v.withColumnRenamed("media_id", "media_id_a").withColumnRenamed(
             "phash", "ph_a"
@@ -1187,7 +1195,15 @@ def audio_fingerprint_dedup(
         .select(F.col("a").alias("media_id_a"), F.col("b").alias("media_id_b"))
         .distinct()
     )
-    v = sig.hint("merge")
+    # shuffled-hash, not sort-merge (r12, guide §3.1): unlike the
+    # shingle-set verifies (whose array payloads keep the merge hint as
+    # broadcast/OOM protection), the signature side here is 16 bytes a
+    # row (id + 64-bit fingerprint) — a per-partition hash build is
+    # bounded at any corpus size, and skipping the candidate-side sorts
+    # measured 3.31 -> 2.79s min on the audio query (4-trial interleaved
+    # A/B, identical results; broadcast was faster still but is not
+    # scale-safe for a corpus-sized signature table).
+    v = sig.hint("shuffle_hash")
     joined = cands.join(
         v.withColumnRenamed("media_id", "media_id_a").withColumnRenamed(
             "afp", "fp_a"
